@@ -1,0 +1,175 @@
+"""Batched FFT convolution — the reference's hottest DSP loop, TPU-native.
+
+Replaces scipy.signal.fftconvolve/oaconvolve and the torch rfft path
+(SonicSim-SonicSet/SonicSim_moving.py:47-96, SonicSim_audio.py:17-47,
+SonicSim_rir.py:62-92) with jitted jnp.fft.rfft kernels batched over arbitrary
+leading dims. Two moving-receiver strategies:
+
+* ``convolve_moving_receiver`` (dense): exact reference semantics — convolve
+  the full signal against every trajectory RIR, then per-sample crossfade
+  between the adjacent-position renders (SonicSim_moving.py:63-96).
+* ``convolve_moving_segmented`` (fast): each trajectory position's render is
+  only *used* on its own output span, so we convolve per-position windows of
+  size O(span + rir_len) instead of the full signal — O(P·S log S) instead of
+  O(P·T log T) work, a ~T/S (≈ #positions/2) FLOP reduction with identical
+  output up to FFT rounding.
+
+All FFT sizes are computed host-side with scipy's ``next_fast_len`` so XLA
+sees static, small-prime-factor shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.fft import next_fast_len
+
+
+def fft_convolve(signal: jax.Array, kernel: jax.Array, mode: str = "full") -> jax.Array:
+    """Linear convolution along the last axis via rfft.
+
+    Leading dims broadcast (like scipy.signal.fftconvolve with axes=-1).
+    """
+    t = signal.shape[-1]
+    l = kernel.shape[-1]
+    n = t + l - 1
+    nfft = next_fast_len(n)
+    sf = jnp.fft.rfft(signal.astype(jnp.float32), nfft)
+    kf = jnp.fft.rfft(kernel.astype(jnp.float32), nfft)
+    out = jnp.fft.irfft(sf * kf, nfft)[..., :n]
+    if mode == "full":
+        return out
+    if mode == "same":
+        start = (l - 1) // 2
+        return out[..., start : start + t]
+    if mode == "valid":
+        return out[..., l - 1 : t]
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def convolve_fixed_receiver(source_audio: jax.Array, rirs: jax.Array) -> jax.Array:
+    """Static source/receiver reverb: (T,) ⊛ (C, L) → (C, T).
+
+    Parity: scipy fftconvolve 'full' truncated to T (SonicSim_moving.py:47-61).
+    """
+    return fft_convolve(source_audio[None, :], rirs, mode="full")[
+        ..., : source_audio.shape[-1]
+    ]
+
+
+def convolve_moving_receiver(
+    source_audio: jax.Array,
+    rirs: jax.Array,
+    interp_index: jax.Array,
+    interp_weight: jax.Array,
+) -> jax.Array:
+    """Moving-source reverb, dense strategy (reference-exact semantics).
+
+    Args:
+      source_audio: (T,)
+      rirs: (P, C, L) — one RIR per trajectory position.
+      interp_index: (T,) int32 in [0, P-2], start position per sample.
+      interp_weight: (T,) float32 in [0, 1).
+
+    Returns (C, T). Parity: SonicSim_moving.py:63-96.
+    """
+    t = source_audio.shape[-1]
+    conv = fft_convolve(source_audio[None, None, :], rirs)[..., :t]  # (P, C, T)
+    conv_t = jnp.swapaxes(conv, 0, 2)  # (T, C, P)
+    idx = interp_index[:, None, None]
+    start = jnp.take_along_axis(conv_t, idx, axis=2)[..., 0]  # (T, C)
+    end = jnp.take_along_axis(conv_t, idx + 1, axis=2)[..., 0]
+    w = interp_weight[:, None]
+    return ((1.0 - w) * start + w * end).T
+
+
+def segment_plan(interp_index: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host-side plan for the segmented strategy.
+
+    Given the (sorted, contiguous) per-sample position indices, return
+    per-segment (offsets, lengths, max_len) where segment p covers the output
+    samples with interp_index == p.
+    """
+    idx = np.asarray(interp_index)
+    n_seg = int(idx[-1]) + 1
+    offsets = np.searchsorted(idx, np.arange(n_seg), side="left").astype(np.int32)
+    ends = np.searchsorted(idx, np.arange(n_seg), side="right").astype(np.int32)
+    lengths = ends - offsets
+    return offsets, lengths, int(lengths.max())
+
+
+def convolve_moving_segmented(
+    source_audio: jax.Array,
+    rirs: jax.Array,
+    interp_weight: jax.Array,
+    offsets: jax.Array,
+    lengths: jax.Array,
+    max_seg: int,
+) -> jax.Array:
+    """Moving-source reverb, segmented strategy.
+
+    Output samples in segment p (span [offsets[p], offsets[p]+lengths[p]))
+    depend only on rir_p and rir_{p+1} convolved with the last L-1+span input
+    samples, so we convolve per-segment windows instead of the full signal.
+
+    Args:
+      source_audio: (T,)
+      rirs: (P, C, L)
+      interp_weight: (T,)
+      offsets/lengths: (P-1,) int32 from ``segment_plan`` (static-shape arrays)
+      max_seg: static max segment length.
+
+    Returns (C, T), numerically ≈ the dense strategy (same math, different
+    FFT partitioning).
+    """
+    t = source_audio.shape[-1]
+    p, c, l = rirs.shape
+    n_seg = p - 1
+    win = max_seg + l - 1
+
+    # Window the input: segment p needs x[off_p - (L-1) : off_p + max_seg).
+    xpad = jnp.pad(source_audio.astype(jnp.float32), (l - 1, max_seg))
+
+    def take_window(off):
+        return jax.lax.dynamic_slice(xpad, (off,), (win,))
+
+    windows = jax.vmap(take_window)(offsets)  # (n_seg, win)
+
+    # Convolve each window against its start & end RIRs in one batched FFT.
+    rir_pairs = jnp.stack([rirs[:-1], rirs[1:]], axis=1)  # (n_seg, 2, C, L)
+    conv = fft_convolve(windows[:, None, None, :], rir_pairs)  # (n_seg, 2, C, win+L-1)
+    # Sample s of segment p sits at position (L-1) + s of the full conv.
+    conv = conv[..., l - 1 : l - 1 + max_seg]  # (n_seg, 2, C, max_seg)
+
+    # Per-sample crossfade weights + validity mask, gathered per segment.
+    s = jnp.arange(max_seg, dtype=jnp.int32)
+    pos = offsets[:, None] + s[None, :]  # (n_seg, max_seg)
+    valid = s[None, :] < lengths[:, None]
+    wpad = jnp.pad(interp_weight.astype(jnp.float32), (0, max_seg))
+    w = wpad[jnp.clip(pos, 0, t + max_seg - 1)]  # (n_seg, max_seg)
+    mixed = (1.0 - w)[:, None, :] * conv[:, 0] + w[:, None, :] * conv[:, 1]
+    mixed = jnp.where(valid[:, None, :], mixed, 0.0)  # (n_seg, C, max_seg)
+
+    # Disjoint scatter back to the timeline.
+    out = jnp.zeros((c, t + max_seg), jnp.float32)
+    flat_pos = jnp.broadcast_to(pos[:, None, :], (n_seg, c, max_seg))
+    out = out.at[
+        jnp.broadcast_to(jnp.arange(c)[None, :, None], (n_seg, c, max_seg)),
+        flat_pos,
+    ].add(mixed, mode="drop")
+    return out[:, :t]
+
+
+def overlap_add_chunks(chunks: jax.Array, hop: int, total_len: int) -> jax.Array:
+    """Overlap-add of (N, ..., W) windows at stride ``hop`` → (..., total_len)."""
+    n, *mid, w = chunks.shape
+    out = jnp.zeros((*mid, total_len + w), chunks.dtype)
+    for i in range(n):  # unrolled: n is static and small
+        out = jax.lax.dynamic_update_slice(
+            out,
+            jax.lax.dynamic_slice(out, (0,) * len(mid) + (i * hop,), (*mid, w))
+            + chunks[i],
+            (0,) * len(mid) + (i * hop,),
+        )
+    return out[..., :total_len]

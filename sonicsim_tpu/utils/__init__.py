@@ -1,0 +1,14 @@
+from .config import import_target, instantiate, load_config, save_config
+from .registry import Registry
+from .wavio import read_wav, resample, write_wav
+
+__all__ = [
+    "Registry",
+    "import_target",
+    "instantiate",
+    "load_config",
+    "read_wav",
+    "resample",
+    "save_config",
+    "write_wav",
+]

@@ -1,0 +1,109 @@
+"""Golden tests: FFT convolution kernels vs scipy references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal
+
+from sonicsim_tpu.ops import (
+    convolve_fixed_receiver,
+    convolve_moving_receiver,
+    convolve_moving_segmented,
+    dynamic_interp_plan,
+    fft_convolve,
+    segment_plan,
+)
+
+
+def test_fft_convolve_full_matches_scipy(rng):
+    x = rng.standard_normal(1000).astype(np.float32)
+    k = rng.standard_normal(137).astype(np.float32)
+    ours = np.asarray(fft_convolve(jnp.asarray(x), jnp.asarray(k)))
+    ref = signal.fftconvolve(x, k, mode="full")
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["same", "valid"])
+def test_fft_convolve_modes(rng, mode):
+    x = rng.standard_normal(512).astype(np.float32)
+    k = rng.standard_normal(64).astype(np.float32)
+    ours = np.asarray(fft_convolve(jnp.asarray(x), jnp.asarray(k), mode=mode))
+    ref = signal.fftconvolve(x, k, mode=mode)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_fft_convolve_batched(rng):
+    x = rng.standard_normal((3, 1, 400)).astype(np.float32)
+    k = rng.standard_normal((1, 2, 93)).astype(np.float32)
+    ours = np.asarray(fft_convolve(jnp.asarray(x), jnp.asarray(k)))
+    ref = signal.fftconvolve(x, k, mode="full", axes=-1)
+    assert ours.shape == ref.shape == (3, 2, 492)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_convolve_fixed_receiver_parity(rng):
+    """Reference: SonicSim_moving.py:47-61 (fftconvolve full, truncate to T)."""
+    audio = rng.standard_normal(2000).astype(np.float32)
+    rirs = rng.standard_normal((4, 300)).astype(np.float32)
+    ours = np.asarray(convolve_fixed_receiver(jnp.asarray(audio), jnp.asarray(rirs)))
+    ref = signal.fftconvolve(audio.reshape(1, -1), rirs, mode="full")[:, :2000]
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def _reference_moving(audio, rirs, interp_index, interp_weight):
+    """NumPy reimplementation of SonicSim_moving.py:63-96 semantics."""
+    num_channels = rirs.shape[1]
+    t = audio.shape[0]
+    conv = signal.oaconvolve(audio[None, None, :], rirs, axes=-1)[..., :t]
+    start = conv[interp_index, np.arange(num_channels)[:, None], np.arange(t)]
+    end = conv[interp_index + 1, np.arange(num_channels)[:, None], np.arange(t)]
+    w = interp_weight[None, :]
+    return (1 - w) * start + w * end
+
+
+def _make_case(rng, t=4000, p=6, c=2, l=200):
+    audio = rng.standard_normal(t).astype(np.float32)
+    rirs = (rng.standard_normal((p, c, l)) * np.exp(
+        -np.linspace(0, 6, l)
+    )).astype(np.float32)
+    positions = np.cumsum(rng.uniform(0.5, 1.5, size=(p, 3)), axis=0)
+    idx, w = dynamic_interp_plan(positions, t, rng=rng)
+    return audio, rirs, idx, w
+
+
+def test_convolve_moving_dense_parity(rng):
+    audio, rirs, idx, w = _make_case(rng)
+    ours = np.asarray(
+        convolve_moving_receiver(
+            jnp.asarray(audio), jnp.asarray(rirs), jnp.asarray(idx), jnp.asarray(w)
+        )
+    )
+    ref = _reference_moving(audio, rirs, idx, w)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_convolve_moving_segmented_matches_dense(rng):
+    audio, rirs, idx, w = _make_case(rng, t=5000, p=8, c=3, l=256)
+    offsets, lengths, max_seg = segment_plan(idx)
+    seg = np.asarray(
+        convolve_moving_segmented(
+            jnp.asarray(audio),
+            jnp.asarray(rirs),
+            jnp.asarray(w),
+            jnp.asarray(offsets),
+            jnp.asarray(lengths),
+            max_seg,
+        )
+    )
+    ref = _reference_moving(audio, rirs, idx, w)
+    np.testing.assert_allclose(seg, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_segment_plan_covers_everything(rng):
+    _, _, idx, _ = _make_case(rng)
+    offsets, lengths, max_seg = segment_plan(idx)
+    assert lengths.sum() == len(idx)
+    assert max_seg == lengths.max()
+    for p, (o, n) in enumerate(zip(offsets, lengths)):
+        assert np.all(idx[o : o + n] == p)

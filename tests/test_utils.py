@@ -1,0 +1,93 @@
+"""Tests: WAV I/O round-trips, config interpolation/instantiate, interp plans."""
+
+import numpy as np
+import pytest
+
+from sonicsim_tpu.ops import dynamic_interp_plan, interpolate_positions
+from sonicsim_tpu.utils import (
+    instantiate,
+    load_config,
+    read_wav,
+    resample,
+    save_config,
+    write_wav,
+)
+
+
+def test_wav_roundtrip_pcm16(tmp_path, rng):
+    x = (rng.standard_normal((2, 1600)) * 0.3).astype(np.float32)
+    write_wav(tmp_path / "a.wav", x, 16000)
+    y, sr = read_wav(tmp_path / "a.wav")
+    assert sr == 16000 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32768)
+
+
+def test_wav_roundtrip_float32(tmp_path, rng):
+    x = (rng.standard_normal(500) * 2.0).astype(np.float32)  # out-of-range ok
+    write_wav(tmp_path / "f.wav", x, 8000, encoding="float32")
+    y, sr = read_wav(tmp_path / "f.wav")
+    assert sr == 8000
+    np.testing.assert_allclose(y[0], x, rtol=1e-6)
+
+
+def test_resample_tone(rng):
+    sr1, sr2 = 48000, 16000
+    t = np.arange(sr1) / sr1
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample(x, sr1, sr2)
+    assert abs(len(y) - sr2) <= 1
+    t2 = np.arange(len(y)) / sr2
+    ref = np.sin(2 * np.pi * 440 * t2)
+    assert np.mean((y[100:-100] - ref[100:-100]) ** 2) < 1e-4
+
+
+def test_config_interpolation_and_instantiate(tmp_path):
+    cfg_text = """
+exp:
+  dir: Exps/
+  name: demo
+paths:
+  out: ${exp.dir}/${exp.name}
+obj:
+  _target_: collections.OrderedDict
+"""
+    p = tmp_path / "c.yaml"
+    p.write_text(cfg_text)
+    cfg = load_config(p)
+    assert cfg["paths"]["out"] == "Exps//demo"
+    obj = instantiate(cfg["obj"])
+    from collections import OrderedDict
+
+    assert isinstance(obj, OrderedDict)
+    save_config(cfg, tmp_path / "saved.yaml")
+    assert load_config(tmp_path / "saved.yaml") == cfg
+
+
+def test_dynamic_interp_plan_properties(rng):
+    pos = np.cumsum(rng.uniform(0.1, 2.0, size=(7, 3)), axis=0)
+    idx, w = dynamic_interp_plan(pos, 10_000, rng=rng)
+    assert len(idx) == len(w) == 10_000
+    assert idx.min() == 0 and idx.max() == len(pos) - 2
+    assert np.all(np.diff(idx) >= 0)  # monotone through segments
+    assert w.min() >= 0 and w.max() < 1
+    # Segment sample counts proportional to segment lengths (constant speed).
+    dist = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    counts = np.bincount(idx, minlength=len(dist))
+    expected = dist / dist.sum() * 10_000
+    assert np.abs(counts - expected).max() <= len(dist) + 1
+
+
+def test_dynamic_interp_plan_static_trajectory():
+    pos = np.zeros((3, 3))
+    idx, w = dynamic_interp_plan(pos, 100, rng=np.random.default_rng(0))
+    assert np.all(idx == 0) and np.all(w == 0)
+
+
+def test_interpolate_positions(rng):
+    pos = np.array([[0.0, 0, 0], [1.0, 0, 0], [1.0, 1.0, 0]])
+    idx, w = dynamic_interp_plan(pos, 1000, rng=rng)
+    pts = interpolate_positions(pos, idx, w)
+    assert pts.shape == (1000, 3)
+    # Constant speed: consecutive step sizes nearly equal.
+    step = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    assert step.std() < step.mean() * 0.5
