@@ -1,0 +1,27 @@
+from .pit import PITLossWrapper, find_best_perm, reorder_sources
+from .sdr import (
+    EPS,
+    FreqMAE,
+    FreqMAEWavL1,
+    MultiSrcNegSDR,
+    PairwiseNegSDR,
+    SingleSrcNegSDR,
+    multisrc_neg_sdr,
+    pairwise_neg_sdr,
+    singlesrc_neg_sdr,
+)
+
+__all__ = [
+    "EPS",
+    "FreqMAE",
+    "FreqMAEWavL1",
+    "MultiSrcNegSDR",
+    "PITLossWrapper",
+    "PairwiseNegSDR",
+    "SingleSrcNegSDR",
+    "find_best_perm",
+    "multisrc_neg_sdr",
+    "pairwise_neg_sdr",
+    "reorder_sources",
+    "singlesrc_neg_sdr",
+]

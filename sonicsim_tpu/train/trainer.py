@@ -1,0 +1,209 @@
+"""Data-parallel trainer: the reference's Lightning+DDP stack, TPU-native.
+
+Replaces AudioLightningModule + pl.Trainer(DDPStrategy)
+(separation/look2hear/system/audio_litmodule.py:36-211, train.py:28-109):
+a jitted train step compiled once over a device mesh; batches are sharded
+on the 'data' axis, params replicated, and XLA inserts the gradient psum —
+no NCCL, no process groups. Host-side epoch loop handles LR plateau control,
+early stopping, top-k checkpointing and CSV logging.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.base import BaseModel, save_model
+from ..parallel.mesh import batch_sharding, make_mesh, replicate, replicated_sharding
+from .schedulers import EarlyStopping, ReduceLROnPlateau
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(
+    lr: float = 1e-3, weight_decay: float = 0.0, clip_norm: float | None = 5.0
+) -> optax.GradientTransformation:
+    """Adam (+ optional decoupled weight decay) behind a dynamic LR.
+
+    Mirrors configs/convtasnet.yaml optimizer+trainer (Adam lr 1e-3,
+    gradient_clip_val 5.0)."""
+    steps = []
+    if clip_norm is not None:
+        steps.append(optax.clip_by_global_norm(clip_norm))
+    opt = (
+        optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
+        if weight_decay
+        else optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    )
+    steps.append(opt)
+    return optax.chain(*steps)
+
+
+def set_learning_rate(opt_state: Any, lr: float) -> Any:
+    """Update the injected learning_rate hyperparam inside a chain state."""
+
+    def _set(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return s
+
+    return jax.tree.map(
+        _set, opt_state, is_leaf=lambda s: hasattr(s, "hyperparams")
+    )
+
+
+def make_train_step(model: BaseModel, loss_fn: Callable, optimizer) -> Callable:
+    """Build the jitted (state, mix, targets) → (state, loss) step."""
+
+    def step(params, opt_state, mix, targets):
+        def loss_of(p):
+            ests = model.apply(p, mix)
+            return loss_fn(ests, targets)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(model: BaseModel, metric_fn: Callable) -> Callable:
+    def step(params, mix, targets):
+        return metric_fn(model.apply(params, mix), targets)
+
+    return step
+
+
+@dataclass
+class Trainer:
+    """Epoch-driven fit loop with plateau LR, early stop, top-k checkpoints."""
+
+    model: BaseModel
+    loss_fn: Callable
+    metric_fn: Callable | None = None
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    clip_norm: float | None = 5.0
+    max_epochs: int = 500
+    patience_lr: int = 10
+    lr_factor: float = 0.5
+    patience_stop: int = 20
+    save_top_k: int = 5
+    exp_dir: str | Path = "Exps/run"
+    n_devices: int | None = None
+    log_every: int = 50
+    history: list = field(default_factory=list)
+
+    def fit(
+        self,
+        train_batches: Callable[[int], Iterable],
+        val_batches: Callable[[], Iterable] | None = None,
+        rng: jax.Array | None = None,
+        example_len: int = 32000,
+    ) -> TrainState:
+        exp_dir = Path(self.exp_dir)
+        (exp_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+        mesh = make_mesh(self.n_devices)
+        data_shard = batch_sharding(mesh)
+        rep = replicated_sharding(mesh)
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = self.model.init_params(rng, example_len)
+        optimizer = make_optimizer(self.lr, self.weight_decay, self.clip_norm)
+        opt_state = optimizer.init(params)
+        params = replicate(params, mesh)
+        opt_state = jax.tree.map(
+            lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a, opt_state
+        )
+
+        raw_step = make_train_step(self.model, self.loss_fn, optimizer)
+        train_step = jax.jit(
+            raw_step,
+            in_shardings=(rep, None, data_shard, data_shard),
+            out_shardings=(rep, None, rep),
+            donate_argnums=(0, 1),
+        )
+        eval_step = None
+        if self.metric_fn is not None:
+            eval_step = jax.jit(
+                make_eval_step(self.model, self.metric_fn),
+                in_shardings=(rep, data_shard, data_shard),
+                out_shardings=rep,
+            )
+
+        plateau = ReduceLROnPlateau(self.lr, self.lr_factor, self.patience_lr)
+        stopper = EarlyStopping(self.patience_stop)
+        best_k: list[tuple[float, str]] = []
+        state = TrainState(params, opt_state)
+
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            losses = []
+            for i, (mix, targets) in enumerate(train_batches(epoch)):
+                state.params, state.opt_state, loss = train_step(
+                    state.params, state.opt_state, jnp.asarray(mix), jnp.asarray(targets)
+                )
+                state.step += 1
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+            val_loss = train_loss
+            if val_batches is not None and eval_step is not None:
+                vals = [
+                    eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
+                    for m, t in val_batches()
+                ]
+                val_loss = float(jnp.mean(jnp.stack(vals))) if vals else train_loss
+
+            new_lr = plateau.step(val_loss)
+            state.opt_state = set_learning_rate(state.opt_state, new_lr)
+            rec = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": new_lr,
+                "seconds": time.time() - t0,
+            }
+            self.history.append(rec)
+            with open(exp_dir / "metrics.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+            ckpt = exp_dir / "checkpoints" / f"epoch={epoch}-val_loss={val_loss:.4f}.pkl"
+            if len(best_k) < self.save_top_k or val_loss < best_k[-1][0]:
+                save_model(self.model, state.params, ckpt)
+                best_k.append((val_loss, str(ckpt)))
+                best_k.sort(key=lambda kv: kv[0])
+                for _, stale in best_k[self.save_top_k :]:
+                    Path(stale).unlink(missing_ok=True)
+                best_k = best_k[: self.save_top_k]
+                with open(exp_dir / "best_k_models.json", "w") as f:
+                    json.dump({p: v for v, p in best_k}, f, indent=2)
+
+            if stopper.step(val_loss):
+                break
+
+        # Export portable best model (train.py:100-105 equivalent).
+        if best_k:
+            import pickle
+
+            with open(best_k[0][1], "rb") as f:
+                pack = pickle.load(f)
+            with open(exp_dir / "best_model.pkl", "wb") as f:
+                pickle.dump(pack, f)
+        else:
+            save_model(self.model, state.params, exp_dir / "best_model.pkl")
+        return state
