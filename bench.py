@@ -1,0 +1,86 @@
+"""Headline benchmark: moving-source rendering throughput on one TPU chip.
+
+Workload (per BASELINE.json config #2, the reference's DSP hot loop —
+SonicSim-SonicSet/SonicSim_moving.py:63-96): render a batch of 60 s moving
+sources through trajectory RIR banks (P positions x binaural channels,
+1 s RIRs at 16 kHz) with per-sample crossfade, using the segmented
+convolution kernel.
+
+Metric: audio-seconds rendered / sec / chip. Baseline: the driver's
+north-star bar of 50x real-time per chip (BASELINE.json; the reference
+publishes no machine-readable throughput — SURVEY.md §6).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.ops import (
+        convolve_moving_segmented,
+        dynamic_interp_plan,
+        segment_plan,
+    )
+
+    sr = 16000
+    duration = 60.0
+    t = int(sr * duration)
+    n_src = 3  # one SonicSet mixture = 3 moving speakers
+    p, c, l = 40, 2, sr  # 40 trajectory RIRs, binaural, 1 s tails
+
+    rng = np.random.default_rng(0)
+    positions = np.cumsum(rng.uniform(0.2, 0.6, size=(p, 3)), axis=0)
+    idx, w = dynamic_interp_plan(positions, t, rng=rng)
+    offsets, lengths, max_seg = segment_plan(idx)
+
+    audio = jnp.asarray(rng.standard_normal((n_src, t)).astype(np.float32) * 0.1)
+    decay = np.exp(-np.linspace(0.0, 8.0, l, dtype=np.float32))
+    rirs = jnp.asarray(
+        rng.standard_normal((n_src, p, c, l)).astype(np.float32) * decay * 0.05
+    )
+    w_j = jnp.asarray(w)
+    off_j = jnp.asarray(offsets)
+    len_j = jnp.asarray(lengths)
+
+    render = jax.jit(
+        jax.vmap(
+            lambda a, r: convolve_moving_segmented(a, r, w_j, off_j, len_j, max_seg)
+        )
+    )
+
+    out = render(audio, rirs)
+    out.block_until_ready()  # compile + warmup
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render(audio, rirs)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = duration * n_src * iters
+    value = audio_seconds / elapsed
+    baseline = 50.0  # x real-time per chip (BASELINE.json north star)
+    print(
+        json.dumps(
+            {
+                "metric": "moving-source render throughput",
+                "value": round(value, 2),
+                "unit": "audio-seconds/sec/chip",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
