@@ -1,0 +1,66 @@
+from .channels import (
+    CHANNEL_TYPES,
+    CIRCULAR_4CH_ARRAY,
+    LINEAR_4CH_ARRAY,
+    ChannelModel,
+    channel_count,
+    real_sh_matrix,
+)
+from .geometry import (
+    NavGrid,
+    generate_xy_grid_points,
+    random_select_start_end_points,
+    sample_trajectory,
+    select_static_points,
+)
+from .image_source import ShoeboxRoom, image_sources, render_shoebox_rir
+from .maps import points_to_pixels, save_trace_image, topdown_map
+from .materials import (
+    DEFAULT_MATERIALS,
+    Material,
+    load_material_config,
+    material_for_label,
+    room_mean_absorption,
+)
+from .oracle import (
+    ACOUSTIC_CONFIG,
+    BankRirOracle,
+    HabitatRirOracle,
+    RirOracle,
+    SyntheticRirOracle,
+    render_rir_bank,
+    save_rir_bank,
+)
+from .scene import Scene
+
+__all__ = [
+    "ACOUSTIC_CONFIG",
+    "BankRirOracle",
+    "CHANNEL_TYPES",
+    "CIRCULAR_4CH_ARRAY",
+    "ChannelModel",
+    "DEFAULT_MATERIALS",
+    "HabitatRirOracle",
+    "LINEAR_4CH_ARRAY",
+    "Material",
+    "NavGrid",
+    "RirOracle",
+    "Scene",
+    "ShoeboxRoom",
+    "SyntheticRirOracle",
+    "channel_count",
+    "generate_xy_grid_points",
+    "image_sources",
+    "load_material_config",
+    "material_for_label",
+    "points_to_pixels",
+    "random_select_start_end_points",
+    "real_sh_matrix",
+    "render_rir_bank",
+    "render_shoebox_rir",
+    "room_mean_absorption",
+    "sample_trajectory",
+    "save_rir_bank",
+    "save_trace_image",
+    "topdown_map",
+]

@@ -1,0 +1,79 @@
+"""Top-down maps and trajectory trace rendering.
+
+Replaces the habitat-lab maps utilities + matplotlib drawing used by the
+reference (SonicSim_rir.py:825-1043: convert_points_to_topdown, display_map,
+save_town_map_grid, draw_path, save_trace_gif) with a raster over NavGrid.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .geometry import NavGrid
+
+
+def topdown_map(nav: NavGrid, meters_per_pixel: float = 0.05) -> np.ndarray:
+    """Boolean navigability raster at the requested resolution (True=free)."""
+    lo, hi = nav.get_bounds()
+    nx = max(int((hi[0] - lo[0]) / meters_per_pixel), 1)
+    nz = max(int((hi[2] - lo[2]) / meters_per_pixel), 1)
+    xs = lo[0] + (np.arange(nx) + 0.5) * meters_per_pixel
+    zs = lo[2] + (np.arange(nz) + 0.5) * meters_per_pixel
+    out = np.zeros((nz, nx), bool)
+    for j, z in enumerate(zs):
+        for i, x in enumerate(xs):
+            out[j, i] = nav.is_navigable(np.array([x, nav.floor_height, z]))
+    return out
+
+
+def points_to_pixels(
+    points: np.ndarray, nav: NavGrid, meters_per_pixel: float = 0.05
+) -> np.ndarray:
+    """(N, 3) world points → (N, 2) pixel (col, row) on the top-down map
+    (convert_points_to_topdown parity)."""
+    lo, _ = nav.get_bounds()
+    pts = np.atleast_2d(np.asarray(points))
+    px = (pts[:, 0] - lo[0]) / meters_per_pixel
+    pz = (pts[:, 2] - lo[2]) / meters_per_pixel
+    return np.stack([px, pz], axis=1)
+
+
+def save_trace_image(
+    filename: str | Path,
+    nav: NavGrid,
+    trajectories: list[np.ndarray] | None = None,
+    mic_points: np.ndarray | None = None,
+    static_points: np.ndarray | None = None,
+    meters_per_pixel: float = 0.05,
+) -> None:
+    """Render the navigable area with speaker trajectories, mic and
+    noise/music markers (save_trace_gif parity — a PNG per sample,
+    SonicSet_train.py:47)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    grid = topdown_map(nav, meters_per_pixel)
+    fig, ax = plt.subplots(figsize=(8, 8 * grid.shape[0] / max(grid.shape[1], 1)))
+    ax.imshow(grid, cmap="gray", origin="lower", interpolation="nearest")
+    colors = ["tab:red", "tab:blue", "tab:green", "tab:orange"]
+    for k, traj in enumerate(trajectories or []):
+        pix = points_to_pixels(np.asarray(traj), nav, meters_per_pixel)
+        ax.plot(pix[:, 0], pix[:, 1], "-o", ms=3, color=colors[k % len(colors)],
+                label=f"speaker {k + 1}")
+    if mic_points is not None:
+        pix = points_to_pixels(mic_points, nav, meters_per_pixel)
+        ax.scatter(pix[:, 0], pix[:, 1], marker="*", s=200, c="gold", label="mic",
+                   edgecolors="k", zorder=5)
+    if static_points is not None:
+        pix = points_to_pixels(static_points, nav, meters_per_pixel)
+        ax.scatter(pix[:, 0], pix[:, 1], marker="s", s=80, c="magenta",
+                   label="noise/music", edgecolors="k", zorder=5)
+    ax.legend(loc="upper right", fontsize=8)
+    ax.set_axis_off()
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(filename, bbox_inches="tight", dpi=120)
+    plt.close(fig)

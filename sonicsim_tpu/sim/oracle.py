@@ -1,0 +1,199 @@
+"""RIR oracles: the isolation boundary around acoustic simulation.
+
+Design (SURVEY.md §7 architecture stance): habitat-sim is an *offline* RIR
+producer; the framework consumes RIRs through the ``RirOracle`` protocol with
+three implementations:
+
+1. ``SyntheticRirOracle`` — built-in shoebox image-source engine (primary in
+   this environment; also the hermetic test oracle).
+2. ``BankRirOracle``    — precomputed per-scene banks (.npz), the production
+   path for real Matterport3D scenes rendered offline by habitat
+   (replaces rir_save_{split}_{ch}.pt, SonicSet_train.py:52-68).
+3. ``HabitatRirOracle`` — live adapter, gated on habitat_sim availability.
+
+``render_rir_bank`` replaces the reference's process-pool fan-out
+(render_rir_parallel, SonicSim_rir.py:724-791): all (source, receiver) pairs
+render as one batched computation instead of one habitat Simulator per task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Protocol, runtime_checkable
+
+import numpy as np
+
+from .channels import ChannelModel
+from .image_source import ShoeboxRoom, render_shoebox_rir
+
+# Acoustic defaults matching the reference's fixed config
+# (SonicSim_rir.py:176-187) — metadata for bank generation & parity checks.
+ACOUSTIC_CONFIG = {
+    "sampleRate": 16000,
+    "direct": True,
+    "indirect": True,
+    "diffraction": True,
+    "transmission": True,
+    "directSHOrder": 5,
+    "indirectSHOrder": 3,
+    "unitScale": 1,
+    "frequencyBands": 32,
+    "indirectRayCount": 50000,
+}
+
+
+@runtime_checkable
+class RirOracle(Protocol):
+    sample_rate: int
+
+    def render(
+        self,
+        source_position: np.ndarray,
+        receiver_position: np.ndarray,
+        channel: ChannelModel,
+        receiver_rotation: float = 90.0,
+    ) -> np.ndarray:  # (C, L)
+        ...
+
+
+@dataclass
+class SyntheticRirOracle:
+    """Image-source + stochastic-tail oracle over a shoebox approximation."""
+
+    room: ShoeboxRoom
+    sample_rate: int = 16000
+    max_order: int = 4
+    ir_seconds: float | None = None
+    seed: int = 0
+
+    def render(
+        self,
+        source_position: np.ndarray,
+        receiver_position: np.ndarray,
+        channel: ChannelModel,
+        receiver_rotation: float = 90.0,
+    ) -> np.ndarray:
+        # Deterministic per-pair tail seed.
+        pair = np.concatenate([np.ravel(source_position), np.ravel(receiver_position)])
+        seed = int(
+            np.uint32(self.seed)
+            + np.uint32(abs(hash(tuple(np.round(pair, 4).tolist()))) % (2**31))
+        )
+        return render_shoebox_rir(
+            self.room,
+            source_position,
+            receiver_position,
+            channel,
+            sample_rate=self.sample_rate,
+            receiver_rotation=receiver_rotation,
+            max_order=self.max_order,
+            ir_seconds=self.ir_seconds,
+            seed=seed,
+        )
+
+
+@dataclass
+class BankRirOracle:
+    """Precomputed RIR bank: .npz with arrays ``rirs (S, R, C, L)``,
+    ``source_positions (S, 3)``, ``receiver_positions (R, 3)``, scalar
+    ``sample_rate``. Lookup = nearest stored position pair."""
+
+    path: str | Path
+    sample_rate: int = 16000
+    _data: dict = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        with np.load(self.path) as z:
+            self._data = {k: z[k] for k in z.files}
+        self.sample_rate = int(self._data.get("sample_rate", self.sample_rate))
+
+    def render(
+        self,
+        source_position: np.ndarray,
+        receiver_position: np.ndarray,
+        channel: ChannelModel,
+        receiver_rotation: float = 90.0,
+    ) -> np.ndarray:
+        src = np.asarray(source_position, np.float64)
+        rcv = np.asarray(receiver_position, np.float64)
+        s = int(
+            np.argmin(np.linalg.norm(self._data["source_positions"] - src, axis=1))
+        )
+        r = int(
+            np.argmin(np.linalg.norm(self._data["receiver_positions"] - rcv, axis=1))
+        )
+        rir = self._data["rirs"][s, r]
+        if rir.shape[0] != channel.count:
+            raise ValueError(
+                f"bank has {rir.shape[0]} channels, requested {channel.count}"
+            )
+        return np.asarray(rir, np.float32)
+
+
+class HabitatRirOracle:
+    """Live habitat-sim adapter (unavailable in this environment)."""
+
+    def __init__(self, *args, **kwargs):
+        try:
+            import habitat_sim  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "habitat_sim is not installed. Render RIR banks offline with "
+                "the reference pipeline and load them via BankRirOracle, or "
+                "use SyntheticRirOracle."
+            ) from e
+        raise NotImplementedError(
+            "live habitat adapter: render via habitat AudioSensor, then wrap "
+            "results in a bank (see save_rir_bank)."
+        )
+
+
+def render_rir_bank(
+    oracle: RirOracle,
+    source_positions: list[np.ndarray],
+    receiver_positions: list[np.ndarray],
+    channel: ChannelModel,
+    receiver_rotations: list[float] | None = None,
+    peak_normalize: bool = True,
+) -> np.ndarray:
+    """All-pairs bank (S, R, C, L), clipped to the common min length and
+    peak-normalized over the whole bank — parity with
+    generate_rir_combination (SonicSim_audio.py:342-400: clip_all + stack +
+    /= abs().max()) and render_rir_parallel's fan-out semantics."""
+    rotations = receiver_rotations or [90.0] * len(receiver_positions)
+    rirs: list[list[np.ndarray]] = []
+    for src in source_positions:
+        row = [
+            oracle.render(src, rcv, channel, rot)
+            for rcv, rot in zip(receiver_positions, rotations)
+        ]
+        rirs.append(row)
+    min_len = min(r.shape[-1] for row in rirs for r in row)
+    bank = np.stack(
+        [np.stack([r[..., :min_len] for r in row]) for row in rirs]
+    ).astype(np.float32)  # (S, R, C, L)
+    if peak_normalize:
+        peak = np.abs(bank).max()
+        if peak > 0:
+            bank = bank / peak
+    return bank
+
+
+def save_rir_bank(
+    path: str | Path,
+    rirs: np.ndarray,
+    source_positions: np.ndarray,
+    receiver_positions: np.ndarray,
+    sample_rate: int = 16000,
+    **metadata,
+) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path,
+        rirs=np.asarray(rirs, np.float32),
+        source_positions=np.asarray(source_positions, np.float64),
+        receiver_positions=np.asarray(receiver_positions, np.float64),
+        sample_rate=sample_rate,
+        **metadata,
+    )

@@ -1,0 +1,127 @@
+"""Scene: room + navigable space + RIR oracle + channel model.
+
+The reference's ``Scene`` (SonicSim_rir.py:128-609) bundles a habitat
+Simulator, agent/receiver state, audio sensor and navmesh. Here a Scene is a
+plain composition of the decoupled pieces — NavGrid for geometry queries,
+RirOracle for acoustics, ChannelModel for the mic — with the same sampling
+entry points used by the generation pipeline (SonicSet_train.py:25-48).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .channels import ChannelModel
+from .geometry import (
+    NavGrid,
+    generate_xy_grid_points,
+    sample_trajectory,
+    select_static_points,
+)
+from .image_source import ShoeboxRoom
+from .materials import DEFAULT_MATERIALS, Material
+from .oracle import ACOUSTIC_CONFIG, RirOracle, SyntheticRirOracle, render_rir_bank
+
+
+@dataclass
+class Scene:
+    room: str
+    nav: NavGrid
+    oracle: RirOracle
+    channel: ChannelModel
+    source_height: float = 1.5  # reference adds 1.5 m at SonicSim_rir.py:411
+    sensor_height: float = 1.5  # aihabitat sensor_height (SonicSim_rir.py:175)
+    acoustic_config: dict = field(default_factory=lambda: dict(ACOUSTIC_CONFIG))
+
+    @classmethod
+    def synthetic(
+        cls,
+        room: str = "shoebox",
+        dims: tuple[float, float, float] = (10.0, 3.0, 8.0),
+        absorption: float | Material = 0.3,
+        channel_type: str = "Binaural",
+        channel_order: int = 1,
+        mic_array: list | None = None,
+        sample_rate: int = 16000,
+        resolution: float = 0.25,
+        max_order: int = 4,
+        seed: int = 0,
+    ) -> "Scene":
+        """Hermetic scene over a shoebox room (the fake-oracle test path and
+        the default when Matterport assets are absent)."""
+        alpha = (
+            absorption.mean_absorption()
+            if isinstance(absorption, Material)
+            else float(absorption)
+        )
+        nav = NavGrid.rectangle(dims[0], dims[2], resolution=resolution)
+        oracle = SyntheticRirOracle(
+            room=ShoeboxRoom(dims, absorption=alpha),
+            sample_rate=sample_rate,
+            max_order=max_order,
+            seed=seed,
+        )
+        return cls(
+            room=room,
+            nav=nav,
+            oracle=oracle,
+            channel=ChannelModel(channel_type, channel_order, mic_array),
+        )
+
+    # --- sampling (generation pipeline entry points) ----------------------
+    def sample_trajectory(
+        self, rng: np.random.Generator, distance_threshold: float = 5.0
+    ) -> list[np.ndarray]:
+        return sample_trajectory(self.nav, rng, distance_threshold)
+
+    def select_static_points(
+        self,
+        anchors: list[np.ndarray],
+        rng: np.random.Generator,
+        distance_threshold: float = 6.0,
+        num_points: int = 1,
+    ) -> list[np.ndarray]:
+        return select_static_points(
+            self.nav, anchors, rng, distance_threshold, num_points
+        )
+
+    def grid_points(self, grid_distance: float) -> np.ndarray:
+        return generate_xy_grid_points(self.nav, grid_distance)
+
+    # --- rendering --------------------------------------------------------
+    def _elevate(self, p: np.ndarray, h: float) -> np.ndarray:
+        q = np.asarray(p, np.float64).copy()
+        q[1] += h
+        return q
+
+    def render_ir(
+        self,
+        source_position: np.ndarray,
+        receiver_position: np.ndarray,
+        receiver_rotation: float = 90.0,
+    ) -> np.ndarray:
+        """(C, L) RIR with the reference's height conventions."""
+        return self.oracle.render(
+            self._elevate(source_position, self.source_height),
+            self._elevate(receiver_position, self.sensor_height),
+            self.channel,
+            receiver_rotation,
+        )
+
+    def render_bank(
+        self,
+        source_positions: list[np.ndarray],
+        receiver_positions: list[np.ndarray],
+        receiver_rotations: list[float] | None = None,
+    ) -> np.ndarray:
+        """(S, R, C, L) all-pairs bank, peak-normalized (the
+        generate_rir_combination replacement)."""
+        return render_rir_bank(
+            self.oracle,
+            [self._elevate(p, self.source_height) for p in source_positions],
+            [self._elevate(p, self.sensor_height) for p in receiver_positions],
+            self.channel,
+            receiver_rotations,
+        )
