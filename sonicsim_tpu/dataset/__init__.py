@@ -1,0 +1,59 @@
+from .assemble import (
+    assemble_long_audio,
+    loudness_normalize_to,
+    render_moving_source,
+    render_static_source,
+)
+from .datamodule import MovingDataModule
+from .generate import (
+    generate_split,
+    plan_mixture,
+    remove_existing_speakers,
+    render_mixture,
+)
+from .plan import (
+    LongAudioPlan,
+    MixturePlan,
+    Placement,
+    load_length_manifest,
+    plan_background_audio,
+    plan_long_audio,
+    scan_audio_lengths,
+    select_files_to_fill,
+)
+from .sampler import (
+    MovingTestDataset,
+    MovingTestEvalDataset,
+    MovingTrainDataset,
+    apply_sir,
+    apply_snr,
+    find_bottom_directories,
+    overlap_audio,
+)
+
+__all__ = [
+    "LongAudioPlan",
+    "MixturePlan",
+    "MovingDataModule",
+    "MovingTestDataset",
+    "MovingTestEvalDataset",
+    "MovingTrainDataset",
+    "Placement",
+    "apply_sir",
+    "apply_snr",
+    "assemble_long_audio",
+    "find_bottom_directories",
+    "generate_split",
+    "load_length_manifest",
+    "loudness_normalize_to",
+    "overlap_audio",
+    "plan_background_audio",
+    "plan_long_audio",
+    "plan_mixture",
+    "remove_existing_speakers",
+    "render_mixture",
+    "render_moving_source",
+    "render_static_source",
+    "scan_audio_lengths",
+    "select_files_to_fill",
+]

@@ -1,0 +1,93 @@
+"""DataModule: batching iterators over the samplers.
+
+Role of MovingDataModule (movingdatamodule.py:294-377) without torch
+DataLoaders: train batches re-seed per epoch; val/test iterate fixed dirs.
+Batches are numpy (the Trainer moves them to device with sharding).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .generate import render_mixture  # noqa: F401  (re-export convenience)
+from .sampler import MovingTestDataset, MovingTrainDataset
+
+
+def _stack_batch(items):
+    mixes = np.stack([m for m, _ in items])
+    tgts = np.stack([t for _, t in items])
+    return mixes, tgts
+
+
+@dataclass
+class MovingDataModule:
+    train_dir: str
+    val_dir: str
+    test_dir: str
+    sample_rate: int = 16000
+    duration: float = 4.0
+    num_samples: int = 1000
+    num_spks: int = 2
+    batch_size: int = 8
+    is_mono: bool = True
+    noise_type: str = "noise"
+    seed: int = 0
+    target_names: tuple[str, ...] | None = None
+
+    def __post_init__(self):
+        self._train = MovingTrainDataset(
+            speech_dir=self.train_dir,
+            sample_rate=self.sample_rate,
+            duration=self.duration,
+            num_samples=self.num_samples,
+            num_spks=self.num_spks,
+            is_mono=self.is_mono,
+            noise_type=self.noise_type,
+            seed=self.seed,
+        )
+        self._val = MovingTestDataset(
+            speech_dir=self.val_dir,
+            sample_rate=self.sample_rate,
+            num_spks=self.num_spks,
+            is_mono=self.is_mono,
+            target_names=self.target_names,
+        )
+        self._test = MovingTestDataset(
+            speech_dir=self.test_dir,
+            sample_rate=self.sample_rate,
+            num_spks=self.num_spks,
+            is_mono=self.is_mono,
+            target_names=self.target_names,
+        )
+
+    def train_batches(self, epoch: int = 0):
+        self._train.set_epoch(epoch)
+        batch = []
+        for i in range(len(self._train)):
+            batch.append(self._train[i])
+            if len(batch) == self.batch_size:
+                yield _stack_batch(batch)
+                batch = []
+        if batch:
+            yield _stack_batch(batch)
+
+    def _fixed_batches(self, ds: MovingTestDataset, crop: int | None = None):
+        batch = []
+        for i in range(len(ds)):
+            mix, tgt = ds[i]
+            if crop is not None:
+                mix, tgt = mix[..., :crop], tgt[..., :crop]
+            batch.append((mix, tgt))
+            if len(batch) == self.batch_size:
+                yield _stack_batch(batch)
+                batch = []
+        if batch:
+            yield _stack_batch(batch)
+
+    def val_batches(self, crop: int | None = None):
+        yield from self._fixed_batches(self._val, crop)
+
+    def test_batches(self, crop: int | None = None):
+        yield from self._fixed_batches(self._test, crop)

@@ -1,0 +1,256 @@
+"""SonicSet generation pipeline (the flagship entry point, TPU-native).
+
+Mirrors SonicSet_train.py:25-219 / SonicSet_val_test.py / SonicSet.py: per
+(scene, 3-speaker triple) sample trajectories + mic + noise/music points,
+render per-waypoint RIR banks through the oracle, build 60 s speech/noise/
+music tracks, moving-convolve speech and static-convolve backgrounds,
+LUFS-normalize to -17/-24/-29 (±2), and write 5 WAVs + json_data.json +
+trace.png, with resume-by-existence semantics (removing_exist_speaker,
+SonicSet_train.py:140-151).
+
+All randomness flows from one np.random.Generator per sample, so plans and
+outputs are reproducible from (seed, scene, triple).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..sim.maps import save_trace_image
+from ..sim.oracle import save_rir_bank
+from ..sim.scene import Scene
+from ..utils.wavio import write_wav
+from .assemble import (
+    assemble_long_audio,
+    loudness_normalize_to,
+    render_moving_source,
+    render_static_source,
+)
+from .plan import (
+    LUFS_JITTER,
+    LUFS_MUSIC,
+    LUFS_NOISE,
+    LUFS_SPEECH,
+    MixturePlan,
+    plan_background_audio,
+    plan_long_audio,
+)
+
+
+def plan_mixture(
+    scene: Scene,
+    speech_manifests: list[dict[str, int]],
+    noise_manifest: dict[str, int],
+    music_manifest: dict[str, int],
+    rng: np.random.Generator,
+    duration: float = 60.0,
+    distance_threshold: float = 5.0,
+    static_threshold: float = 6.0,
+    seed: int = 0,
+    max_silence_seconds: float = 10.0,
+) -> MixturePlan:
+    """Sample the full layout + audio plans for one mixture
+    (SonicSet_train.py:40-74 geometry & track planning)."""
+    n_spk = len(speech_manifests)
+    trajectories = [
+        scene.sample_trajectory(rng, distance_threshold) for _ in range(n_spk)
+    ]
+    mid_points = [t[len(t) // 2] for t in trajectories]
+    mic_point = scene.select_static_points(mid_points, rng, static_threshold, 1)[0]
+    noise_music = scene.select_static_points(mid_points, rng, static_threshold, 2)
+    sr = scene.oracle.sample_rate
+    return MixturePlan(
+        room=scene.room,
+        sample_rate=sr,
+        duration=duration,
+        channel_type=scene.channel.channel_type,
+        channel_order=scene.channel.channel_order,
+        mic_array=scene.channel.mic_array,
+        seed=seed,
+        trajectories=[[list(map(float, p)) for p in t] for t in trajectories],
+        mic_point=list(map(float, mic_point)),
+        noise_point=list(map(float, noise_music[0])),
+        music_point=list(map(float, noise_music[1])),
+        speech_plans=[
+            plan_long_audio(m, duration, rng, sr, max_silence_seconds)
+            for m in speech_manifests
+        ],
+        noise_plan=plan_background_audio(
+            noise_manifest, duration, rng, sr, max_silence_seconds
+        ),
+        music_plan=plan_background_audio(
+            music_manifest, duration, rng, sr, max_silence_seconds
+        ),
+        lufs_speech=[
+            float(rng.uniform(LUFS_SPEECH - LUFS_JITTER, LUFS_SPEECH + LUFS_JITTER))
+            for _ in range(n_spk)
+        ],
+        lufs_noise=float(rng.uniform(LUFS_NOISE - LUFS_JITTER, LUFS_NOISE + LUFS_JITTER)),
+        lufs_music=float(rng.uniform(LUFS_MUSIC - LUFS_JITTER, LUFS_MUSIC + LUFS_JITTER)),
+    )
+
+
+def render_mixture(
+    scene: Scene,
+    plan: MixturePlan,
+    output_dir: str | Path,
+    transcripts: dict[str, str] | None = None,
+    save_bank: bool = True,
+    save_trace: bool = True,
+) -> dict:
+    """Execute a MixturePlan → WAVs + metadata on disk
+    (SonicSet_train.py:50-138 execution half)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    sr = plan.sample_rate
+    rng = np.random.default_rng(plan.seed)
+
+    # Per-speaker RIR banks: trajectory waypoints × the mic.
+    mic = np.asarray(plan.mic_point)
+    banks = []
+    for traj in plan.trajectories:
+        bank = scene.render_bank([np.asarray(p) for p in traj], [mic])
+        banks.append(bank[:, 0])  # (P, C, L)
+    if save_bank:
+        save_rir_bank(
+            out / f"rir_bank_{plan.channel_type}.npz",
+            np.stack(
+                [b[: min(x.shape[0] for x in banks)] for b in banks]
+            ) if len({b.shape for b in banks}) > 1 else np.stack(banks),
+            source_positions=np.asarray(
+                [t[0] for t in plan.trajectories], np.float64
+            ),
+            receiver_positions=mic[None, :],
+            sample_rate=sr,
+        )
+
+    # Speech tracks → moving reverb → LUFS.
+    moving = []
+    for i, (sp, traj, bank) in enumerate(
+        zip(plan.speech_plans, plan.trajectories, banks)
+    ):
+        dry = assemble_long_audio(sp)
+        wet = render_moving_source(dry, bank, np.asarray(traj), rng)
+        wet, _ = loudness_normalize_to(wet, sr, plan.lufs_speech[i])
+        moving.append(wet)
+        write_wav(out / f"moving_audio_{i + 1}.wav", wet, sr)
+
+    # Static noise / music.
+    rir_noise = scene.render_ir(np.asarray(plan.noise_point), mic)
+    rir_music = scene.render_ir(np.asarray(plan.music_point), mic)
+    noise = render_static_source(assemble_long_audio(plan.noise_plan), rir_noise)
+    music = render_static_source(assemble_long_audio(plan.music_plan), rir_music)
+    noise, _ = loudness_normalize_to(noise, sr, plan.lufs_noise)
+    music, _ = loudness_normalize_to(music, sr, plan.lufs_music)
+    write_wav(out / "noise_audio.wav", noise, sr)
+    write_wav(out / "music_audio.wav", music, sr)
+
+    if save_trace:
+        save_trace_image(
+            out / "trace.png",
+            scene.nav,
+            trajectories=[np.asarray(t) for t in plan.trajectories],
+            mic_points=mic[None, :],
+            static_points=np.stack(
+                [np.asarray(plan.noise_point), np.asarray(plan.music_point)]
+            ),
+        )
+
+    def _words(names):
+        if not transcripts:
+            return []
+        return [transcripts.get(Path(n).name, "") for n in names]
+
+    meta = {
+        **{
+            f"source{i + 1}": {
+                "audio": sp.audio_names,
+                "start_end_points": sp.start_end_points,
+                "words": _words(sp.audio_names),
+            }
+            for i, sp in enumerate(plan.speech_plans)
+        },
+        "noise": {
+            "audio": plan.noise_plan.audio_names,
+            "start_end_points": plan.noise_plan.start_end_points,
+        },
+        "music": {
+            "audio": plan.music_plan.audio_names,
+            "start_end_points": plan.music_plan.start_end_points,
+        },
+    }
+    with open(out / "json_data.json", "w") as f:
+        json.dump(meta, f)
+    plan.save(out / "mixture_plan.json")
+    return meta
+
+
+def remove_existing_speakers(results_root: str | Path, speech_dirs: list[str]) -> list[str]:
+    """Resume: drop speakers already present in any generated triple dir
+    (removing_exist_speaker, SonicSet_train.py:140-151)."""
+    root = Path(results_root)
+    if not root.exists():
+        return list(speech_dirs)
+    used: set[str] = set()
+    for folder in root.iterdir():
+        used.update(folder.name.split("-"))
+    return [s for s in speech_dirs if Path(s).name not in used]
+
+
+def generate_split(
+    scene_factory,
+    scene_names: list[str],
+    speech_dirs: list[str],
+    noise_manifest: dict[str, int],
+    music_manifest: dict[str, int],
+    results_root: str | Path,
+    transcripts: dict[str, str] | None = None,
+    duration: float = 60.0,
+    speakers_per_mixture: int = 3,
+    base_seed: int = 0,
+    max_mixtures: int | None = None,
+) -> list[Path]:
+    """Outer generation loop (SonicSet_train.py:153-219): per scene, consume
+    speaker directories in random triples until exhausted, with resume.
+
+    ``scene_factory(scene_name) -> Scene``; speech dirs are per-speaker
+    folders whose WAV lengths are scanned into manifests.
+    """
+    from .plan import scan_audio_lengths
+
+    results_root = Path(results_root)
+    produced: list[Path] = []
+    for s_idx, scene_name in enumerate(scene_names):
+        scene = scene_factory(scene_name)
+        scene_root = results_root / scene_name
+        pool = remove_existing_speakers(scene_root, speech_dirs)
+        rng_outer = np.random.default_rng(base_seed + s_idx)
+        while len(pool) >= speakers_per_mixture:
+            triple = list(
+                rng_outer.choice(len(pool), speakers_per_mixture, replace=False)
+            )
+            chosen = [pool[i] for i in sorted(triple)]
+            pool = [p for p in pool if p not in chosen]
+            name = "-".join(Path(c).name.split(".")[0] for c in chosen)
+            out_dir = scene_root / name
+            if (out_dir / "json_data.json").exists():
+                continue
+            seed = abs(hash((base_seed, scene_name, name))) % (2**31)
+            rng = np.random.default_rng(seed)
+            plan = plan_mixture(
+                scene,
+                [scan_audio_lengths(c) for c in chosen],
+                noise_manifest,
+                music_manifest,
+                rng,
+                duration=duration,
+                seed=seed,
+            )
+            render_mixture(scene, plan, out_dir, transcripts)
+            produced.append(out_dir)
+            if max_mixtures is not None and len(produced) >= max_mixtures:
+                return produced
+    return produced

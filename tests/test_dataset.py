@@ -1,0 +1,217 @@
+"""End-to-end tests: planners, generation pipeline, training samplers."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sonicsim_tpu.dataset import (
+    MovingTrainDataset,
+    MovingTestEvalDataset,
+    apply_sir,
+    apply_snr,
+    assemble_long_audio,
+    generate_split,
+    overlap_audio,
+    plan_background_audio,
+    plan_long_audio,
+    plan_mixture,
+    render_mixture,
+    remove_existing_speakers,
+    scan_audio_lengths,
+)
+from sonicsim_tpu.sim import Scene
+from sonicsim_tpu.utils import read_wav, write_wav
+
+SR = 16000
+
+
+def _make_corpus(root: Path, n_files: int, seconds: float, rng, prefix="utt"):
+    root.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        t = np.arange(int(seconds * SR)) / SR
+        f0 = 200 + 40 * i
+        x = (0.3 * np.sin(2 * np.pi * f0 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(
+            np.float32
+        )
+        x += 0.01 * rng.standard_normal(len(x)).astype(np.float32)
+        write_wav(root / f"{prefix}{i}.wav", x, SR)
+    return scan_audio_lengths(root)
+
+
+def test_plan_long_audio_structure(tmp_path, rng):
+    lengths = _make_corpus(tmp_path / "sp", 6, 2.0, rng)
+    plan = plan_long_audio(lengths, 10.0, rng, SR)
+    assert plan.total_samples == 10 * SR
+    assert len(plan.placements) >= 1
+    prev_end = 0
+    for s, e in plan.start_end_points:
+        assert s >= prev_end  # silences only push forward
+        assert e <= plan.total_samples
+        prev_end = e
+    audio = assemble_long_audio(plan)
+    assert audio.shape == (1, 10 * SR)
+    s0, e0 = plan.start_end_points[0]
+    assert np.abs(audio[0, s0:e0]).max() > 0.1
+    if s0 > 0:
+        assert np.abs(audio[0, :s0]).max() == 0  # leading silence is silent
+
+
+def test_plan_background_covers_tail(tmp_path, rng):
+    lengths = _make_corpus(tmp_path / "bg", 4, 3.0, rng)
+    plan = plan_background_audio(lengths, 8.0, rng, SR)
+    audio = assemble_long_audio(plan)
+    assert audio.shape == (1, 8 * SR)
+    assert np.abs(audio).max() > 0.05
+
+
+def test_generation_pipeline_end_to_end(tmp_path, rng):
+    scene = Scene.synthetic(
+        dims=(10.0, 3.0, 8.0), channel_type="Binaural", seed=1, max_order=2
+    )
+    speech = [
+        _make_corpus(tmp_path / f"spk{i}", 3, 1.5, rng, prefix=f"s{i}_")
+        for i in range(3)
+    ]
+    noise = _make_corpus(tmp_path / "noise", 3, 2.0, rng, prefix="n_")
+    music = _make_corpus(tmp_path / "music", 3, 2.0, rng, prefix="m_")
+
+    plan = plan_mixture(scene, speech, noise, music, rng, duration=6.0, seed=7)
+    out = tmp_path / "out"
+    meta = render_mixture(scene, plan, out, transcripts={"s0_0.wav": "hello"})
+
+    for i in (1, 2, 3):
+        wav, sr = read_wav(out / f"moving_audio_{i}.wav")
+        assert sr == SR and wav.shape == (2, 6 * SR)  # binaural, 6 s
+        assert np.abs(wav).max() > 1e-4
+    for n in ("noise_audio.wav", "music_audio.wav"):
+        wav, _ = read_wav(out / n)
+        assert wav.shape == (2, 6 * SR)
+    with open(out / "json_data.json") as f:
+        saved = json.load(f)
+    assert set(saved) == {"source1", "source2", "source3", "noise", "music"}
+    assert saved["source1"]["start_end_points"] == [
+        list(t) for t in plan.speech_plans[0].start_end_points
+    ]
+    assert (out / "trace.png").exists()
+    assert (out / "mixture_plan.json").exists()
+    assert meta["noise"]["audio"] == plan.noise_plan.audio_names
+
+
+def test_generation_lufs_levels(tmp_path, rng):
+    """Speech tracks should land near -17 LUFS, noise near -24 (±2 jitter)."""
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.ops import integrated_loudness
+
+    scene = Scene.synthetic(dims=(8.0, 3.0, 6.0), channel_type="Mono", seed=2, max_order=2)
+    speech = [
+        _make_corpus(tmp_path / f"spk{i}", 3, 1.5, rng, prefix=f"s{i}_")
+        for i in range(3)
+    ]
+    noise = _make_corpus(tmp_path / "noise", 2, 2.0, rng, prefix="n_")
+    music = _make_corpus(tmp_path / "music", 2, 2.0, rng, prefix="m_")
+    plan = plan_mixture(scene, speech, noise, music, rng, duration=6.0, seed=3)
+    out = tmp_path / "o2"
+    render_mixture(scene, plan, out, save_trace=False, save_bank=False)
+    wav, _ = read_wav(out / "moving_audio_1.wav")
+    lufs = float(integrated_loudness(jnp.asarray(wav), SR))
+    assert abs(lufs - plan.lufs_speech[0]) < 0.7
+    wavn, _ = read_wav(out / "noise_audio.wav")
+    lufs_n = float(integrated_loudness(jnp.asarray(wavn), SR))
+    assert abs(lufs_n - plan.lufs_noise) < 0.7
+
+
+def test_generate_split_resume(tmp_path, rng):
+    def factory(name):
+        return Scene.synthetic(
+            room=name, dims=(8.0, 3.0, 6.0), channel_type="Mono", seed=4, max_order=2
+        )
+
+    spk_dirs = []
+    for i in range(3):
+        _make_corpus(tmp_path / "speech" / f"spk{i}", 2, 1.0, rng, prefix=f"u{i}_")
+        spk_dirs.append(str(tmp_path / "speech" / f"spk{i}"))
+    noise = _make_corpus(tmp_path / "noise", 2, 1.5, rng, prefix="n_")
+    music = _make_corpus(tmp_path / "music", 2, 1.5, rng, prefix="m_")
+
+    produced = generate_split(
+        factory, ["roomA"], spk_dirs, noise, music, tmp_path / "set",
+        duration=4.0, base_seed=0,
+    )
+    assert len(produced) == 1  # 3 speakers → one triple
+    # Resume: all speakers consumed → nothing left to generate.
+    leftover = remove_existing_speakers(tmp_path / "set" / "roomA", spk_dirs)
+    assert leftover == []
+    again = generate_split(
+        factory, ["roomA"], spk_dirs, noise, music, tmp_path / "set",
+        duration=4.0, base_seed=0,
+    )
+    assert again == []
+
+
+def _make_generated_tree(tmp_path, rng, n_dirs=2, seconds=5.0):
+    for d in range(n_dirs):
+        leaf = tmp_path / "train" / "room" / f"trip{d}"
+        leaf.mkdir(parents=True)
+        t = int(seconds * SR)
+        for i in (1, 2, 3):
+            x = 0.1 * rng.standard_normal(t).astype(np.float32)
+            write_wav(leaf / f"moving_audio_{i}.wav", x, SR)
+        write_wav(leaf / "noise_audio.wav", 0.05 * rng.standard_normal(t).astype(np.float32), SR)
+        write_wav(leaf / "music_audio.wav", 0.05 * rng.standard_normal(t).astype(np.float32), SR)
+    return tmp_path / "train"
+
+
+def test_moving_train_dataset(tmp_path, rng):
+    root = _make_generated_tree(tmp_path, rng)
+    ds = MovingTrainDataset(
+        speech_dir=str(root), duration=2.0, num_samples=4, num_spks=2, seed=1
+    )
+    mix, tgt = ds[0]
+    assert mix.shape == (2 * SR,) and tgt.shape == (2, 2 * SR)
+    # Deterministic per (seed, epoch, idx)
+    mix2, tgt2 = ds[0]
+    np.testing.assert_array_equal(mix, mix2)
+    ds.set_epoch(1)
+    mix3, _ = ds[0]
+    assert not np.array_equal(mix, mix3)
+    # enhancement mode: single-speaker target squeezed
+    ds1 = MovingTrainDataset(
+        speech_dir=str(root), duration=2.0, num_samples=2, num_spks=1, seed=1
+    )
+    _, t1 = ds1[0]
+    assert t1.shape == (2 * SR,)
+
+
+def test_moving_test_eval_dataset(tmp_path, rng):
+    root = _make_generated_tree(tmp_path, rng)
+    ds = MovingTestEvalDataset(speech_dir=str(root), seed=2)
+    mix, spk, folder = ds[0]
+    assert mix.shape == spk.shape[1:] and spk.shape[0] == 2
+    enh = MovingTestEvalDataset(speech_dir=str(root), task="enhancement", seed=2)
+    mix_e, clean, _ = enh[0]
+    assert clean.shape == (1, mix_e.shape[-1])
+
+
+def test_mix_math_matches_reference_rules(rng):
+    spk = rng.standard_normal((2, 4000)).astype(np.float32) * [[1.0], [0.1]]
+    sirs = np.array([3.0])
+    scaled = apply_sir(spk, sirs)
+
+    def _r(w):
+        return 10 * np.log10(max(1e-20, np.mean(w**2)))
+
+    got_sir = _r(scaled[0]) - _r(scaled[1])
+    assert got_sir == pytest.approx(3.0, abs=0.01)
+    noise = rng.standard_normal(4000).astype(np.float32)
+    sn = apply_snr(scaled.sum(0), noise, 15.0)
+    assert _r(scaled.sum(0)) - _r(sn) == pytest.approx(15.0, abs=0.01)
+
+
+def test_overlap_audio(rng):
+    x = rng.standard_normal(SR * 2).astype(np.float32)
+    y = overlap_audio(x, SR, delay=0.5)
+    d = int(0.5 * SR)
+    np.testing.assert_allclose(y[:d], x[:d] + x[d : 2 * d], rtol=1e-5)
