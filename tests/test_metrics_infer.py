@@ -1,0 +1,98 @@
+"""Tests: eval metrics (SI-SDR/BSS-SDR/STOI), tracker CSV, chunked inference, stitching."""
+
+import csv
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicsim_tpu.infer import stitch_segments, wav_chunk_inference
+from sonicsim_tpu.metrics import MetricsTracker, bss_sdr, si_sdr, stoi
+
+
+def test_si_sdr_known_values(rng):
+    ref = rng.standard_normal(8000).astype(np.float32)
+    assert float(si_sdr(jnp.asarray(ref), jnp.asarray(ref))) > 60
+    # 10 dB SNR additive noise → SI-SDR ≈ 10 dB
+    noise = rng.standard_normal(8000).astype(np.float32)
+    noise *= np.linalg.norm(ref) / np.linalg.norm(noise) * 10 ** (-10 / 20)
+    val = float(si_sdr(jnp.asarray(ref + noise), jnp.asarray(ref)))
+    assert abs(val - 10.0) < 0.6
+    # scale invariance
+    val2 = float(si_sdr(jnp.asarray(3.7 * (ref + noise)), jnp.asarray(ref)))
+    assert abs(val - val2) < 1e-3
+
+
+def test_bss_sdr_filter_invariance(rng):
+    """A short FIR distortion of the reference scores high SDR but low SI-SDR."""
+    ref = rng.standard_normal(8000).astype(np.float32)
+    fir = np.array([0.6, 0.0, 0.3, -0.2], np.float32)
+    est = np.convolve(ref, fir)[:8000].astype(np.float32)
+    sdr_v = float(bss_sdr(jnp.asarray(est), jnp.asarray(ref)))
+    sisdr_v = float(si_sdr(jnp.asarray(est), jnp.asarray(ref)))
+    assert sdr_v > 40  # filtered version ≈ perfect for BSS-eval
+    assert sisdr_v < 15  # but not scale-invariant-identical
+    assert sdr_v > sisdr_v + 20
+
+
+def test_stoi_sanity(rng):
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    # Speech-like: AM-modulated multi-tone
+    clean = (
+        np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 600 * t)
+    ) * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t))
+    clean = clean.astype(np.float32)
+    perfect = stoi(clean, clean, sr)
+    noisy = clean + 2.0 * rng.standard_normal(len(clean)).astype(np.float32)
+    degraded = stoi(clean, noisy, sr)
+    assert perfect > 0.99
+    assert degraded < perfect - 0.2
+
+
+def test_tracker_csv(tmp_path, rng):
+    tr = MetricsTracker(tmp_path / "metrics.csv")
+    ref = rng.standard_normal((2, 16000)).astype(np.float32)
+    mix = ref.sum(0)
+    tr(mix, ref, ref + 0.01 * rng.standard_normal(ref.shape).astype(np.float32), "a")
+    tr(mix, ref, ref[::-1], "b")  # swapped order — PIT must align
+    res = tr.final()
+    assert res["si-snr"] > 20
+    with open(tmp_path / "metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["snt_id"] for r in rows] == ["a", "b", "avg", "std"]
+    # silent reference skipped
+    tr2 = MetricsTracker(tmp_path / "m2.csv")
+    tr2(mix, np.zeros_like(ref), ref, "silent")
+    assert tr2.rows == []
+
+
+def test_wav_chunk_inference_identity(rng):
+    """An identity 'separator' must reconstruct the input exactly."""
+    sr = 1000
+    x = rng.standard_normal(sr * 10).astype(np.float32)
+
+    def model_fn(batch):  # (B, T) → (B, 2, T)
+        return np.stack([batch, -batch], axis=1)
+
+    out = wav_chunk_inference(
+        model_fn, x, sample_rate=sr, target_length=2.0, hop_length=1.0,
+        batch_size=3, n_tracks=2,
+    )
+    assert out.shape == (2, len(x))
+    np.testing.assert_allclose(out[0], x, atol=1e-4)
+    np.testing.assert_allclose(out[1], -x, atol=1e-4)
+
+
+def test_stitch_segments_fixes_swaps(rng):
+    sr = 16000
+    t = np.arange(sr) / sr
+    spk_a = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    spk_b = (np.sign(np.sin(2 * np.pi * 95 * t)) * 0.5).astype(np.float32)
+    seg1 = np.stack([spk_a, spk_b])
+    seg2 = np.stack([spk_b, spk_a])  # swapped
+    seg3 = np.stack([spk_a, spk_b])
+    out = stitch_segments([seg1, seg2, seg3], sr)
+    np.testing.assert_allclose(out[1][0], spk_b * 0 + spk_a, atol=1e-6)
+    np.testing.assert_allclose(out[1][1], spk_b, atol=1e-6)
+    np.testing.assert_allclose(out[2][0], spk_a, atol=1e-6)
