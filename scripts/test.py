@@ -1,0 +1,87 @@
+"""Benchmark evaluation driver (separation/test.py + enhancement/test.py roles).
+
+Walks a generated test tree, segments each 60 s mixture by the metadata
+start/end points recorded at generation time (json_data.json — the
+enhancement/test.py:119-127 strategy; a VAD sidecar can replace it), runs
+the model per voice-active segment and accumulates the MetricsTracker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+from sonicsim_tpu.dataset.sampler import MovingTestDataset
+from sonicsim_tpu.metrics import MetricsTracker
+from sonicsim_tpu.models import from_pretrain
+from sonicsim_tpu.utils import load_config
+
+MIN_SEGMENT = 320  # samples; reference skips shorter (separation/test.py:80)
+
+
+def metadata_segments(folder: str, total: int) -> list[tuple[int, int]]:
+    """Voice-active spans from json_data.json start_end_points (union over
+    sources), falling back to one full-length segment."""
+    meta_path = Path(folder) / "json_data.json"
+    if not meta_path.exists():
+        return [(0, total)]
+    with open(meta_path) as f:
+        meta = json.load(f)
+    spans = []
+    for key, src in meta.items():
+        if key.startswith("source") and "start_end_points" in src:
+            spans.extend(tuple(p) for p in src["start_end_points"])
+    if not spans:
+        return [(0, total)]
+    spans.sort()
+    merged = [list(spans[0])]
+    for s, e in spans[1:]:
+        if s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return [(s, min(e, total)) for s, e in merged if e - s > MIN_SEGMENT]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conf_dir", required=True)
+    ap.add_argument("--model_path", default=None)
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = load_config(args.conf_dir)
+    exp_dir = Path(cfg["exp"]["dir"]) / cfg["exp"]["name"]
+    model_path = args.model_path or exp_dir / "best_model.pkl"
+    model, params = from_pretrain(model_path)
+
+    ds = MovingTestDataset(
+        speech_dir=cfg["datas"]["test_dir"],
+        sample_rate=int(cfg["datas"].get("sample_rate", 16000)),
+        num_spks=int(cfg["datas"].get("num_spks", 2)),
+        return_path=True,
+    )
+    tracker = MetricsTracker(exp_dir / "results" / "metrics.csv")
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+
+    n = len(ds) if args.limit is None else min(args.limit, len(ds))
+    for i in range(n):
+        mix, targets, folder = ds[i]
+        for s, e in metadata_segments(folder, mix.shape[-1]):
+            seg_mix = mix[s:e]
+            est = np.asarray(fwd(params, seg_mix[None, :]))[0]
+            tracker(seg_mix, targets[:, s:e], est, f"{Path(folder).name}:{s}")
+        print(f"[{i + 1}/{n}] {Path(folder).name} running={tracker.update()}")
+    print("final:", tracker.final())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Training driver: ``python scripts/train.py --conf_dir configs/separation/convtasnet.yaml``
+
+Parity: separation/train.py:28-126 — load YAML, instantiate datamodule /
+model / loss / metrics via ``_target_`` nodes, fit with data parallelism
+over the device mesh, snapshot the config, export best_model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sonicsim_tpu.train.trainer import Trainer
+from sonicsim_tpu.utils import instantiate, load_config, save_config
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conf_dir", required=True, help="path to the YAML config")
+    ap.add_argument("--max_epochs", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = load_config(args.conf_dir)
+    exp_dir = Path(cfg["exp"]["dir"]) / cfg["exp"]["name"]
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, exp_dir / "config.yaml")  # snapshot (train.py:121-124)
+
+    datamodule = instantiate(cfg["datas"])
+    model = instantiate(cfg["model"])
+    loss_fn = instantiate(cfg["loss"])
+    metric_fn = instantiate(cfg["metrics"]) if "metrics" in cfg else loss_fn
+
+    tcfg = cfg.get("trainer", {})
+    ocfg = cfg.get("optimizer", {})
+    scfg = cfg.get("scheduler", {})
+    trainer = Trainer(
+        model=model,
+        loss_fn=loss_fn,
+        metric_fn=metric_fn,
+        lr=float(ocfg.get("lr", 1e-3)),
+        weight_decay=float(ocfg.get("weight_decay", 0.0)),
+        clip_norm=tcfg.get("gradient_clip_val", 5.0),
+        max_epochs=args.max_epochs or int(tcfg.get("max_epochs", 500)),
+        patience_lr=int(scfg.get("patience", 10)),
+        lr_factor=float(scfg.get("factor", 0.5)),
+        patience_stop=int(cfg.get("early_stopping", {}).get("patience", 20)),
+        save_top_k=int(cfg.get("checkpoint", {}).get("save_top_k", 5)),
+        exp_dir=exp_dir,
+    )
+    crop = int(
+        datamodule.sample_rate * datamodule.duration
+    )
+    trainer.fit(
+        datamodule.train_batches,
+        lambda: datamodule.val_batches(crop=crop),
+        example_len=crop,
+    )
+    print(f"training done; best model at {exp_dir / 'best_model.pkl'}")
+
+
+if __name__ == "__main__":
+    main()
