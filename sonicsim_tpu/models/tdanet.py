@@ -1,0 +1,221 @@
+"""TDANet (top-down attention UNet separation), flax/TPU-native.
+
+Parity: separation/look2hear/models/TDANet.py:199-557 (config
+separation/configs/tdanet.yaml: depth 5, enc kernel 2 ms → 32 samples,
+stride k/4). Multi-scale depthwise downsampling; a transformer block over
+the sum of adaptive-avg-pooled levels; sigmoid injection fusion back up.
+
+Reference quirks mirrored for checkpoint parity: the attention block's
+residual uses its own output (TDANet.py:252-256), and the decode fusion
+chain starts from x_fused[i-1] (TDANet.py:417-422). Dropout/DropPath are
+inference-mode identities (deterministic apply).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BaseModel, register_model
+from .layers import GlobalLayerNorm, PReLU
+from .sudormrf import nearest_resize
+from .zoo_layers import ConvNormAct, DilatedConvNorm
+
+
+def adaptive_avg_pool(x: jax.Array, out_size: int) -> jax.Array:
+    """torch F.adaptive_avg_pool1d on (B, T, C) → (B, out_size, C)."""
+    t = x.shape[1]
+    starts = np.floor(np.arange(out_size) * t / out_size).astype(np.int32)
+    ends = np.ceil((np.arange(out_size) + 1) * t / out_size).astype(np.int32)
+    csum = jnp.concatenate(
+        [jnp.zeros_like(x[:, :1]), jnp.cumsum(x, axis=1)], axis=1
+    )
+    return (csum[:, ends] - csum[:, starts]) / (ends - starts)[None, :, None]
+
+
+class ConvNormNB(nn.Module):
+    """ConvNorm with optional groups/bias (TDANet.py:97-119)."""
+
+    out_channels: int
+    kernel_size: int
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel_size,),
+            padding=[(pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=False,
+        )(x)
+        return GlobalLayerNorm(self.out_channels)(x)
+
+
+class GlobalAttention(nn.Module):
+    """Transformer block: MHSA + conv MLP (TDANet.py:241-271)."""
+
+    dim: int
+    n_head: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, C)
+        t = x.shape[1]
+        # Positional encoding (TDANet.py:220-239).
+        pos = np.zeros((t, self.dim), np.float32)
+        position = np.arange(t)[:, None]
+        div = np.exp(np.arange(0, self.dim, 2) * -(math.log(10000.0) / self.dim))
+        pos[:, 0::2] = np.sin(position * div)
+        pos[:, 1::2] = np.cos(position * div[: self.dim - self.dim // 2])
+        h = nn.LayerNorm(name="attn_in_norm")(x) + jnp.asarray(pos)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_head, qkv_features=self.dim, name="attn"
+        )(h, h)
+        # Reference quirk: residual of attn output with itself, then norm.
+        attn = nn.LayerNorm(name="attn_norm")(attn + attn)
+        x = x + attn
+        # Conv MLP (TDANet.py:199-217).
+        m = ConvNormNB(self.dim * 2, 1, name="mlp_fc1")(x)
+        m = nn.Conv(
+            self.dim * 2, (5,), padding=[(2, 2)],
+            feature_group_count=self.dim * 2, name="mlp_dwconv",
+        )(m)
+        m = jax.nn.relu(m)
+        m = ConvNormNB(self.dim, 1, name="mlp_fc2")(m)
+        return x + m
+
+
+class Injection(nn.Module):
+    """InjectionMulti[Sum] (TDANet.py:273-324): gate local features by
+    interpolated sigmoid of global features (+ optional global embedding)."""
+
+    dim: int
+    kernel: int = 1
+    with_sum: bool = False
+
+    @nn.compact
+    def __call__(self, x_local: jax.Array, x_global: jax.Array) -> jax.Array:
+        t = x_local.shape[1]
+        groups = self.dim  # inp == oup in all uses
+        local_feat = ConvNormNB(self.dim, self.kernel, groups, name="local_embedding")(
+            x_local
+        )
+        gate = jax.nn.sigmoid(
+            ConvNormNB(self.dim, self.kernel, groups, name="global_act")(x_global)
+        )
+        out = local_feat * nearest_resize(gate, t)
+        if self.with_sum:
+            emb = ConvNormNB(self.dim, self.kernel, groups, name="global_embedding")(
+                x_global
+            )
+            out = out + nearest_resize(emb, t)
+        return out
+
+
+class TDAUConvBlock(nn.Module):
+    """TDANet.py:326-422."""
+
+    out_channels: int
+    in_channels: int
+    upsampling_depth: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        y = ConvNormAct(self.in_channels, 1, name="proj_1x1")(x)
+        levels = [
+            DilatedConvNorm(
+                self.in_channels, 5, stride=1, groups=self.in_channels, name="spp_0"
+            )(y)
+        ]
+        for k in range(1, self.upsampling_depth):
+            levels.append(
+                DilatedConvNorm(
+                    self.in_channels, 5, stride=2, groups=self.in_channels,
+                    name=f"spp_{k}",
+                )(levels[-1])
+            )
+        bottom = levels[-1].shape[1]
+        global_f = sum(adaptive_avg_pool(f, bottom) for f in levels)
+        global_f = GlobalAttention(self.in_channels, name="globalatt")(global_f)
+
+        fused = [
+            Injection(self.in_channels, 1, name=f"loc_glo_fus_{i}")(levels[i], global_f)
+            for i in range(self.upsampling_depth)
+        ]
+        expanded = None
+        for i in range(self.upsampling_depth - 2, -1, -1):
+            other = fused[i - 1] if i == self.upsampling_depth - 2 else expanded
+            expanded = Injection(
+                self.in_channels, 5, with_sum=True, name=f"last_layer_{i}"
+            )(fused[i], other)
+        return nn.Conv(self.out_channels, (1,), name="res_conv")(expanded) + residual
+
+
+@register_model
+class TDANet(BaseModel):
+    out_channels: int = 128
+    in_channels: int = 512
+    num_blocks: int = 16
+    upsampling_depth: int = 5
+    enc_kernel_size: int = 2  # milliseconds (TDANet.py:452)
+    num_sources: int = 2
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, wav: jax.Array) -> jax.Array:
+        if wav.ndim == 1:
+            wav = wav[None, :]
+        bsz, nsample = wav.shape
+        k = self.enc_kernel_size * self.sample_rate // 1000
+        stride = k // 4
+        enc_basis = k // 2 + 1
+
+        # pad_input (TDANet.py:497-510).
+        rest = (k - (stride + nsample % k) % k) % k
+        x = jnp.pad(wav, ((0, 0), (k - stride, k - stride + rest)))[..., None]
+
+        enc = nn.Conv(
+            enc_basis, (k,), strides=(stride,), padding=[(k // 2, k // 2)],
+            use_bias=False, name="encoder",
+        )(x)
+        y0 = nn.Conv(self.out_channels, (1,), name="bottleneck")(
+            GlobalLayerNorm(enc_basis, name="ln")(enc)
+        )
+
+        block = TDAUConvBlock(
+            self.out_channels, self.in_channels, self.upsampling_depth, name="unet"
+        )
+        concat_conv = nn.Conv(
+            self.out_channels, (1,), feature_group_count=self.out_channels,
+            name="concat_conv",
+        )
+        concat_prelu = PReLU(name="concat_prelu")
+        y = block(y0)
+        for _ in range(1, self.num_blocks):
+            y = block(concat_prelu(concat_conv(y0 + y)))
+
+        m = nn.Conv(self.num_sources * enc_basis, (1,), name="mask_conv")(
+            PReLU(name="mask_prelu")(y)
+        )
+        t_enc = m.shape[1]
+        m = jax.nn.relu(m.reshape(bsz, t_enc, self.num_sources, enc_basis))
+        masked = (m * enc[:, :, None, :]).reshape(
+            bsz, t_enc, self.num_sources * enc_basis
+        )
+        dec = nn.ConvTranspose(
+            self.num_sources, (k,), strides=(stride,), padding="VALID",
+            use_bias=False, name="decoder",
+        )(masked)
+        full = dec.shape[1]
+        dec = dec[:, k // 2 : full - k // 2]  # torch padding=k//2 crop
+        # Reference trim (TDANet.py:539-545).
+        dec = dec[:, (k - stride) : dec.shape[1] - (rest + k - stride)]
+        dec = jnp.swapaxes(dec, 1, 2)
+        dec = dec[..., :nsample]
+        return jnp.pad(dec, ((0, 0), (0, 0), (0, nsample - dec.shape[-1])))

@@ -1,0 +1,68 @@
+"""Smoke tests for every separation model: shapes, jit, finite grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicsim_tpu.losses import PairwiseNegSDR, PITLossWrapper
+from sonicsim_tpu.models import MODELS, get
+
+# Small configs: same architecture topology, tiny widths, T chosen to be
+# awkward (not a multiple of strides) to exercise pad/trim paths.
+ZOO_SMALL = {
+    "convtasnet": (dict(N=32, L=16, B=16, H=32, P=3, X=2, R=1), 2001),
+    "dprnntasnet": (
+        dict(in_channels=32, out_channels=16, hidden_channels=16, K=20, num_layers=1),
+        2001,
+    ),
+    "bsrnn": (dict(win=256, stride=64, feature_dim=16, num_repeat=1), 2001),
+    "sudormrf": (
+        dict(out_channels=16, in_channels=32, num_blocks=1, upsampling_depth=3,
+             enc_kernel_size=21, enc_num_basis=32),
+        2001,
+    ),
+    "afrcnn": (
+        dict(out_channels=16, in_channels=32, num_blocks=2, upsampling_depth=3,
+             enc_kernel_size=21, enc_num_basis=32),
+        2001,
+    ),
+    "tdanet": (
+        dict(out_channels=16, in_channels=32, num_blocks=2, upsampling_depth=4,
+             enc_kernel_size=2),
+        2001,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ZOO_SMALL))
+def test_model_forward_shape(name, rng):
+    cfg, t = ZOO_SMALL[name]
+    model = get(name)(**cfg)
+    params = model.init_params(jax.random.PRNGKey(0), example_len=t)
+    x = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32))
+    y = jax.jit(lambda p, a: model.apply(p, a))(params, x)
+    assert y.shape == (2, 2, t), f"{name}: {y.shape}"
+    assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("name", ["convtasnet", "sudormrf", "bsrnn"])
+def test_model_grad_flow(name, rng):
+    cfg, t = ZOO_SMALL[name]
+    model = get(name)(**cfg)
+    params = model.init_params(jax.random.PRNGKey(0), example_len=t)
+    x = jnp.asarray(rng.standard_normal((1, t)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((1, 2, t)).astype(np.float32))
+    pit = PITLossWrapper(PairwiseNegSDR("snr"), threshold_byloss=False)
+    loss, grads = jax.value_and_grad(
+        lambda p: pit(model.apply(p, x), tgt)
+    )(params)
+    assert np.isfinite(float(loss))
+    leaves = [np.abs(np.asarray(g)).max() for g in jax.tree.leaves(grads)]
+    assert np.isfinite(leaves).all()
+    assert max(leaves) > 0
+
+
+def test_registry_has_all_separation_models():
+    for name in ZOO_SMALL:
+        assert get(name) is not None
