@@ -11,8 +11,13 @@ from .afrcnn import AFRCNN
 from .bsrnn import BSRNN
 from .conv_tasnet import ConvTasNet
 from .dprnn import DPRNNTasNet
+from .dptnet import DPTNetModel
+from .mossformer import MossFormer
+from .mossformer2 import MossFormer2
+from .skim import SkiMNet
 from .sudormrf import SuDORMRF
 from .tdanet import TDANet
+from .tfgridnet import TFGridNet
 
 __all__ = [
     "AFRCNN",
@@ -21,8 +26,13 @@ __all__ = [
     "BaseModel",
     "ConvTasNet",
     "DPRNNTasNet",
+    "DPTNetModel",
+    "MossFormer",
+    "MossFormer2",
+    "SkiMNet",
     "SuDORMRF",
     "TDANet",
+    "TFGridNet",
     "from_pretrain",
     "get",
     "register_model",

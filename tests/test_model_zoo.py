@@ -32,6 +32,28 @@ ZOO_SMALL = {
              enc_kernel_size=2),
         2001,
     ),
+    "tfgridnet": (
+        dict(n_fft=128, stride=64, n_layers=1, lstm_hidden_units=32, emb_dim=16,
+             attn_approx_qk_dim=128),
+        2001,
+    ),
+    "dptnetmodel": (
+        dict(channel=16, layer=1, unit=16, att_heads=4, segment_size=30),
+        2001,
+    ),
+    "skimnet": (dict(input_dim=16, layer=2, unit=16, segment_size=25), 2001),
+    "mossformer": (
+        dict(kernel_size=16, stride=8, out_channels=32, in_channels=32,
+             num_blocks=1, d_model=32, group_size=64, query_key_dim=32,
+             expansion_factor=2.0),
+        2001,
+    ),
+    "mossformer2": (
+        dict(kernel_size=16, stride=8, out_channels=32, in_channels=32,
+             num_blocks=1, d_model=32, group_size=64, query_key_dim=32,
+             expansion_factor=2.0),
+        2001,
+    ),
 }
 
 
