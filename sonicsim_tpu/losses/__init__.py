@@ -1,3 +1,13 @@
+from .cirm import (
+    FullbandEval,
+    FullbandLoss,
+    apply_cirm,
+    build_cirm,
+    cirm_inference,
+    compress_cirm,
+    decompress_cirm,
+)
+from .enhancement import DCCRNEval, DCCRNLoss
 from .pit import PITLossWrapper, find_best_perm, reorder_sources
 from .sdr import (
     EPS,
@@ -12,8 +22,17 @@ from .sdr import (
 )
 
 __all__ = [
+    "DCCRNEval",
+    "DCCRNLoss",
     "EPS",
     "FreqMAE",
+    "FullbandEval",
+    "FullbandLoss",
+    "apply_cirm",
+    "build_cirm",
+    "cirm_inference",
+    "compress_cirm",
+    "decompress_cirm",
     "FreqMAEWavL1",
     "MultiSrcNegSDR",
     "PITLossWrapper",

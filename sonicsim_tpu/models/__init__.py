@@ -10,8 +10,10 @@ from .base import (
 from .afrcnn import AFRCNN
 from .bsrnn import BSRNN
 from .conv_tasnet import ConvTasNet
+from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
 from .dptnet import DPTNetModel
+from .fullsubnet import Fullband, FullSubnet
 from .mossformer import MossFormer
 from .mossformer2 import MossFormer2
 from .skim import SkiMNet
@@ -25,8 +27,11 @@ __all__ = [
     "MODELS",
     "BaseModel",
     "ConvTasNet",
+    "DCCRN",
     "DPRNNTasNet",
     "DPTNetModel",
+    "FullSubnet",
+    "Fullband",
     "MossFormer",
     "MossFormer2",
     "SkiMNet",

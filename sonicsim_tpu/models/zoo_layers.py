@@ -26,6 +26,24 @@ class GroupNorm1(nn.Module):
         return nn.GroupNorm(num_groups=1, epsilon=self.eps)(x)
 
 
+class StatelessBatchNorm(nn.Module):
+    """Batch-statistics normalization with per-channel affine, no running
+    stats (functional stand-in for torch BatchNorm2d; stats over all
+    non-channel dims of a channel-last tensor)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        axes = tuple(range(x.ndim - 1))
+        mu = x.mean(axis=axes, keepdims=True)
+        var = x.var(axis=axes, keepdims=True)
+        gamma = self.param("scale", nn.initializers.ones, (self.dim,))
+        beta = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return (x - mu) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+
+
 class ConvNormAct(nn.Module):
     """Conv1d + gLN + PReLU (sudormrf.py:47-71)."""
 
