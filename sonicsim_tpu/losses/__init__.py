@@ -8,6 +8,7 @@ from .cirm import (
     decompress_cirm,
 )
 from .enhancement import DCCRNEval, DCCRNLoss
+from .gagnet import GaGNetEval, GaGNetLoss, gagnet_wav
 from .pit import PITLossWrapper, find_best_perm, reorder_sources
 from .sdr import (
     EPS,
@@ -27,6 +28,9 @@ __all__ = [
     "EPS",
     "FreqMAE",
     "FullbandEval",
+    "GaGNetEval",
+    "GaGNetLoss",
+    "gagnet_wav",
     "FullbandLoss",
     "apply_cirm",
     "build_cirm",

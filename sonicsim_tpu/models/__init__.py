@@ -14,6 +14,7 @@ from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
 from .dptnet import DPTNetModel
 from .fullsubnet import Fullband, FullSubnet
+from .gagnet import GaGNet
 from .mossformer import MossFormer
 from .mossformer2 import MossFormer2
 from .skim import SkiMNet
@@ -32,6 +33,7 @@ __all__ = [
     "DPTNetModel",
     "FullSubnet",
     "Fullband",
+    "GaGNet",
     "MossFormer",
     "MossFormer2",
     "SkiMNet",
