@@ -8,7 +8,9 @@ from .cirm import (
     decompress_cirm,
 )
 from .enhancement import DCCRNEval, DCCRNLoss
+from .frcrn import FRCRNEval, FRCRNLoss
 from .gagnet import GaGNetEval, GaGNetLoss, gagnet_wav
+from .taylorsenet import TaylorSENetEval, TaylorSENetLoss, taylor_wav
 from .pit import PITLossWrapper, find_best_perm, reorder_sources
 from .sdr import (
     EPS,
@@ -28,7 +30,12 @@ __all__ = [
     "EPS",
     "FreqMAE",
     "FullbandEval",
+    "FRCRNEval",
+    "FRCRNLoss",
     "GaGNetEval",
+    "TaylorSENetEval",
+    "TaylorSENetLoss",
+    "taylor_wav",
     "GaGNetLoss",
     "gagnet_wav",
     "FullbandLoss",

@@ -14,11 +14,13 @@ from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
 from .dptnet import DPTNetModel
 from .fullsubnet import Fullband, FullSubnet
+from .frcrn import FRCRN
 from .gagnet import GaGNet
 from .mossformer import MossFormer
 from .mossformer2 import MossFormer2
 from .skim import SkiMNet
 from .sudormrf import SuDORMRF
+from .taylorsenet import TaylorSENet
 from .tdanet import TDANet
 from .tfgridnet import TFGridNet
 
@@ -33,12 +35,14 @@ __all__ = [
     "DPTNetModel",
     "FullSubnet",
     "Fullband",
+    "FRCRN",
     "GaGNet",
     "MossFormer",
     "MossFormer2",
     "SkiMNet",
     "SuDORMRF",
     "TDANet",
+    "TaylorSENet",
     "TFGridNet",
     "from_pretrain",
     "get",

@@ -66,13 +66,17 @@ class GateConv2d(nn.Module):
 
 
 class Conv2dUnit(nn.Module):
-    """gagnet.py:501-517: VALID conv k=(1,3) stride (1,2) + IN + PReLU."""
+    """gagnet.py:501-517 / taylorsenet.py:731-757: freq-stride-2 conv with
+    causal time padding when the time kernel > 1, + IN + PReLU."""
 
     dim: int
     kernel: tuple[int, int] = (1, 3)
 
     @nn.compact
     def __call__(self, x):
+        kt = self.kernel[0]
+        if kt > 1:
+            x = jnp.pad(x, ((0, 0), (kt - 1, 0), (0, 0), (0, 0)))
         x = nn.Conv(
             self.dim, self.kernel, strides=(1, 2), padding="VALID", name="conv"
         )(x)
@@ -81,16 +85,20 @@ class Conv2dUnit(nn.Module):
 
 
 class Deconv2dUnit(nn.Module):
-    """gagnet.py:520-542: VALID transposed conv k=(1,3) stride (1,2)."""
+    """gagnet.py:520-542 / taylorsenet.py:760-788: freq-stride-2 transposed
+    conv, trailing-time chomp when the time kernel > 1, + IN + PReLU."""
 
     dim: int
     kernel: tuple[int, int] = (1, 3)
 
     @nn.compact
     def __call__(self, x):
+        kt = self.kernel[0]
         x = nn.ConvTranspose(
             self.dim, self.kernel, strides=(1, 2), padding="VALID", name="deconv"
         )(x)
+        if kt > 1:
+            x = x[:, : x.shape[1] - (kt - 1)]
         x = InstanceNorm(self.dim, name="norm")(x)
         return ChannelPReLU(self.dim, name="prelu")(x)
 

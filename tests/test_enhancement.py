@@ -90,3 +90,46 @@ def test_dccrn_forward(rng):
     clean = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32) * 0.3)
     loss = DCCRNLoss()(out, clean)
     assert np.isfinite(float(loss))
+
+
+def test_taylorsenet_forward_and_loss(rng):
+    from sonicsim_tpu.losses import TaylorSENetEval, TaylorSENetLoss
+    from sonicsim_tpu.models import TaylorSENet
+
+    model = TaylorSENet()
+    params = model.init_params(jax.random.PRNGKey(0), example_len=3200)
+    mix = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    clean = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    out = model.apply(params, mix)
+    assert out.shape[0:2] == (1, 2)  # (B, 2, T, F)
+    assert np.isfinite(float(TaylorSENetLoss()(out, clean)))
+    assert np.isfinite(float(TaylorSENetEval()(out, clean)))
+
+
+def test_gagnet_forward_and_loss(rng):
+    from sonicsim_tpu.losses import GaGNetEval, GaGNetLoss
+    from sonicsim_tpu.models import GaGNet
+
+    model = GaGNet()
+    params = model.init_params(jax.random.PRNGKey(0), example_len=3200)
+    mix = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    clean = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    outs = model.apply(params, mix)
+    assert len(outs) == 3 and outs[-1].shape[0:2] == (1, 2)
+    assert np.isfinite(float(GaGNetLoss()(outs, clean)))
+    assert np.isfinite(float(GaGNetEval()(outs, clean)))
+
+
+def test_frcrn_forward_and_loss(rng):
+    from sonicsim_tpu.losses import FRCRNEval, FRCRNLoss
+    from sonicsim_tpu.models import FRCRN
+
+    model = FRCRN()
+    params = model.init_params(jax.random.PRNGKey(0), example_len=3200)
+    mix = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    clean = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    out = model.apply(params, mix)
+    assert out[1][1].shape == (1, 3200)  # stage-1 waveform
+    assert out[1][4].shape == (1, 3200)  # stage-2 waveform
+    assert np.isfinite(float(FRCRNLoss()(out, clean)))
+    assert np.isfinite(float(FRCRNEval()(out, clean)))
