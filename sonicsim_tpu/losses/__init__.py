@@ -8,6 +8,7 @@ from .cirm import (
     decompress_cirm,
 )
 from .enhancement import DCCRNEval, DCCRNLoss
+from .bsrnn_espnet import BSRNNESPNetEval, BSRNNESPNetLoss
 from .frcrn import FRCRNEval, FRCRNLoss
 from .gagnet import GaGNetEval, GaGNetLoss, gagnet_wav
 from .taylorsenet import TaylorSENetEval, TaylorSENetLoss, taylor_wav
@@ -30,6 +31,8 @@ __all__ = [
     "EPS",
     "FreqMAE",
     "FullbandEval",
+    "BSRNNESPNetEval",
+    "BSRNNESPNetLoss",
     "FRCRNEval",
     "FRCRNLoss",
     "GaGNetEval",

@@ -9,13 +9,18 @@ from .base import (
 )
 from .afrcnn import AFRCNN
 from .bsrnn import BSRNN
+from .bsrnn_espnet import BSRNNESPNet
 from .conv_tasnet import ConvTasNet
 from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
 from .dptnet import DPTNetModel
 from .fullsubnet import Fullband, FullSubnet
+from .fullsubnet_plus import FullSubNet_Plus
+from .fastfullsubnet import FastFullSubnet
 from .frcrn import FRCRN
+from .g2net import G2Net
 from .gagnet import GaGNet
+from .inter_subnet import Inter_SubNet
 from .mossformer import MossFormer
 from .mossformer2 import MossFormer2
 from .skim import SkiMNet
@@ -35,7 +40,12 @@ __all__ = [
     "DPTNetModel",
     "FullSubnet",
     "Fullband",
+    "BSRNNESPNet",
     "FRCRN",
+    "FastFullSubnet",
+    "FullSubNet_Plus",
+    "G2Net",
+    "Inter_SubNet",
     "GaGNet",
     "MossFormer",
     "MossFormer2",

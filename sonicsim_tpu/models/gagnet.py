@@ -181,6 +181,28 @@ class TCNGroup(nn.Module):
         return x
 
 
+class U2Encoder(nn.Module):
+    """Shared causal gated U²-encoder (gagnet.py:362-399; also used by
+    G2Net with 1- or 2-channel heads). (B, T, F, cin) → (B, T, F', 64)."""
+
+    c: int = 64
+    k1: tuple[int, int] = (2, 3)
+    k2: tuple[int, int] = (1, 3)
+    intra_connect: str = "cat"
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (k, scale) in enumerate(
+            [((2, 5), 4), (self.k1, 3), (self.k1, 2), (self.k1, 1)]
+        ):
+            x = EnUnetModule(
+                self.c, k, self.k2, scale, self.intra_connect, name=f"unet_{i}"
+            )(x)
+        x = GateConv2d(64, self.k1, (1, 2), name="last_gate")(x)
+        x = InstanceNorm(64, name="last_norm")(x)
+        return ChannelPReLU(64, name="last_prelu")(x)
+
+
 class GlanceGazeModule(nn.Module):
     """gagnet.py:125-166 + Glance/Gaze blocks (:169-292)."""
 
@@ -283,15 +305,7 @@ class GaGNet(BaseModel):
         # U2 / UNet encoder (gagnet.py:362-442).
         h = x
         if self.is_u2:
-            for i, (k, scale) in enumerate(
-                [((2, 5), 4), (self.k1, 3), (self.k1, 2), (self.k1, 1)]
-            ):
-                h = EnUnetModule(
-                    self.c, k, self.k2, scale, self.intra_connect, name=f"unet_{i}"
-                )(h)
-            h = GateConv2d(64, self.k1, (1, 2), name="last_gate")(h)
-            h = InstanceNorm(64, name="last_norm")(h)
-            h = ChannelPReLU(64, name="last_prelu")(h)
+            h = U2Encoder(self.c, self.k1, self.k2, self.intra_connect, name="en")(h)
         else:
             for i, k in enumerate([(2, 5)] + [self.k1] * 4):
                 h = GateConv2d(

@@ -133,3 +133,44 @@ def test_frcrn_forward_and_loss(rng):
     assert out[1][4].shape == (1, 3200)  # stage-2 waveform
     assert np.isfinite(float(FRCRNLoss()(out, clean)))
     assert np.isfinite(float(FRCRNEval()(out, clean)))
+
+
+def test_remaining_enhancement_models_forward(rng):
+    """Inter_SubNet / FullSubNet+ / FastFullSubNet (cIRM contract) and
+    G2Net (stage-list contract) and BSRNN-ESPnet (waveform contract)."""
+    import jax as _jax
+
+    from sonicsim_tpu.losses import BSRNNESPNetLoss, FullbandLoss, GaGNetLoss
+    from sonicsim_tpu.models import (
+        BSRNNESPNet,
+        FastFullSubnet,
+        FullSubNet_Plus,
+        G2Net,
+        Inter_SubNet,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    clean = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32) * 0.3)
+    cirm_loss = FullbandLoss(512, 256, 512)
+
+    for model in (
+        Inter_SubNet(sb_model_hidden_size=48),
+        FullSubNet_Plus(sb_model_hidden_size=32, fb_model_hidden_size=64),
+        FastFullSubnet(bottleneck_hidden_size=48),
+    ):
+        params = model.init_params(_jax.random.PRNGKey(0), example_len=3200)
+        out = model.apply(params, x)
+        assert out[0].shape[0:2] == (1, 2)
+        assert np.isfinite(float(cirm_loss(out, clean)))
+
+    g2 = G2Net()
+    params = g2.init_params(_jax.random.PRNGKey(0), example_len=3200)
+    outs = g2.apply(params, x)
+    assert len(outs) == 3
+    assert np.isfinite(float(GaGNetLoss()(outs, clean)))
+
+    bs = BSRNNESPNet(num_channels=16, num_layers=1)
+    params = bs.init_params(_jax.random.PRNGKey(0), example_len=3200)
+    y = bs.apply(params, x)
+    assert y.shape == (1, 3200)
+    assert np.isfinite(float(BSRNNESPNetLoss()(y, clean)))
