@@ -136,29 +136,35 @@ def convolve_moving_segmented(
 
     windows = jax.vmap(take_window)(offsets)  # (n_seg, win)
 
-    # Convolve each window against its start & end RIRs in one batched FFT.
-    rir_pairs = jnp.stack([rirs[:-1], rirs[1:]], axis=1)  # (n_seg, 2, C, L)
-    conv = fft_convolve(windows[:, None, None, :], rir_pairs)  # (n_seg, 2, C, win+L-1)
+    # Convolve each window against its start & end RIRs. Each interior RIR
+    # serves as both an end (segment p-1) and a start (segment p) kernel, so
+    # FFT every RIR exactly once and gather the adjacent pairs in frequency
+    # domain — ~2x fewer kernel FFTs than FFTing stacked pairs.
+    n_full = win + l - 1
+    nfft = next_fast_len(n_full)
+    sf = jnp.fft.rfft(windows, nfft)  # (n_seg, F)
+    kf = jnp.fft.rfft(rirs.astype(jnp.float32), nfft)  # (P, C, F)
+    prod = sf[:, None, None, :] * jnp.stack([kf[:-1], kf[1:]], axis=1)
+    conv = jnp.fft.irfft(prod, nfft)  # (n_seg, 2, C, nfft)
     # Sample s of segment p sits at position (L-1) + s of the full conv.
     conv = conv[..., l - 1 : l - 1 + max_seg]  # (n_seg, 2, C, max_seg)
 
-    # Per-sample crossfade weights + validity mask, gathered per segment.
-    s = jnp.arange(max_seg, dtype=jnp.int32)
-    pos = offsets[:, None] + s[None, :]  # (n_seg, max_seg)
-    valid = s[None, :] < lengths[:, None]
-    wpad = jnp.pad(interp_weight.astype(jnp.float32), (0, max_seg))
-    w = wpad[jnp.clip(pos, 0, t + max_seg - 1)]  # (n_seg, max_seg)
-    mixed = (1.0 - w)[:, None, :] * conv[:, 0] + w[:, None, :] * conv[:, 1]
-    mixed = jnp.where(valid[:, None, :], mixed, 0.0)  # (n_seg, C, max_seg)
-
-    # Disjoint scatter back to the timeline.
-    out = jnp.zeros((c, t + max_seg), jnp.float32)
-    flat_pos = jnp.broadcast_to(pos[:, None, :], (n_seg, c, max_seg))
-    out = out.at[
-        jnp.broadcast_to(jnp.arange(c)[None, :, None], (n_seg, c, max_seg)),
-        flat_pos,
-    ].add(mixed, mode="drop")
-    return out[:, :t]
+    # Gather-based combine (TPU-friendly: no scatter). Every output sample t
+    # belongs to exactly one segment seg(t); read its crossfaded value from
+    # that segment's conv pair via a single flattened last-axis gather.
+    tt = jnp.arange(t, dtype=jnp.int32)
+    seg = jnp.clip(
+        jnp.searchsorted(offsets, tt, side="right") - 1, 0, n_seg - 1
+    )  # (T,)
+    within = jnp.clip(tt - offsets[seg], 0, max_seg - 1)
+    flat_idx = seg * max_seg + within  # (T,)
+    conv_flat = jnp.swapaxes(conv, 0, 1).swapaxes(1, 2).reshape(
+        2, c, n_seg * max_seg
+    )
+    start = conv_flat[0, :, flat_idx].T  # (C, T)
+    end = conv_flat[1, :, flat_idx].T
+    w = interp_weight.astype(jnp.float32)[None, :]
+    return (1.0 - w) * start + w * end
 
 
 def overlap_add_chunks(chunks: jax.Array, hop: int, total_len: int) -> jax.Array:
