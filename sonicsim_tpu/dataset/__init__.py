@@ -11,6 +11,7 @@ from .generate import (
     remove_existing_speakers,
     render_mixture,
 )
+from .remix import RemixTrainDataset, build_segment_manifest
 from .plan import (
     LongAudioPlan,
     MixturePlan,
@@ -33,6 +34,8 @@ from .sampler import (
 
 __all__ = [
     "LongAudioPlan",
+    "RemixTrainDataset",
+    "build_segment_manifest",
     "MixturePlan",
     "MovingDataModule",
     "MovingTestDataset",

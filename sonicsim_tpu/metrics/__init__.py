@@ -1,3 +1,4 @@
+from .composite import composite_measures, llr, ssnr, wss
 from .sidecars import make_dnsmos, make_pesq, make_sigmos, make_whisper_asr
 from .sisdr import (
     bss_sdr,
@@ -8,9 +9,16 @@ from .sisdr import (
 )
 from .stoi import stoi
 from .tracker import MetricsTracker
+from .variants import MetricsTrackerNoASR, SplitMetricsTracker
 
 __all__ = [
     "MetricsTracker",
+    "MetricsTrackerNoASR",
+    "SplitMetricsTracker",
+    "composite_measures",
+    "llr",
+    "ssnr",
+    "wss",
     "bss_sdr",
     "make_dnsmos",
     "make_pesq",

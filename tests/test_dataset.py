@@ -215,3 +215,27 @@ def test_overlap_audio(rng):
     y = overlap_audio(x, SR, delay=0.5)
     d = int(0.5 * SR)
     np.testing.assert_allclose(y[:d], x[:d] + x[d : 2 * d], rtol=1e-5)
+
+
+def test_remix_dataset_and_manifest(tmp_path, rng):
+    from sonicsim_tpu.dataset import RemixTrainDataset, build_segment_manifest
+
+    # Build a fixed tree: sample dirs with s1/s2.wav + noise.wav.
+    for d in range(2):
+        leaf = tmp_path / "fixed" / f"sample{d}"
+        leaf.mkdir(parents=True)
+        t = 6 * SR
+        for i in (1, 2):
+            write_wav(leaf / f"s{i}.wav", 0.1 * rng.standard_normal(t).astype(np.float32), SR)
+        write_wav(leaf / "noise.wav", 0.05 * rng.standard_normal(t).astype(np.float32), SR)
+        write_wav(leaf / "music.wav", 0.05 * rng.standard_normal(t).astype(np.float32), SR)
+    manifest = build_segment_manifest(tmp_path / "fixed", tmp_path / "seg.json", duration=2.0)
+    assert len(manifest) == 2
+    for spans in manifest.values():
+        assert all(e - s == 2 * SR for s, e in spans)
+
+    ds = RemixTrainDataset(str(tmp_path / "seg.json"), duration=2.0, num_samples=3, seed=1)
+    mix, tgt = ds[0]
+    assert mix.shape == (2 * SR,) and tgt.shape == (2 * SR,)
+    mix2, _ = ds[0]
+    np.testing.assert_array_equal(mix, mix2)  # deterministic
