@@ -1,0 +1,179 @@
+// sonicsim_native: CPU-native kernels for the SonicSim-TPU framework.
+//
+// Role (SURVEY.md §2.7): the reference's native layer is habitat-sim's C++
+// simulator (scene/navmesh/audio ray tracing). The TPU rebuild keeps the
+// device-side DSP in XLA and implements the combinatorial CPU work natively:
+//   * multi-band Allen-Berkley image-source enumeration (per-wall,
+//     per-frequency-band reflection coefficients) — the geometry half of
+//     the RIR oracle; waveform assembly stays in JAX;
+//   * A* shortest-path + line-of-sight simplification over occupancy grids
+//     (the navmesh pathfinder replacement, SonicSim_rir.py:1064-1080).
+//
+// Exposed with a plain C ABI for ctypes (no pybind11 in this environment).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// Enumerate image sources in a shoebox [0,Lx]x[0,Ly]x[0,Lz].
+//
+// dims[3], src[3], recv[3]; max_order: reflections per axis index range;
+// n_bands: frequency bands; beta[n_bands*6]: per-band reflection
+// coefficients for walls (x0, xL, y0, yL, z0, zL); max_delay_s: drop images
+// arriving later; c: speed of sound.
+//
+// Outputs (caller-allocated, capacity max_out):
+//   delays[N]        arrival delay in seconds (receiver at `recv`)
+//   amps[N*n_bands]  per-band amplitude (reflection product / 4*pi*d)
+//   dirs[N*3]        unit direction receiver -> image source
+// Returns N (clipped to max_out).
+int image_sources(const double* dims, const double* src, const double* recv,
+                  int max_order, int n_bands, const double* beta,
+                  double max_delay_s, double c, double* delays, double* amps,
+                  double* dirs, int max_out) {
+  int count = 0;
+  const double maxd = max_delay_s * c;
+  std::vector<double> band_amp(n_bands);
+  for (int u = 0; u <= 1; ++u)
+    for (int v = 0; v <= 1; ++v)
+      for (int w = 0; w <= 1; ++w)
+        for (int l = -max_order; l <= max_order; ++l)
+          for (int m = -max_order; m <= max_order; ++m)
+            for (int n = -max_order; n <= max_order; ++n) {
+              const double px = (1 - 2 * u) * src[0] + 2.0 * l * dims[0];
+              const double py = (1 - 2 * v) * src[1] + 2.0 * m * dims[1];
+              const double pz = (1 - 2 * w) * src[2] + 2.0 * n * dims[2];
+              const double dx = px - recv[0];
+              const double dy = py - recv[1];
+              const double dz = pz - recv[2];
+              const double d = std::sqrt(dx * dx + dy * dy + dz * dz);
+              if (d > maxd || d < 1e-6) continue;
+              // Wall hit counts (Allen & Berkley 1979).
+              const int hx0 = std::abs(l - u), hx1 = std::abs(l);
+              const int hy0 = std::abs(m - v), hy1 = std::abs(m);
+              const int hz0 = std::abs(n - w), hz1 = std::abs(n);
+              const double inv = 1.0 / (4.0 * M_PI * d);
+              for (int b = 0; b < n_bands; ++b) {
+                const double* bb = beta + b * 6;
+                double a = inv;
+                a *= std::pow(bb[0], hx0) * std::pow(bb[1], hx1);
+                a *= std::pow(bb[2], hy0) * std::pow(bb[3], hy1);
+                a *= std::pow(bb[4], hz0) * std::pow(bb[5], hz1);
+                band_amp[b] = a;
+              }
+              if (count >= max_out) return count;
+              delays[count] = d / c;
+              for (int b = 0; b < n_bands; ++b)
+                amps[count * n_bands + b] = band_amp[b];
+              dirs[count * 3 + 0] = dx / d;
+              dirs[count * 3 + 1] = dy / d;
+              dirs[count * 3 + 2] = dz / d;
+              ++count;
+            }
+  return count;
+}
+
+namespace {
+
+struct Node {
+  double f;
+  int idx;
+  bool operator<(const Node& o) const { return f > o.f; }  // min-heap
+};
+
+inline bool los(const uint8_t* occ, int nx, int nz, int ai, int aj, int bi,
+                int bj) {
+  const int steps = std::max(std::abs(bi - ai), std::abs(bj - aj)) + 1;
+  for (int s = 0; s <= steps; ++s) {
+    const double t = steps ? static_cast<double>(s) / steps : 0.0;
+    const int i = static_cast<int>(std::lround(ai + (bi - ai) * t));
+    const int j = static_cast<int>(std::lround(aj + (bj - aj) * t));
+    if (i < 0 || i >= nx || j < 0 || j >= nz || !occ[i * nz + j]) return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+// A* (8-connected) on an occupancy grid. occ[nx*nz] nonzero = navigable.
+// Writes up to max_len (i, j) pairs into `path`; returns the number of
+// waypoints, or -1 if unreachable.
+int astar(const uint8_t* occ, int nx, int nz, int si, int sj, int gi, int gj,
+          int* path, int max_len) {
+  if (si < 0 || si >= nx || sj < 0 || sj >= nz || !occ[si * nz + sj]) return -1;
+  if (gi < 0 || gi >= nx || gj < 0 || gj >= nz || !occ[gi * nz + gj]) return -1;
+  const int total = nx * nz;
+  std::vector<double> cost(total, 1e30);
+  std::vector<int> came(total, -1);
+  const int start = si * nz + sj, goal = gi * nz + gj;
+  std::priority_queue<Node> pq;
+  cost[start] = 0.0;
+  pq.push({0.0, start});
+  const int di[8] = {1, -1, 0, 0, 1, 1, -1, -1};
+  const int dj[8] = {0, 0, 1, -1, 1, -1, 1, -1};
+  const double dw[8] = {1, 1, 1, 1, 1.41421356, 1.41421356, 1.41421356,
+                        1.41421356};
+  bool found = false;
+  while (!pq.empty()) {
+    const Node top = pq.top();
+    pq.pop();
+    if (top.idx == goal) {
+      found = true;
+      break;
+    }
+    const int ci = top.idx / nz, cj = top.idx % nz;
+    if (top.f > cost[top.idx] + std::hypot(gi - ci, gj - cj) + 1e-9) continue;
+    for (int k = 0; k < 8; ++k) {
+      const int ni = ci + di[k], nj = cj + dj[k];
+      if (ni < 0 || ni >= nx || nj < 0 || nj >= nz) continue;
+      const int nidx = ni * nz + nj;
+      if (!occ[nidx]) continue;
+      const double nc = cost[top.idx] + dw[k];
+      if (nc < cost[nidx]) {
+        cost[nidx] = nc;
+        came[nidx] = top.idx;
+        pq.push({nc + std::hypot(gi - ni, gj - nj), nidx});
+      }
+    }
+  }
+  if (!found) return -1;
+  std::vector<int> cells;
+  for (int cur = goal; cur != -1; cur = came[cur]) cells.push_back(cur);
+  int n = static_cast<int>(cells.size());
+  if (n > max_len) n = max_len;
+  for (int i = 0; i < n; ++i) {
+    const int cell = cells[cells.size() - 1 - i];
+    path[2 * i] = cell / nz;
+    path[2 * i + 1] = cell % nz;
+  }
+  return n;
+}
+
+// String-pulling simplification; rewrites `path` in place, returns new count.
+int simplify_path(const uint8_t* occ, int nx, int nz, int* path, int n) {
+  if (n <= 2) return n;
+  std::vector<int> out;
+  out.push_back(0);
+  int anchor = 0;
+  for (int k = 2; k < n; ++k) {
+    if (!los(occ, nx, nz, path[2 * anchor], path[2 * anchor + 1], path[2 * k],
+             path[2 * k + 1])) {
+      out.push_back(k - 1);
+      anchor = k - 1;
+    }
+  }
+  out.push_back(n - 1);
+  std::vector<int> buf(out.size() * 2);
+  for (size_t i = 0; i < out.size(); ++i) {
+    buf[2 * i] = path[2 * out[i]];
+    buf[2 * i + 1] = path[2 * out[i] + 1];
+  }
+  std::memcpy(path, buf.data(), buf.size() * sizeof(int));
+  return static_cast<int>(out.size());
+}
+
+}  // extern "C"

@@ -13,7 +13,14 @@ from .geometry import (
     sample_trajectory,
     select_static_points,
 )
-from .image_source import ShoeboxRoom, image_sources, render_shoebox_rir
+from .image_source import (
+    ShoeboxRoom,
+    band_centers,
+    band_masks,
+    image_sources,
+    render_shoebox_rir,
+    render_shoebox_rir_multiband,
+)
 from .maps import points_to_pixels, save_trace_image, topdown_map
 from .materials import (
     DEFAULT_MATERIALS,
@@ -57,7 +64,10 @@ __all__ = [
     "random_select_start_end_points",
     "real_sh_matrix",
     "render_rir_bank",
+    "band_centers",
+    "band_masks",
     "render_shoebox_rir",
+    "render_shoebox_rir_multiband",
     "room_mean_absorption",
     "sample_trajectory",
     "save_rir_bank",

@@ -104,13 +104,30 @@ class NavGrid:
 
     def find_path(self, start: np.ndarray, end: np.ndarray) -> list[np.ndarray] | None:
         """A* shortest path (8-connected) + string-pulling simplification;
-        habitat ShortestPath.points parity (list of 3D waypoints)."""
+        habitat ShortestPath.points parity (list of 3D waypoints).
+
+        Uses the native C++ pathfinder (sonicsim_tpu.native) when available,
+        with this pure-Python implementation as the fallback."""
         s = self.world_to_cell(*self.snap_point(start)[[0, 2]])
         e = self.world_to_cell(*self.snap_point(end)[[0, 2]])
         if not (self.in_bounds(*s) and self.occupancy[s]):
             return None
         if not (self.in_bounds(*e) and self.occupancy[e]):
             return None
+
+        from ..native import astar_path, available
+
+        if available():
+            cells_arr = astar_path(self.occupancy, s, e, simplify=True)
+            if cells_arr is None:
+                return None
+            return [
+                np.array([
+                    *self.cell_to_world(int(i), int(j))[:1], self.floor_height,
+                    self.cell_to_world(int(i), int(j))[1],
+                ])
+                for i, j in cells_arr
+            ]
         came, cost = {s: None}, {s: 0.0}
         pq = [(0.0, s)]
         moves = [

@@ -28,11 +28,24 @@ SINC_HALF = 40  # windowed-sinc fractional-delay taps: 2*SINC_HALF+1
 
 @dataclass
 class ShoeboxRoom:
-    """Axis-aligned room [0,Lx]x[0,Ly]x[0,Lz] (y up), uniform absorption."""
+    """Axis-aligned room [0,Lx]x[0,Ly]x[0,Lz] (y up), uniform absorption.
+
+    ``absorption_bands`` optionally carries a frequency-dependent absorption
+    curve (material-style, low→high frequency) used by the multi-band
+    renderer; the scalar ``absorption`` is the broadband value."""
 
     dims: tuple[float, float, float]
     absorption: float = 0.3
     scattering: float = 0.1  # reserved (diffuse split), kept for config parity
+    absorption_bands: tuple[float, ...] | None = None
+
+    def band_absorption(self, n_bands: int) -> np.ndarray:
+        if self.absorption_bands is None:
+            return np.full(n_bands, self.absorption)
+        curve = np.asarray(self.absorption_bands, np.float64)
+        x = np.linspace(0.0, 1.0, len(curve))
+        xq = np.linspace(0.0, 1.0, n_bands)
+        return np.interp(xq, x, curve)
 
     @property
     def volume(self) -> float:
@@ -93,6 +106,130 @@ def _assemble_ir_1ch(delays: jax.Array, amps: jax.Array, ir_len: int) -> jax.Arr
 _assemble_ir_mc = jax.jit(
     jax.vmap(_assemble_ir_1ch, in_axes=(1, 1, None)), static_argnums=(2,)
 )  # (N, C) delays, (N, C) amps → (C, ir_len)
+
+
+DEFAULT_N_BANDS = 32  # reference acoustic config (SonicSim_rir.py:185)
+
+
+def band_centers(n_bands: int, sample_rate: int) -> np.ndarray:
+    """Log-spaced band centers 20 Hz → Nyquist (RLR-style 32 bands)."""
+    return np.geomspace(20.0, sample_rate / 2.0, n_bands)
+
+
+def band_masks(n_bands: int, nfft: int, sample_rate: int) -> np.ndarray:
+    """(n_bands, nfft//2+1) triangular partition-of-unity over rfft bins."""
+    freqs = np.fft.rfftfreq(nfft, 1.0 / sample_rate)
+    centers = band_centers(n_bands, sample_rate)
+    log_c = np.log(centers)
+    log_f = np.log(np.maximum(freqs, 1e-3))
+    masks = np.zeros((n_bands, len(freqs)))
+    for b in range(n_bands):
+        lo = log_c[b - 1] if b > 0 else -np.inf
+        hi = log_c[b + 1] if b < n_bands - 1 else np.inf
+        up = (log_f - lo) / max(log_c[b] - lo, 1e-9) if np.isfinite(lo) else np.ones_like(log_f)
+        down = (hi - log_f) / max(hi - log_c[b], 1e-9) if np.isfinite(hi) else np.ones_like(log_f)
+        masks[b] = np.clip(np.minimum(up, down), 0.0, 1.0)
+    # Normalize to a partition of unity so flat spectra pass unchanged.
+    total = masks.sum(axis=0)
+    return (masks / np.maximum(total, 1e-9)).astype(np.float32)
+
+
+def render_shoebox_rir_multiband(
+    room: "ShoeboxRoom",
+    source_position: np.ndarray,
+    receiver_position: np.ndarray,
+    channel: ChannelModel,
+    band_absorption: np.ndarray,  # (n_bands,) per-band absorption
+    sample_rate: int = 16000,
+    receiver_rotation: float = 90.0,
+    max_order: int = 4,
+    ir_seconds: float | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Frequency-dependent RIR: per-band image-source amplitudes (native C++
+    enumeration when available) assembled as band impulse trains, filtered
+    through a log-triangular filterbank, plus per-band Eyring tails → (C, L).
+
+    This is the 32-band counterpart of the reference's RLR frequency-band
+    rendering (SonicSim_rir.py:176-187).
+    """
+    from ..native import image_sources_multiband
+
+    band_absorption = np.asarray(band_absorption, np.float64)
+    n_bands = len(band_absorption)
+    alpha_mean = float(band_absorption.mean())
+    rt60_bands = 0.161 * room.volume / np.maximum(
+        -room.surface * np.log(np.maximum(1.0 - band_absorption, 1e-4)), 1e-6
+    )  # Eyring per band
+    if ir_seconds is None:
+        ir_seconds = min(max(float(rt60_bands.max()) * 1.1, 0.25), 2.0)
+    ir_len = int(ir_seconds * sample_rate)
+
+    offsets = channel.receiver_offsets(receiver_rotation)
+    recv = np.asarray(receiver_position, np.float64)[None, :] + offsets  # (C, 3)
+    beta = np.tile(np.sqrt(np.maximum(1.0 - band_absorption, 1e-4))[:, None], (1, 6))
+
+    n_ch = channel.count
+    out = np.zeros((n_ch, ir_len), np.float32)
+    nfft = int(2 ** np.ceil(np.log2(ir_len + 2 * SINC_HALF + 2)))
+    masks = band_masks(n_bands, nfft, sample_rate)
+
+    rng = np.random.default_rng(seed)
+    t_axis = np.arange(ir_len) / sample_rate
+
+    for c_idx in range(n_ch):
+        native_out = image_sources_multiband(
+            np.asarray(room.dims, np.float64),
+            np.asarray(source_position, np.float64),
+            recv[c_idx],
+            max_order,
+            beta,
+            ir_seconds,
+        )
+        if native_out is None:  # pure-python fallback: broadband per band
+            imgs, hits = image_sources(room, source_position, max_order)
+            diff = imgs - recv[c_idx][None, :]
+            dist = np.maximum(np.linalg.norm(diff, axis=1), 1e-3)
+            keep = dist / SPEED_OF_SOUND < ir_seconds
+            delays = dist[keep] / SPEED_OF_SOUND
+            dirs = diff[keep] / dist[keep, None]
+            amps = (
+                np.power.outer(beta[:, 0], hits[keep]).T
+                / (4.0 * np.pi * dist[keep])[:, None]
+            )
+        else:
+            delays, amps, dirs = native_out
+        gains = channel.directional_gain(dirs, receiver_rotation)[:, c_idx]
+        amps = amps * gains[:, None]  # (N, n_bands)
+
+        # Assemble per-band impulse trains and filter through the bank.
+        delays_j = jnp.asarray(delays * sample_rate, jnp.float32)
+        trains = _assemble_ir_mc(
+            jnp.broadcast_to(delays_j[:, None], (len(delays), n_bands)),
+            jnp.asarray(amps, jnp.float32),
+            ir_len,
+        )  # (n_bands, ir_len)
+        spec = jnp.fft.rfft(trains, nfft) * jnp.asarray(masks)
+        early = np.asarray(jnp.fft.irfft(spec.sum(axis=0), nfft)[:ir_len])
+
+        # Per-band Eyring tails, decorrelated noise filtered per band.
+        t_direct = float(delays.min()) if len(delays) else 0.0
+        noise = rng.standard_normal((n_bands, ir_len)).astype(np.float32)
+        decay = np.exp(
+            -6.908 * np.maximum(t_axis[None, :] - t_direct, 0.0) / rt60_bands[:, None]
+        )
+        ramp = np.clip((t_axis - t_direct) / 0.02, 0.0, 1.0) ** 2
+        mix_sel = (delays > t_direct + 0.03) & (delays < t_direct + 0.08)
+        level = (
+            np.sqrt(np.mean(amps[mix_sel] ** 2, axis=0))
+            if mix_sel.any()
+            else np.abs(amps).max(axis=0) * 0.05
+        )
+        shaped = noise * (level[:, None] * decay * ramp[None, :])
+        tail_spec = jnp.fft.rfft(jnp.asarray(shaped), nfft) * jnp.asarray(masks)
+        tail = np.asarray(jnp.fft.irfft(tail_spec.sum(axis=0), nfft)[:ir_len])
+        out[c_idx] = early + tail
+    return out
 
 
 def render_shoebox_rir(

@@ -59,13 +59,18 @@ class RirOracle(Protocol):
 
 @dataclass
 class SyntheticRirOracle:
-    """Image-source + stochastic-tail oracle over a shoebox approximation."""
+    """Image-source + stochastic-tail oracle over a shoebox approximation.
+
+    ``n_bands > 0`` enables the frequency-dependent renderer (per-band wall
+    coefficients enumerated by the native C++ kernel when available; 32
+    bands matches the reference acoustic config, SonicSim_rir.py:185)."""
 
     room: ShoeboxRoom
     sample_rate: int = 16000
     max_order: int = 4
     ir_seconds: float | None = None
     seed: int = 0
+    n_bands: int = 0
 
     def render(
         self,
@@ -80,6 +85,21 @@ class SyntheticRirOracle:
             np.uint32(self.seed)
             + np.uint32(abs(hash(tuple(np.round(pair, 4).tolist()))) % (2**31))
         )
+        if self.n_bands > 0:
+            from .image_source import render_shoebox_rir_multiband
+
+            return render_shoebox_rir_multiband(
+                self.room,
+                source_position,
+                receiver_position,
+                channel,
+                self.room.band_absorption(self.n_bands),
+                sample_rate=self.sample_rate,
+                receiver_rotation=receiver_rotation,
+                max_order=self.max_order,
+                ir_seconds=self.ir_seconds,
+                seed=seed,
+            )
         return render_shoebox_rir(
             self.room,
             source_position,

@@ -210,3 +210,51 @@ def test_trace_image(tmp_path, rng):
         meters_per_pixel=0.2,
     )
     assert (tmp_path / "trace.png").stat().st_size > 1000
+
+
+def test_native_pathfinding_matches_python_contract(rng):
+    """Native A* (when built) must produce navigable simplified paths."""
+    from sonicsim_tpu import native
+
+    nav = NavGrid.rectangle(12.0, 10.0, resolution=0.25)
+    path = nav.find_path(np.array([1.0, 0, 1.0]), np.array([11.0, 0, 9.0]))
+    assert path is not None and len(path) >= 2
+    for p in path:
+        assert nav.is_navigable(p)
+    if native.available():
+        cells = native.astar_path(nav.occupancy, (4, 4), (40, 36))
+        assert cells is not None
+        assert tuple(cells[0]) == (4, 4) and tuple(cells[-1]) == (40, 36)
+
+
+def test_multiband_rir_frequency_dependence():
+    """High-frequency-absorbing room: HF decays faster than LF."""
+    room = ShoeboxRoom(
+        (8.0, 3.0, 6.0), absorption=0.3,
+        absorption_bands=(0.05, 0.1, 0.3, 0.6, 0.8),
+    )
+    from sonicsim_tpu.sim import render_shoebox_rir_multiband
+
+    rir = render_shoebox_rir_multiband(
+        room, np.array([2.0, 1.1, 2.2]), np.array([5.0, 1.4, 3.7]),
+        ChannelModel("Mono"), room.band_absorption(32), sample_rate=SR, seed=3,
+    )
+    assert rir.shape[0] == 1 and np.isfinite(rir).all()
+    x = rir[0]
+    n = len(x)
+    # Compare low vs high band energy decay between early and late halves.
+    spec_early = np.abs(np.fft.rfft(x[: n // 3]))
+    spec_late = np.abs(np.fft.rfft(x[-n // 3 :], n // 3))
+    freqs_e = np.fft.rfftfreq(n // 3, 1 / SR)
+    lo = freqs_e < 500
+    hi = freqs_e > 4000
+    decay_lo = spec_late[lo].mean() / (spec_early[lo].mean() + 1e-12)
+    decay_hi = spec_late[hi].mean() / (spec_early[hi].mean() + 1e-12)
+    assert decay_hi < decay_lo  # HF dies faster
+
+
+def test_multiband_oracle_in_scene():
+    scene = Scene.synthetic(dims=(8.0, 3.0, 6.0), channel_type="Mono", seed=9, max_order=2)
+    scene.oracle.n_bands = 8
+    rir = scene.render_ir(np.array([2.0, 0.0, 2.0]), np.array([6.0, 0.0, 4.0]))
+    assert rir.ndim == 2 and np.isfinite(rir).all()
