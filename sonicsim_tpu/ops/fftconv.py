@@ -106,6 +106,7 @@ def convolve_moving_segmented(
     offsets: jax.Array,
     lengths: jax.Array,
     max_seg: int,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Moving-source reverb, segmented strategy.
 
@@ -126,15 +127,20 @@ def convolve_moving_segmented(
     t = source_audio.shape[-1]
     p, c, l = rirs.shape
     n_seg = p - 1
+    # Segment windows start at 128-aligned origins (off_al <= off): the
+    # Pallas combine slices VMEM at lane granularity, and the extra <=127
+    # lead samples cost nothing. Ownership still uses the true offsets.
+    offsets_al = offsets - offsets % 128
+    max_seg = max_seg + 128
     win = max_seg + l - 1
 
-    # Window the input: segment p needs x[off_p - (L-1) : off_p + max_seg).
+    # Window the input: segment p needs x[off_al_p - (L-1) : off_al_p + max_seg).
     xpad = jnp.pad(source_audio.astype(jnp.float32), (l - 1, max_seg))
 
     def take_window(off):
         return jax.lax.dynamic_slice(xpad, (off,), (win,))
 
-    windows = jax.vmap(take_window)(offsets)  # (n_seg, win)
+    windows = jax.vmap(take_window)(offsets_al)  # (n_seg, win)
 
     # Convolve each window against its start & end RIRs. Each interior RIR
     # serves as both an end (segment p-1) and a start (segment p) kernel, so
@@ -149,6 +155,14 @@ def convolve_moving_segmented(
     # Sample s of segment p sits at position (L-1) + s of the full conv.
     conv = conv[..., l - 1 : l - 1 + max_seg]  # (n_seg, 2, C, max_seg)
 
+    if use_pallas:
+        from .pallas_kernels import crossfade_combine
+
+        return crossfade_combine(
+            conv, offsets.astype(jnp.int32), offsets_al.astype(jnp.int32),
+            interp_weight.astype(jnp.float32), t,
+        )
+
     # Gather-based combine (TPU-friendly: no scatter). Every output sample t
     # belongs to exactly one segment seg(t); read its crossfaded value from
     # that segment's conv pair via a single flattened last-axis gather.
@@ -156,7 +170,7 @@ def convolve_moving_segmented(
     seg = jnp.clip(
         jnp.searchsorted(offsets, tt, side="right") - 1, 0, n_seg - 1
     )  # (T,)
-    within = jnp.clip(tt - offsets[seg], 0, max_seg - 1)
+    within = jnp.clip(tt - offsets_al[seg], 0, max_seg - 1)
     flat_idx = seg * max_seg + within  # (T,)
     conv_flat = jnp.swapaxes(conv, 0, 1).swapaxes(1, 2).reshape(
         2, c, n_seg * max_seg

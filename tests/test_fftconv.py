@@ -107,3 +107,40 @@ def test_segment_plan_covers_everything(rng):
     assert max_seg == lengths.max()
     for p, (o, n) in enumerate(zip(offsets, lengths)):
         assert np.all(idx[o : o + n] == p)
+
+
+def test_pallas_crossfade_combine_interpret(rng):
+    """Pallas combine (interpret mode) matches the XLA gather combine."""
+    audio, rirs, idx, w = _make_case(rng, t=40000, p=5, c=2, l=400)
+    offsets, lengths, max_seg = segment_plan(idx)
+    ref = np.asarray(
+        convolve_moving_segmented(
+            jnp.asarray(audio), jnp.asarray(rirs), jnp.asarray(w),
+            jnp.asarray(offsets), jnp.asarray(lengths), max_seg,
+        )
+    )
+    # Recompute the conv tensor exactly as the op does, then run the Pallas
+    # combine in interpreter mode.
+    from scipy.fft import next_fast_len as _nfl
+
+    from sonicsim_tpu.ops.pallas_kernels import crossfade_combine
+
+    t = audio.shape[0]
+    p, c, l = rirs.shape
+    offsets_al = offsets - offsets % 128
+    mx = max_seg + 128
+    win = mx + l - 1
+    xpad = np.pad(audio, (l - 1, mx))
+    windows = np.stack([xpad[o : o + win] for o in offsets_al])
+    nfft = _nfl(win + l - 1)
+    sf = np.fft.rfft(windows, nfft)
+    kf = np.fft.rfft(rirs, nfft)
+    prod = sf[:, None, None, :] * np.stack([kf[:-1], kf[1:]], axis=1)
+    conv = np.fft.irfft(prod, nfft)[..., l - 1 : l - 1 + mx].astype(np.float32)
+    out = np.asarray(
+        crossfade_combine(
+            jnp.asarray(conv), jnp.asarray(offsets), jnp.asarray(offsets_al),
+            jnp.asarray(w), t, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
