@@ -1,9 +1,13 @@
+from .profiling import StageTimer, annotate, trace
 from .config import import_target, instantiate, load_config, save_config
 from .registry import Registry
 from .wavio import read_wav, resample, write_wav
 
 __all__ = [
     "Registry",
+    "StageTimer",
+    "annotate",
+    "trace",
     "import_target",
     "instantiate",
     "load_config",
