@@ -53,7 +53,9 @@ def main() -> None:
 
     render = jax.jit(
         jax.vmap(
-            lambda a, r: convolve_moving_segmented(a, r, w_j, off_j, len_j, max_seg)
+            lambda a, r: convolve_moving_segmented(
+                a, r, w_j, off_j, len_j, max_seg, use_pallas=True
+            )
         )
     )
 

@@ -67,6 +67,52 @@ def prelu(sd, key):
     return {"alpha": np.asarray(sd[f"{key}.weight"]).reshape(-1)}
 
 
+def conv2d(sd, key):
+    """torch Conv2d (out, in, kh, kw) → flax kernel (kh, kw, in, out)."""
+    out = {
+        "kernel": np.ascontiguousarray(
+            np.asarray(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)
+        )
+    }
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"])
+    return out
+
+
+def groupnorm(sd, key):
+    return {
+        "GroupNorm_0": {
+            "scale": np.asarray(sd[f"{key}.weight"]),
+            "bias": np.asarray(sd[f"{key}.bias"]),
+        }
+    }
+
+
+def lstm_cell(sd, key, suffix="l0", reverse=False):
+    """torch LSTM layer → flax OptimizedLSTMCell params.
+
+    torch packs gates [i, f, g, o] along dim 0 of weight_ih/_hh; flax keeps
+    per-gate denses: input ii/if/ig/io (no bias), hidden hi/hf/hg/ho with
+    bias = bias_ih + bias_hh.
+    """
+    rev = "_reverse" if reverse else ""
+    w_ih = np.asarray(sd[f"{key}.weight_ih_{suffix}{rev}"])
+    w_hh = np.asarray(sd[f"{key}.weight_hh_{suffix}{rev}"])
+    b = np.asarray(sd[f"{key}.bias_ih_{suffix}{rev}"]) + np.asarray(
+        sd[f"{key}.bias_hh_{suffix}{rev}"]
+    )
+    h = w_hh.shape[1]
+    gates = {}
+    for g_idx, g in enumerate("ifgo"):
+        sl = slice(g_idx * h, (g_idx + 1) * h)
+        gates[f"i{g}"] = {"kernel": np.ascontiguousarray(w_ih[sl].T)}
+        gates[f"h{g}"] = {
+            "kernel": np.ascontiguousarray(w_hh[sl].T),
+            "bias": b[sl],
+        }
+    return {"OptimizedLSTMCell_0": gates}
+
+
 def load_torch_pack(path):
     """Load a reference .pth (requires torch; CPU map_location)."""
     import torch
@@ -98,6 +144,34 @@ def import_torch_checkpoint(path_or_pack, model=None):
             f"available: {sorted(_CONVERTERS)}"
         )
     return model, {"params": conv(model, sd)}
+
+
+@register_converter("dprnntasnet")
+def _convert_dprnn(model, sd) -> dict:
+    """Map separation/look2hear/models/dprnn.py parameter names
+    (unidirectional LSTM config, configs/dprnn.yaml)."""
+    p: dict = {
+        "encoder": conv1d(sd, "encoder.conv1d"),
+        "GroupNorm1_0": groupnorm(sd, "separation.norm"),
+        "bottleneck": conv1d(sd, "separation.conv1d"),
+        "mask_conv2d": conv2d(sd, "separation.conv2d"),
+        "end_conv1x1": conv1d(sd, "separation.end_conv1x1"),
+        "output": conv1d(sd, "separation.output.0"),
+        "output_gate": conv1d(sd, "separation.output_gate.0"),
+        "prelu": {"alpha": np.asarray(sd["separation.prelu.weight"]).reshape(-1)},
+        "decoder": conv_transpose1d(sd, "decoder"),
+    }
+    for i in range(model.num_layers):
+        blk = f"separation.dual_rnn.{i}"
+        p[f"dual_rnn_{i}"] = {
+            "LSTMLayer_0": lstm_cell(sd, f"{blk}.intra_rnn"),
+            "Dense_0": linear(sd, f"{blk}.intra_linear"),
+            "GroupNorm1_0": groupnorm(sd, f"{blk}.intra_norm"),
+            "LSTMLayer_1": lstm_cell(sd, f"{blk}.inter_rnn"),
+            "Dense_1": linear(sd, f"{blk}.inter_linear"),
+            "GroupNorm1_1": groupnorm(sd, f"{blk}.inter_norm"),
+        }
+    return p
 
 
 @register_converter("convtasnet")

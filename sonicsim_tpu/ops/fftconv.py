@@ -23,7 +23,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.fft import next_fast_len
+
+
+def next_fast_len(n: int) -> int:
+    """Smallest 2^a·3^b·5^c ≥ n. scipy's next_fast_len also allows 7/11
+    radices, which the TPU FFT handles pathologically (~30x slower at e.g.
+    65219 = 7²·11³); restricting to {2,3,5} keeps within ~6% of n."""
+    if n <= 1:
+        return 1
+    best = 1 << (n - 1).bit_length()
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            # pow2 round-up of n/p35
+            quot = -(-n // p35)
+            p2 = 1 << max(quot - 1, 0).bit_length()
+            cand = p2 * p35
+            if n <= cand < best:
+                best = cand
+            p35 *= 3
+        p5 *= 5
+    return best
 
 
 def fft_convolve(signal: jax.Array, kernel: jax.Array, mode: str = "full") -> jax.Array:
