@@ -21,6 +21,7 @@ from .image_source import (
     render_shoebox_rir,
     render_shoebox_rir_multiband,
 )
+from .grid_cache import grid_cache_path, load_room_grid, save_xy_grid_points
 from .maps import points_to_pixels, save_trace_image, topdown_map
 from .materials import (
     DEFAULT_MATERIALS,
@@ -57,6 +58,9 @@ __all__ = [
     "SyntheticRirOracle",
     "channel_count",
     "generate_xy_grid_points",
+    "grid_cache_path",
+    "load_room_grid",
+    "save_xy_grid_points",
     "image_sources",
     "load_material_config",
     "material_for_label",

@@ -117,7 +117,16 @@ class Trainer:
     ) -> TrainState:
         exp_dir = Path(self.exp_dir)
         (exp_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
-        mesh = make_mesh(self.n_devices)
+
+        # Mesh size must divide the batch; peek the first batch to choose the
+        # largest compatible device count (ragged trailing batches are
+        # dropped below, standard drop_last semantics).
+        first = next(iter(train_batches(0)), None)
+        batch_dim = len(first[0]) if first is not None else 1
+        limit = self.n_devices or len(jax.devices())
+        n_dev = max(d for d in range(1, limit + 1) if batch_dim % d == 0)
+        mesh = make_mesh(n_dev)
+        self._batch_divisor = n_dev
         data_shard = batch_sharding(mesh)
         rep = replicated_sharding(mesh)
 
@@ -154,6 +163,8 @@ class Trainer:
             t0 = time.time()
             losses = []
             for i, (mix, targets) in enumerate(train_batches(epoch)):
+                if len(mix) % self._batch_divisor:
+                    continue  # drop ragged trailing batch
                 state.params, state.opt_state, loss = train_step(
                     state.params, state.opt_state, jnp.asarray(mix), jnp.asarray(targets)
                 )
@@ -166,6 +177,7 @@ class Trainer:
                 vals = [
                     eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
                     for m, t in val_batches()
+                    if len(m) % self._batch_divisor == 0
                 ]
                 val_loss = float(jnp.mean(jnp.stack(vals))) if vals else train_loss
 
