@@ -1,0 +1,137 @@
+"""Extended benchmark battery — the five BASELINE.json configs.
+
+Prints one JSON line per config (bench.py remains the single-line headline
+driver entry). Run on the real TPU.
+
+1. Static 2-source mono mix (fftconvolve + SNR mix)
+2. Moving single source (trajectory-segmented crossfade conv)  [headline]
+3. Multi-channel render (binaural + ambisonics + 4-mic array)
+4. Mixture pipeline step (3 moving + noise + music + LUFS)
+5. Harness inference (ConvTasNet forward over 4 s batches)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, iters=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.models import ConvTasNet
+    from sonicsim_tpu.ops import (
+        convolve_fixed_receiver,
+        convolve_moving_segmented,
+        dynamic_interp_plan,
+        lufs_norm,
+        scale_noise_snr,
+        segment_plan,
+    )
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    results = []
+
+    # --- 1. static 2-source mix -------------------------------------------
+    t = 60 * sr
+    audio = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32) * 0.1)
+    rirs = jnp.asarray(rng.standard_normal((2, 2, sr)).astype(np.float32) * 0.02)
+
+    @jax.jit
+    def static_mix(a, r):
+        wet = jax.vmap(convolve_fixed_receiver)(a, r)  # (2, C, T)
+        return wet[0] + scale_noise_snr(wet[0], wet[1], 15.0)
+
+    dt = _timeit(static_mix, audio, rirs)
+    results.append(("static 2-src mix", 2 * 60 / dt))
+
+    # --- 2. moving single source (headline geometry) ----------------------
+    p, c = 40, 2
+    positions = np.cumsum(rng.uniform(0.2, 0.6, size=(p, 3)), axis=0)
+    idx, w = dynamic_interp_plan(positions, t, rng=rng)
+    off, lens, mx = segment_plan(idx)
+    w_j, off_j, len_j = jnp.asarray(w), jnp.asarray(off), jnp.asarray(lens)
+    a1 = jnp.asarray(rng.standard_normal((t,)).astype(np.float32) * 0.1)
+    r1 = jnp.asarray(rng.standard_normal((p, c, sr)).astype(np.float32) * 0.02)
+    moving = jax.jit(
+        lambda a, r: convolve_moving_segmented(
+            a, r, w_j, off_j, len_j, mx, use_pallas=True
+        )
+    )
+    dt = _timeit(moving, a1, r1)
+    results.append(("moving source (binaural)", 60 / dt))
+
+    # --- 3. multi-channel moving render (2 + 4 + 4 channels) --------------
+    for name, ch in (("ambisonics-1", 4), ("4-mic array", 4)):
+        r_mc = jnp.asarray(
+            rng.standard_normal((p, ch, sr)).astype(np.float32) * 0.02
+        )
+        f = jax.jit(
+            lambda a, r: convolve_moving_segmented(
+                a, r, w_j, off_j, len_j, mx, use_pallas=True
+            )
+        )
+        dt = _timeit(f, a1, r_mc)
+        results.append((f"moving source ({name})", 60 / dt))
+
+    # --- 4. mixture pipeline step: 3 moving + 2 static + LUFS -------------
+    a3 = jnp.asarray(rng.standard_normal((3, t)).astype(np.float32) * 0.1)
+    r3 = jnp.asarray(rng.standard_normal((3, p, c, sr)).astype(np.float32) * 0.02)
+    bg = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32) * 0.05)
+    rbg = jnp.asarray(rng.standard_normal((2, c, sr)).astype(np.float32) * 0.02)
+
+    @jax.jit
+    def mixture_step(a3, r3, bg, rbg):
+        moving3 = jax.vmap(
+            lambda a, r: convolve_moving_segmented(
+                a, r, w_j, off_j, len_j, mx, use_pallas=True
+            )
+        )(a3, r3)
+        static2 = jax.vmap(convolve_fixed_receiver)(bg, rbg)
+        speech = [lufs_norm(moving3[i], sr, -17.0)[0] for i in range(3)]
+        noise = lufs_norm(static2[0], sr, -24.0)[0]
+        music = lufs_norm(static2[1], sr, -29.0)[0]
+        return speech[0] + speech[1] + speech[2] + noise + music
+
+    dt = _timeit(mixture_step, a3, r3, bg, rbg)
+    results.append(("full mixture step (5 tracks)", 5 * 60 / dt))
+
+    # --- 5. harness inference: ConvTasNet on 4 s batches ------------------
+    model = ConvTasNet()
+    params = model.init_params(jax.random.PRNGKey(0), example_len=4 * sr)
+    batch = jnp.asarray(rng.standard_normal((4, 4 * sr)).astype(np.float32))
+    fwd = jax.jit(lambda p_, x: model.apply(p_, x))
+    dt = _timeit(fwd, params, batch)
+    results.append(("ConvTasNet inference", 4 * 4 / dt))
+
+    for name, value in results:
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(float(value), 2),
+                    "unit": "audio-seconds/sec/chip",
+                    "vs_baseline": round(float(value) / 50.0, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

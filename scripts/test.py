@@ -32,7 +32,7 @@ def metadata_segments(folder: str, total: int) -> list[tuple[int, int]]:
     sources), falling back to one full-length segment."""
     meta_path = Path(folder) / "json_data.json"
     if not meta_path.exists():
-        return [(0, total)]
+        return [(0, total)]  # caller may VAD instead (see --use_vad)
     with open(meta_path) as f:
         meta = json.load(f)
     spans = []
@@ -56,6 +56,11 @@ def main() -> None:
     ap.add_argument("--conf_dir", required=True)
     ap.add_argument("--model_path", default=None)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--use_vad", action="store_true",
+        help="segment with the energy VAD (the reference's pyannote role) "
+        "instead of json_data.json metadata spans",
+    )
     args = ap.parse_args()
 
     cfg = load_config(args.conf_dir)
@@ -73,9 +78,16 @@ def main() -> None:
     fwd = jax.jit(lambda p, x: model.apply(p, x))
 
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
+    from sonicsim_tpu.infer import segment_mixture
+
     for i in range(n):
         mix, targets, folder = ds[i]
-        for s, e in metadata_segments(folder, mix.shape[-1]):
+        spans = (
+            segment_mixture(mix, ds.sample_rate)
+            if args.use_vad
+            else metadata_segments(folder, mix.shape[-1])
+        )
+        for s, e in spans:
             seg_mix = mix[s:e]
             est = np.asarray(fwd(params, seg_mix[None, :]))[0]
             tracker(seg_mix, targets[:, s:e], est, f"{Path(folder).name}:{s}")

@@ -1,7 +1,10 @@
 from .chunked import wav_chunk_inference
+from .vad import energy_vad, segment_mixture
 from .stitch import concatenate_tracks, spectral_embedding, stitch_segments
 
 __all__ = [
+    "energy_vad",
+    "segment_mixture",
     "concatenate_tracks",
     "spectral_embedding",
     "stitch_segments",

@@ -1,0 +1,79 @@
+"""Voice-activity segmentation for eval drivers.
+
+The reference segments each 60 s mixture with pyannote's neural VAD
+(separation/test.py:58-87). That model isn't available here, so the default
+is a robust energy VAD (frame log-energy, adaptive threshold, hangover
+smoothing, min-duration merge) with the same output contract — a list of
+(start_sample, end_sample) voice-active spans — and a pluggable hook for a
+neural VAD sidecar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def energy_vad(
+    wav: np.ndarray,
+    sample_rate: int = 16000,
+    frame_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    threshold_db: float = -35.0,
+    adaptive: bool = True,
+    hangover_frames: int = 8,
+    min_speech_s: float = 0.25,
+    min_gap_s: float = 0.3,
+) -> list[tuple[int, int]]:
+    """(T,) waveform → [(start, end), ...] sample spans of voice activity."""
+    x = np.asarray(wav, np.float64).reshape(-1)
+    frame = int(frame_ms * sample_rate / 1000)
+    hop = int(hop_ms * sample_rate / 1000)
+    if len(x) < frame:
+        return [(0, len(x))] if np.max(np.abs(x), initial=0) > 1e-5 else []
+    n_frames = (len(x) - frame) // hop + 1
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
+    energy = 10 * np.log10(np.mean(x[idx] ** 2, axis=1) + 1e-12)
+
+    thr = threshold_db
+    if adaptive:
+        # Active threshold relative to the loud percentile, floored.
+        loud = np.percentile(energy, 95)
+        thr = max(loud - 25.0, threshold_db + np.median(energy) * 0.0, -60.0)
+        thr = max(thr, np.median(energy) + 6.0) if np.median(energy) < -55 else thr
+    active = energy > thr
+
+    # Hangover: extend activity a few frames to bridge short dips.
+    smoothed = active.copy()
+    run = 0
+    for i in range(n_frames):
+        if active[i]:
+            run = hangover_frames
+        elif run > 0:
+            smoothed[i] = True
+            run -= 1
+
+    # Frame mask → sample spans.
+    spans: list[list[int]] = []
+    for i, a in enumerate(smoothed):
+        if a:
+            s, e = i * hop, i * hop + frame
+            if spans and s <= spans[-1][1] + int(min_gap_s * sample_rate):
+                spans[-1][1] = e
+            else:
+                spans.append([s, e])
+    min_len = int(min_speech_s * sample_rate)
+    return [(s, min(e, len(x))) for s, e in spans if e - s >= min_len]
+
+
+def segment_mixture(
+    wav: np.ndarray,
+    sample_rate: int = 16000,
+    vad_fn=None,
+    min_segment: int = 320,
+) -> list[tuple[int, int]]:
+    """VAD spans filtered to the reference's minimum segment length
+    (separation/test.py:80: segments > 320 samples)."""
+    fn = vad_fn or energy_vad
+    return [
+        (s, e) for s, e in fn(wav, sample_rate) if e - s > min_segment
+    ]

@@ -1,3 +1,6 @@
+from .dnsmos import DNSMOS, audio_melspec, librosa_mel_fb
+from .onnx_jax import OnnxJaxModel, parse_onnx
+from .sigmos import SigMOS
 from .composite import composite_measures, llr, ssnr, wss
 from .sidecars import make_dnsmos, make_pesq, make_sigmos, make_whisper_asr
 from .sisdr import (
@@ -12,7 +15,13 @@ from .tracker import MetricsTracker
 from .variants import MetricsTrackerNoASR, SplitMetricsTracker
 
 __all__ = [
+    "DNSMOS",
     "MetricsTracker",
+    "OnnxJaxModel",
+    "SigMOS",
+    "audio_melspec",
+    "librosa_mel_fb",
+    "parse_onnx",
     "MetricsTrackerNoASR",
     "SplitMetricsTracker",
     "composite_measures",

@@ -1,0 +1,71 @@
+"""SigMOS (ITU-T P.804) MOS estimation, executed natively in JAX.
+
+Parity: separation/sigmos/sigmos.py:17-84 — 48 kHz input, 960-pt √Hann
+STFT at 480 hop with the reference's tail-padding rule, compressed
+magnitude+complex features (compress factor 0.3), 7 MOS axes. The .onnx
+weights are NOT committed in the reference (SURVEY.md §2.5); pass the
+model path; the graph runs through metrics/onnx_jax.py.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.wavio import resample
+
+
+class SigMOS:
+    SAMPLING_RATE = 48_000
+    DFT_SIZE = 960
+    FRAME_SIZE = 480
+    WINDOW_LENGTH = 960
+
+    AXES = ("MOS_COL", "MOS_DISC", "MOS_LOUD", "MOS_NOISE", "MOS_REVERB",
+            "MOS_SIG", "MOS_OVRL")
+
+    def __init__(self, model_path: str | Path):
+        from .onnx_jax import OnnxJaxModel
+
+        if not Path(model_path).exists():
+            raise FileNotFoundError(
+                f"SigMOS weights not found at {model_path}; download the "
+                "published model-sigmos_*.onnx (not committed in the "
+                "reference either) and pass its path."
+            )
+        self.model = OnnxJaxModel(model_path)
+        self.window = np.sqrt(np.hanning(self.WINDOW_LENGTH + 1)[:-1]).astype(
+            np.float32
+        )
+
+    def _stft(self, signal: np.ndarray) -> np.ndarray:
+        last = len(signal) % self.FRAME_SIZE or self.FRAME_SIZE
+        lead = self.WINDOW_LENGTH - self.FRAME_SIZE
+        padded = np.pad(signal, (lead, self.WINDOW_LENGTH - last))
+        n_frames = (len(padded) - self.WINDOW_LENGTH) // self.FRAME_SIZE + 1
+        idx = (
+            np.arange(n_frames)[:, None] * self.FRAME_SIZE
+            + np.arange(self.WINDOW_LENGTH)[None, :]
+        )
+        return np.fft.rfft(padded[idx] * self.window, self.DFT_SIZE).astype(
+            np.complex64
+        )
+
+    @staticmethod
+    def _compressed_mag_complex(spec: np.ndarray, compress_factor: float = 0.3):
+        x = np.stack([spec.real, spec.imag], axis=-2)  # (frames, 2, F)
+        x2 = np.maximum((x * x).sum(axis=-2, keepdims=True), 1e-12)
+        x = np.power(x2, (compress_factor - 1) / 2) * x
+        mag = np.power(x2, compress_factor / 2)
+        features = np.concatenate([mag, x], axis=-2)  # (frames, 3, F)
+        features = np.transpose(features, (1, 0, 2))  # (3, frames, F)
+        return features[None].astype(np.float32)
+
+    def __call__(self, audio: np.ndarray, sr: int | None = None) -> dict:
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if sr is not None and sr != self.SAMPLING_RATE:
+            audio = resample(audio, sr, self.SAMPLING_RATE)
+        feats = self._compressed_mag_complex(self._stft(audio))
+        out = np.asarray(self.model(feats)[0])[0]
+        return {name: float(out[i]) for i, name in enumerate(self.AXES)}

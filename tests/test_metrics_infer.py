@@ -96,3 +96,53 @@ def test_stitch_segments_fixes_swaps(rng):
     np.testing.assert_allclose(out[1][0], spk_b * 0 + spk_a, atol=1e-6)
     np.testing.assert_allclose(out[1][1], spk_b, atol=1e-6)
     np.testing.assert_allclose(out[2][0], spk_a, atol=1e-6)
+
+
+def test_energy_vad_finds_speech_spans(rng):
+    from sonicsim_tpu.infer import energy_vad, segment_mixture
+
+    sr = 16000
+    x = np.zeros(sr * 6, np.float32)
+    t = np.arange(sr) / sr
+    burst = (np.sin(2 * np.pi * 300 * t) * 0.3).astype(np.float32)
+    x[sr : 2 * sr] = burst           # speech at 1-2 s
+    x[4 * sr : 5 * sr] = burst       # speech at 4-5 s
+    x += 0.001 * rng.standard_normal(len(x)).astype(np.float32)
+    spans = energy_vad(x, sr)
+    assert len(spans) == 2
+    (s1, e1), (s2, e2) = spans
+    assert abs(s1 - sr) < sr * 0.2 and abs(e1 - 2 * sr) < sr * 0.3
+    assert abs(s2 - 4 * sr) < sr * 0.2 and abs(e2 - 5 * sr) < sr * 0.3
+    assert segment_mixture(np.zeros(sr, np.float32), sr) == []
+
+
+def test_onnx_jax_dnsmos_if_weights_present(rng):
+    """Run the committed DNSMOS graphs through the ONNX→JAX executor."""
+    from pathlib import Path
+
+    import pytest
+
+    model_dir = Path("/root/reference/separation/DNSMOS")
+    if not (model_dir / "sig_bak_ovr.onnx").exists():
+        pytest.skip("DNSMOS weights unavailable")
+    from sonicsim_tpu.metrics import DNSMOS
+
+    sr = 16000
+    t = np.arange(sr * 10) / sr
+    clean = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+    noisy = (clean + 0.25 * rng.standard_normal(len(t))).astype(np.float32)
+    d = DNSMOS(model_dir)
+    r_clean, r_noisy = d(clean), d(noisy)
+    for k in ("SIG", "BAK", "OVRL", "P808_MOS"):
+        assert 0.5 <= r_clean[k] <= 5.0
+    assert r_clean["BAK"] > r_noisy["BAK"]
+    assert r_clean["OVRL"] > r_noisy["OVRL"]
+
+
+def test_librosa_mel_fb_properties():
+    from sonicsim_tpu.metrics import librosa_mel_fb
+
+    fb = librosa_mel_fb(16000, 321, 120)
+    assert fb.shape == (120, 161)
+    assert (fb >= 0).all()
+    assert (fb.sum(axis=1) > 0).all()  # every band has support
