@@ -12,6 +12,7 @@ from .bsrnn_espnet import BSRNNESPNetEval, BSRNNESPNetLoss
 from .frcrn import FRCRNEval, FRCRNLoss
 from .gagnet import GaGNetEval, GaGNetLoss, gagnet_wav
 from .taylorsenet import TaylorSENetEval, TaylorSENetLoss, taylor_wav
+from .mixit import MixITLossWrapper
 from .pit import PITLossWrapper, find_best_perm, reorder_sources
 from .sdr import (
     EPS,
@@ -48,6 +49,7 @@ __all__ = [
     "compress_cirm",
     "decompress_cirm",
     "FreqMAEWavL1",
+    "MixITLossWrapper",
     "MultiSrcNegSDR",
     "PITLossWrapper",
     "PairwiseNegSDR",

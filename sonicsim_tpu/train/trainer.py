@@ -34,21 +34,47 @@ class TrainState:
 
 
 def make_optimizer(
-    lr: float = 1e-3, weight_decay: float = 0.0, clip_norm: float | None = 5.0
+    lr: float = 1e-3,
+    weight_decay: float = 0.0,
+    clip_norm: float | None = 5.0,
+    name: str = "adam",
+    **kwargs,
 ) -> optax.GradientTransformation:
-    """Adam (+ optional decoupled weight decay) behind a dynamic LR.
+    """Named-optimizer factory behind a dynamic (injected) LR.
 
-    Mirrors configs/convtasnet.yaml optimizer+trainer (Adam lr 1e-3,
-    gradient_clip_val 5.0)."""
+    Mirrors the reference's optimizer zoo re-exports + make_optimizer
+    factory (look2hear/system/optimizers.py:8-113) on optax: adam, adamw,
+    sgd, rmsprop, adagrad, adadelta, lamb, lars, radam, adafactor, novograd,
+    yogi, adabelief, lion. Gradient clipping matches trainer
+    gradient_clip_val (configs/convtasnet.yaml)."""
+    table = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+        "rmsprop": optax.rmsprop,
+        "adagrad": optax.adagrad,
+        "adadelta": optax.adadelta,
+        "lamb": optax.lamb,
+        "lars": optax.lars,
+        "radam": optax.radam,
+        "adafactor": optax.adafactor,
+        "novograd": optax.novograd,
+        "yogi": optax.yogi,
+        "adabelief": optax.adabelief,
+        "lion": optax.lion,
+    }
+    key = name.lower()
+    if key not in table:
+        raise KeyError(f"unknown optimizer {name!r}; known: {sorted(table)}")
+    if weight_decay and key in ("adam",):
+        key = "adamw"
+    fn = table[key]
+    if weight_decay and "weight_decay" in fn.__code__.co_varnames:
+        kwargs["weight_decay"] = weight_decay
     steps = []
     if clip_norm is not None:
         steps.append(optax.clip_by_global_norm(clip_norm))
-    opt = (
-        optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
-        if weight_decay
-        else optax.inject_hyperparams(optax.adam)(learning_rate=lr)
-    )
-    steps.append(opt)
+    steps.append(optax.inject_hyperparams(fn)(learning_rate=lr, **kwargs))
     return optax.chain(*steps)
 
 
@@ -106,7 +132,21 @@ class Trainer:
     exp_dir: str | Path = "Exps/run"
     n_devices: int | None = None
     log_every: int = 50
+    optimizer_name: str = "adam"
+    wandb_project: str | None = None  # optional W&B mirror of the JSONL log
     history: list = field(default_factory=list)
+
+    def _init_wandb(self):
+        if not self.wandb_project:
+            return None
+        try:
+            import wandb
+
+            return wandb.init(
+                project=self.wandb_project, name=Path(self.exp_dir).name
+            )
+        except ImportError:
+            return None
 
     def fit(
         self,
@@ -130,9 +170,12 @@ class Trainer:
         data_shard = batch_sharding(mesh)
         rep = replicated_sharding(mesh)
 
+        wb = self._init_wandb()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         params = self.model.init_params(rng, example_len)
-        optimizer = make_optimizer(self.lr, self.weight_decay, self.clip_norm)
+        optimizer = make_optimizer(
+            self.lr, self.weight_decay, self.clip_norm, name=self.optimizer_name
+        )
         opt_state = optimizer.init(params)
         params = replicate(params, mesh)
         opt_state = jax.tree.map(
@@ -193,6 +236,8 @@ class Trainer:
             self.history.append(rec)
             with open(exp_dir / "metrics.jsonl", "a") as f:
                 f.write(json.dumps(rec) + "\n")
+            if wb is not None:
+                wb.log(rec)
 
             ckpt = exp_dir / "checkpoints" / f"epoch={epoch}-val_loss={val_loss:.4f}.pkl"
             if len(best_k) < self.save_top_k or val_loss < best_k[-1][0]:

@@ -109,3 +109,20 @@ def test_hungarian_path_large_nsrc(rng):
         reordered = np.asarray(reorder_sources(jnp.asarray(ests), idx))
         np.testing.assert_allclose(reordered[b], tgts[b], atol=1e-6)
         np.testing.assert_array_equal(np.asarray(idx)[b], expected)
+
+
+def test_mixit_recovers_assignment(rng):
+    from sonicsim_tpu.losses import MixITLossWrapper, multisrc_neg_sdr
+
+    # 4 true sources; mixtures are (s0+s1, s2+s3); ests = the true sources.
+    srcs = rng.standard_normal((3, 4, 500)).astype(np.float32)
+    mixes = np.stack([srcs[:, 0] + srcs[:, 1], srcs[:, 2] + srcs[:, 3]], axis=1)
+    mixit = MixITLossWrapper(
+        lambda est, mix: multisrc_neg_sdr(est, mix, "snr")
+    )
+    loss, best = mixit(jnp.asarray(srcs), jnp.asarray(mixes), return_est=True)
+    assert float(loss) < -50  # perfect assignment exists
+    np.testing.assert_allclose(np.asarray(best), mixes, atol=1e-5)
+    # Random ests score far worse.
+    bad = jnp.asarray(rng.standard_normal((3, 4, 500)).astype(np.float32))
+    assert float(mixit(bad, jnp.asarray(mixes))) > -5
