@@ -33,6 +33,14 @@ class SegLSTM(nn.Module):
     input_size: int
     hidden_size: int
     bidirectional: bool = True
+    norm_type: str = "gLN"  # reference: cLN when causal (skim.py:701)
+
+    def _norm(self, name):
+        from .layers import ChannelLayerNorm
+
+        if self.norm_type == "cLN":
+            return ChannelLayerNorm(self.input_size, name=name)
+        return GroupNorm1(name=name)
 
     @nn.compact
     def __call__(self, x: jax.Array, hc):
@@ -60,7 +68,7 @@ class SegLSTM(nn.Module):
             carry, out = make_rnn("lstm_fwd")(x, initial_carry=hc[0], return_carry=True)
             final = (carry,)
         out = nn.Dense(self.input_size, name="proj")(out)
-        out = x + GroupNorm1(name="norm")(out)
+        out = x + self._norm("norm")(out)
         return out, final
 
 
@@ -71,6 +79,14 @@ class MemLSTM(nn.Module):
     hidden_size: int
     bidirectional: bool = True
     mem_type: str = "hc"
+    norm_type: str = "gLN"
+
+    def _norm(self, dim, name):
+        from .layers import ChannelLayerNorm
+
+        if self.norm_type == "cLN":
+            return ChannelLayerNorm(dim, name=name)
+        return GroupNorm1(name=name)
 
     @nn.compact
     def __call__(self, hc, n_seg: int):
@@ -81,7 +97,7 @@ class MemLSTM(nn.Module):
 
         def across_segments(x, name):  # x: (B*S, d*H) stacked as (B, S, dH)
             y = LSTMLayer(self.hidden_size, self.bidirectional, name=f"{name}_net")(x)
-            return x + GroupNorm1(name=f"{name}_norm")(y)
+            return x + self._norm(d_h, f"{name}_norm")(y)
 
         # Gather (c, h) per direction → (B, S, d*H).
         cs = jnp.concatenate([hc[d][0] for d in range(n_dir)], axis=-1)
@@ -97,6 +113,11 @@ class MemLSTM(nn.Module):
             cs = across_segments(cs, "c")
         else:
             cs = jnp.zeros_like(cs)
+        if not self.bidirectional:
+            # Causal shift (skim.py:378-387): segment p consumes the memory
+            # state produced after segment p-1; segment 0 starts from zeros.
+            cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs[:, :-1]], axis=1)
+            hs = jnp.concatenate([jnp.zeros_like(hs[:, :1]), hs[:, :-1]], axis=1)
         cs = cs.reshape(bs * n_seg, d_h)
         hs = hs.reshape(bs * n_seg, d_h)
         return tuple(
@@ -153,11 +174,13 @@ class SkiMNet(BaseModel):
         hc = None
         for i in range(self.layer):
             out, hc = SegLSTM(
-                self.input_dim, self.unit, bidirectional, name=f"seg_lstm_{i}"
+                self.input_dim, self.unit, bidirectional,
+                "cLN" if self.causal else "gLN", name=f"seg_lstm_{i}",
             )(out, hc)
             if self.mem_type and i < self.layer - 1:
                 hc = MemLSTM(
-                    self.unit, bidirectional, self.mem_type, name=f"mem_lstm_{i}"
+                    self.unit, bidirectional, self.mem_type,
+                    "cLN" if self.causal else "gLN", name=f"mem_lstm_{i}",
                 )(hc, s)
 
         out = out.reshape(b, s, k, d)
@@ -181,3 +204,151 @@ class SkiMNet(BaseModel):
         dec = dec[:, :nsample]
         dec = jnp.pad(dec, ((0, 0), (0, nsample - dec.shape[-1])))
         return dec.reshape(bsz, self.num_spk, nsample)
+
+
+class SkiMStreamer:
+    """Segment-streaming inference for causal SkiM (forward_stream parity,
+    skim.py:603+, at segment granularity).
+
+    Feed raw audio chunks of ``segment_size * (kernel_size // 2)`` samples;
+    returns the separated chunk with the same length. Carries per-layer
+    SegLSTM states, MemLSTM refinement carries, the encoder's raw-sample
+    overlap and the decoder's overlap-add tail across calls.
+    """
+
+    def __init__(self, model: SkiMNet, params):
+        if not model.causal or model.seg_overlap:
+            raise ValueError(
+                "streaming requires causal=True, seg_overlap=False"
+            )
+        self.model = model
+        self.params = params["params"] if "params" in params else params
+        self.hop = model.kernel_size // 2
+        self.chunk_samples = model.segment_size * self.hop
+        self.reset()
+
+    def reset(self, batch: int = 1) -> None:
+        self.batch = batch
+        u = self.model.unit
+        zeros = lambda: (jnp.zeros((batch, u)), jnp.zeros((batch, u)))
+        # layer_in[i]: the SegLSTM initial state layer i uses for the NEXT
+        # segment. Offline semantics (skim.py:560-575 + causal shift):
+        # layer (i+1)'s initial state at segment p is the Mem-refined final
+        # state of layer i at segment p-1; layer 0 always starts from zeros.
+        self.layer_in = [None for _ in range(self.model.layer)]
+        self.mem_carry = [
+            {"h": zeros(), "c": zeros()} for _ in range(self.model.layer - 1)
+        ]
+        if self.model.mem_type != "hc":
+            raise NotImplementedError("streaming supports mem_type='hc'")
+        self.raw_buf = None  # raw samples not yet framed
+        self.frame_buf = None  # encoded frames not yet segmented
+        self.dec_tail = None  # decoder overlap-add carry
+
+    def _seg_lstm(self, i, x, hc):
+        mod = SegLSTM(
+            self.model.input_dim, self.model.unit, False, "cLN"
+        )
+        return mod.apply({"params": self.params[f"seg_lstm_{i}"]}, x, hc)
+
+    def _mem_step(self, i, hc):
+        """MemLSTM.forward_one_step parity: refine this segment's (c, h)
+        through the mem LSTMs (with carry) for use by the next segment."""
+        import flax.linen as nn
+
+        p = self.params[f"mem_lstm_{i}"]
+        (c, h) = hc[0]  # unidirectional: single-direction carry
+
+        def run(name, vec, carry):
+            cell = nn.OptimizedLSTMCell(self.model.unit)
+            cell_params = p[f"{name}_net"]["OptimizedLSTMCell_0"]
+            new_carry, out = cell.apply(
+                {"params": cell_params}, carry, vec
+            )
+            from .layers import ChannelLayerNorm
+
+            normed = ChannelLayerNorm(self.model.unit).apply(
+                {"params": p[f"{name}_norm"]}, out[:, None, :]
+            )[:, 0]
+            return vec + normed, new_carry
+
+        h_ref, self.mem_carry[i]["h"] = run("h", h, self.mem_carry[i]["h"])
+        c_ref, self.mem_carry[i]["c"] = run("c", c, self.mem_carry[i]["c"])
+        return ((c_ref, h_ref),)
+
+    def step(self, wav_chunk: jax.Array) -> jax.Array:
+        """Feed (B, n) raw samples; returns (B, num_spk, m) for however many
+        output samples became ready (m grows in segment-size units)."""
+        import flax.linen as nn
+
+        model = self.model
+        k, hop = model.kernel_size, self.hop
+        x = jnp.atleast_2d(wav_chunk)
+        self.raw_buf = (
+            x if self.raw_buf is None else jnp.concatenate([self.raw_buf, x], axis=1)
+        )
+
+        # Encode every complete frame currently in the buffer.
+        n_avail = self.raw_buf.shape[1]
+        n_fr = (n_avail - k) // hop + 1 if n_avail >= k else 0
+        if n_fr > 0:
+            used = self.raw_buf[:, : (n_fr - 1) * hop + k]
+            enc = jax.nn.relu(
+                nn.Conv(
+                    model.input_dim, (k,), strides=(hop,), padding="VALID",
+                    use_bias=False,
+                ).apply({"params": self.params["encoder"]}, used[..., None])
+            )
+            self.frame_buf = (
+                enc if self.frame_buf is None
+                else jnp.concatenate([self.frame_buf, enc], axis=1)
+            )
+            self.raw_buf = self.raw_buf[:, n_fr * hop :]
+
+        outs = []
+        while self.frame_buf is not None and (
+            self.frame_buf.shape[1] >= model.segment_size
+        ):
+            seg = self.frame_buf[:, : model.segment_size]
+            self.frame_buf = self.frame_buf[:, model.segment_size :]
+            outs.append(self._process_segment(seg))
+        if not outs:
+            b = x.shape[0]
+            return jnp.zeros((b, model.num_spk, 0), x.dtype)
+        return jnp.concatenate(outs, axis=-1)
+
+    def _process_segment(self, enc: jax.Array) -> jax.Array:
+        import flax.linen as nn
+
+        from .layers import PReLU, get_activation
+
+        model = self.model
+        k, hop = model.kernel_size, self.hop
+        out = enc
+        next_in = [None for _ in range(model.layer)]
+        for i in range(model.layer):
+            out, hc = self._seg_lstm(i, out, self.layer_in[i])
+            if i < model.layer - 1:
+                next_in[i + 1] = self._mem_step(i, hc)
+        self.layer_in = next_in
+
+        merged = PReLU().apply({"params": self.params["out_prelu"]}, out)
+        masks = nn.Conv(model.input_dim * model.num_spk, (1,)).apply(
+            {"params": self.params["output_fc"]}, merged
+        )
+        b, fr, _ = masks.shape
+        masks = get_activation(model.nonlinear)(
+            masks.reshape(b, fr, model.num_spk, model.input_dim)
+        )
+        masked = enc[:, :, None, :] * masks
+        masked = jnp.moveaxis(masked, 2, 1).reshape(
+            b * model.num_spk, fr, model.input_dim
+        )
+        dec = nn.ConvTranspose(
+            1, (k,), strides=(hop,), padding="VALID", use_bias=False
+        ).apply({"params": self.params["decoder"]}, masked)[..., 0]
+        n_out = fr * hop
+        if self.dec_tail is not None:
+            dec = dec.at[:, : k - hop].add(self.dec_tail)
+        self.dec_tail = dec[:, n_out:]
+        return dec[:, :n_out].reshape(b, model.num_spk, n_out)

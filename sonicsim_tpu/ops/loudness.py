@@ -124,10 +124,21 @@ def k_weight(x: jax.Array, rate: int, exact: bool = False) -> jax.Array:
         for b, a in k_weighting_coeffs(rate):
             x = biquad(x, b, a)
         return x
-    from .fftconv import fft_convolve
-
-    h = jnp.asarray(_kweight_fir(rate))
-    return fft_convolve(x, h)[..., : x.shape[-1]]
+    # Overlap-save block convolution: many small power-of-two FFTs beat one
+    # signal-length FFT on TPU by a wide margin.
+    h = _kweight_fir(rate)
+    l = len(h)
+    t = x.shape[-1]
+    nfft = 8192
+    step = nfft - (l - 1)
+    n_blocks = -(-t // step)
+    xpad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(l - 1, n_blocks * step - t)])
+    idx = np.arange(n_blocks)[:, None] * step + np.arange(nfft)[None, :]
+    blocks = xpad[..., idx]  # (..., n_blocks, nfft)
+    hf = jnp.asarray(np.fft.rfft(h, nfft).astype(np.complex64))
+    conv = jnp.fft.irfft(jnp.fft.rfft(blocks, nfft) * hf, nfft)
+    out = conv[..., l - 1 :]  # valid part of each block: (..., n_blocks, step)
+    return out.reshape(*x.shape[:-1], n_blocks * step)[..., :t]
 
 
 @partial(jax.jit, static_argnames=("rate", "block_size"))
@@ -148,14 +159,23 @@ def integrated_loudness(
     hop = max(int(round(block * 0.25)), 1)
     n_frames = max((t - block) // hop + 1, 1)
 
-    # Frame mean-square energies via cumulative sums (static shapes).
-    csum = jnp.concatenate(
-        [jnp.zeros((n_ch, 1), jnp.float32), jnp.cumsum(xw * xw, axis=-1)], axis=-1
-    )
-    starts = jnp.arange(n_frames) * hop
-    z = (
-        csum[:, starts + min(block, t)] - csum[:, starts]
-    ) / block  # (C, n_frames)
+    if block == 4 * hop and t >= block:
+        # 75%-overlap fast path: per-hop chunk energies + 4-chunk rolling
+        # sum — no length-T cumulative scan.
+        n_chunks = t // hop
+        sq = (xw[:, : n_chunks * hop] ** 2).reshape(n_ch, n_chunks, hop)
+        chunk_e = sq.sum(-1)  # (C, n_chunks)
+        z = (
+            chunk_e[:, :-3] + chunk_e[:, 1:-2] + chunk_e[:, 2:-1] + chunk_e[:, 3:]
+        )[:, :n_frames] / block
+    else:
+        # General path: frame energies via cumulative sums (static shapes).
+        csum = jnp.concatenate(
+            [jnp.zeros((n_ch, 1), jnp.float32), jnp.cumsum(xw * xw, axis=-1)],
+            axis=-1,
+        )
+        starts = jnp.arange(n_frames) * hop
+        z = (csum[:, starts + min(block, t)] - csum[:, starts]) / block
 
     weights = jnp.asarray(_CH_WEIGHTS[:n_ch], jnp.float32)
     wz = jnp.einsum("c,cf->f", weights, z)  # (n_frames,)

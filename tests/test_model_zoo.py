@@ -88,3 +88,34 @@ def test_model_grad_flow(name, rng):
 def test_registry_has_all_separation_models():
     for name in ZOO_SMALL:
         assert get(name) is not None
+
+
+def test_skim_streaming_matches_offline_causal(rng):
+    """Segment-streaming SkiM == offline causal forward."""
+    from sonicsim_tpu.models.skim import SkiMNet, SkiMStreamer
+
+    model = SkiMNet(
+        input_dim=8, layer=3, unit=8, segment_size=10, causal=True,
+        seg_overlap=False, kernel_size=4,
+    )
+    hop = model.kernel_size // 2
+    chunk = model.segment_size * hop  # raw samples per segment
+    n_chunks = 4
+    t = chunk * n_chunks
+    params = model.init_params(jax.random.PRNGKey(0), example_len=t)
+    wav = jnp.asarray(rng.standard_normal((1, t)).astype(np.float32))
+
+    offline = np.asarray(model.apply(params, wav))
+
+    streamer = SkiMStreamer(model, params)
+    outs = [
+        np.asarray(streamer.step(wav[:, c * chunk : (c + 1) * chunk]))
+        for c in range(n_chunks)
+    ]
+    streamed = np.concatenate(outs, axis=-1)
+    # Offline output covers T samples; the stream lags by the decoder tail
+    # (k - hop) but matches where both are defined.
+    n = min(streamed.shape[-1], offline.shape[-1])
+    np.testing.assert_allclose(
+        streamed[..., : n - hop], offline[..., : n - hop], rtol=1e-3, atol=1e-4
+    )
