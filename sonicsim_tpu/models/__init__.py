@@ -13,6 +13,7 @@ from .bsrnn_espnet import BSRNNESPNet
 from .conv_tasnet import ConvTasNet
 from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
+from .enc_dec import FreeDecoder, FreeEncoder, make_enc_dec
 from .dptnet import DPTNetModel
 from .fullsubnet import Fullband, FullSubnet
 from .fullsubnet_plus import FullSubNet_Plus
@@ -40,6 +41,9 @@ __all__ = [
     "DPTNetModel",
     "FullSubnet",
     "Fullband",
+    "FreeDecoder",
+    "FreeEncoder",
+    "make_enc_dec",
     "BSRNNESPNet",
     "FRCRN",
     "FastFullSubnet",
