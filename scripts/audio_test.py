@@ -21,6 +21,7 @@ import jax
 
 from sonicsim_tpu.dataset.sampler import MovingTestEvalDataset
 from sonicsim_tpu.metrics import MetricsTracker
+from sonicsim_tpu.infer import to_waveform
 from sonicsim_tpu.models import from_pretrain
 from sonicsim_tpu.utils import load_config
 
@@ -44,7 +45,9 @@ def main() -> None:
     cfg = load_config(args.conf_dir)
     exp_dir = Path(cfg["exp"]["dir"]) / cfg["exp"]["name"]
     model, params = from_pretrain(args.model_path or exp_dir / "best_model.pkl")
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    fwd = jax.jit(
+        lambda p, x: to_waveform(model, model.apply(p, x), x.shape[-1])
+    )
 
     ds = MovingTestEvalDataset(
         speech_dir=cfg["datas"]["test_dir"],

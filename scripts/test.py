@@ -21,6 +21,7 @@ import jax
 
 from sonicsim_tpu.dataset.sampler import MovingTestDataset
 from sonicsim_tpu.metrics import MetricsTracker
+from sonicsim_tpu.infer import to_waveform
 from sonicsim_tpu.models import from_pretrain
 from sonicsim_tpu.utils import load_config
 
@@ -75,7 +76,12 @@ def main() -> None:
         return_path=True,
     )
     tracker = MetricsTracker(exp_dir / "results" / "metrics.csv")
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    # Postprocessing is fused into the jitted forward: enhancement models
+    # return spectra/tuples whose eager materialization is both slow and,
+    # on some backends, unsupported op-by-op.
+    fwd = jax.jit(
+        lambda p, x: to_waveform(model, model.apply(p, x), x.shape[-1])
+    )
 
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
     from sonicsim_tpu.infer import segment_mixture

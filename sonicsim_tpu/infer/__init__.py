@@ -1,8 +1,10 @@
 from .chunked import wav_chunk_inference
+from .postprocess import to_waveform
 from .vad import energy_vad, segment_mixture
 from .stitch import concatenate_tracks, spectral_embedding, stitch_segments
 
 __all__ = [
+    "to_waveform",
     "energy_vad",
     "segment_mixture",
     "concatenate_tracks",

@@ -148,3 +148,25 @@ def test_librosa_mel_fb_properties():
     # Narrow low-frequency bands can miss every FFT bin at this resolution
     # (librosa warns about the same); the vast majority must have support.
     assert (fb.sum(axis=1) > 0).mean() > 0.8
+
+
+def test_to_waveform_dispatch():
+    import jax
+    import numpy as np
+
+    from sonicsim_tpu.infer import to_waveform
+    from sonicsim_tpu.models import ConvTasNet, Fullband
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3200)).astype(np.float32) * 0.1
+
+    m = Fullband(num_freqs=129, hidden_size=16, n_fft=256, hop_length=128,
+                 win_length=256)
+    p = m.init_params(jax.random.PRNGKey(0), example_len=3200)
+    wav = to_waveform(m, m.apply(p, x), 3200)
+    assert wav.shape == (1, 1, 3200)
+
+    c = ConvTasNet(N=16, L=16, B=8, H=16, X=1, R=1)
+    pc = c.init_params(jax.random.PRNGKey(0), example_len=3200)
+    wav = to_waveform(c, c.apply(pc, x), 3200)
+    assert wav.shape == (1, 2, 3200)
