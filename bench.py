@@ -59,15 +59,23 @@ def main() -> None:
         )
     )
 
-    out = render(audio, rirs)
-    out.block_until_ready()  # compile + warmup
+    # Timing note: block_until_ready does not reliably flush the remote
+    # (tunneled) TPU backend, and identical repeat dispatches can be deduped
+    # upstream. Each iteration's input therefore carries a data dependence on
+    # the previous iteration's output, and the loop is closed with a scalar
+    # device->host transfer that transitively depends on every render.
+    def timed_loop(iters: int) -> float:
+        acc = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = render(audio + acc * 1e-20, rirs)
+            acc = out[0, 0, 0]
+        float(acc)  # forces the whole chain
+        return time.perf_counter() - t0
 
+    timed_loop(1)  # compile + warmup
     iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render(audio, rirs)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    elapsed = timed_loop(iters)
 
     audio_seconds = duration * n_src * iters
     value = audio_seconds / elapsed

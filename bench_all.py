@@ -19,14 +19,32 @@ import numpy as np
 
 
 def _timeit(fn, *args, iters=5):
+    """block_until_ready does not reliably flush the remote (tunneled) TPU
+    backend and identical repeat dispatches can be deduped upstream, so each
+    iteration's input carries a data dependence on the previous output and
+    the loop closes with one scalar device->host transfer."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    flat, tree = jax.tree.flatten(args)
+    k = next(
+        i for i, a in enumerate(flat)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+    )
+
+    def call(acc):
+        fl = list(flat)
+        fl[k] = fl[k] + acc * 1e-20
+        out = fn(*jax.tree.unflatten(tree, fl))
+        leaf = next(a for a in jax.tree.leaves(out) if hasattr(a, "dtype"))
+        return jnp.ravel(leaf)[0]
+
+    float(call(jnp.float32(0.0)))  # compile + warmup
+    acc = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        acc = call(acc)
+    float(acc)
     return (time.perf_counter() - t0) / iters
 
 
@@ -119,6 +137,12 @@ def main() -> None:
     fwd = jax.jit(lambda p_, x: model.apply(p_, x))
     dt = _timeit(fwd, params, batch)
     results.append(("ConvTasNet inference", 4 * 4 / dt))
+
+    from sonicsim_tpu.infer import bf16_forward
+
+    fwd16 = jax.jit(bf16_forward(model))
+    dt = _timeit(fwd16, params, batch)
+    results.append(("ConvTasNet inference (bf16)", 4 * 4 / dt))
 
     for name, value in results:
         print(

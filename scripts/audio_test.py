@@ -39,14 +39,19 @@ def main() -> None:
     ap.add_argument("--task", default="separation",
                     choices=["separation", "enhancement"])
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the model core in bfloat16 (MXU-native)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     cfg = load_config(args.conf_dir)
     exp_dir = Path(cfg["exp"]["dir"]) / cfg["exp"]["name"]
     model, params = from_pretrain(args.model_path or exp_dir / "best_model.pkl")
+    from sonicsim_tpu.infer import bf16_forward
+
+    apply_fn = bf16_forward(model) if args.bf16 else model.apply
     fwd = jax.jit(
-        lambda p, x: to_waveform(model, model.apply(p, x), x.shape[-1])
+        lambda p, x: to_waveform(model, apply_fn(p, x), x.shape[-1])
     )
 
     ds = MovingTestEvalDataset(

@@ -28,13 +28,20 @@ def main() -> None:
     ap.add_argument("--mix", required=True, help="input mixture wav")
     ap.add_argument("--out_dir", default=".")
     ap.add_argument("--segment_seconds", type=float, default=10.0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the model core in bfloat16 (MXU-native)")
     args = ap.parse_args()
 
     model, params = from_pretrain(args.model_path)
     mix, sr = read_wav(args.mix)
     mono = mix.mean(axis=0)
     seg_len = int(args.segment_seconds * sr)
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    from sonicsim_tpu.infer import bf16_forward, to_waveform
+
+    apply_fn = bf16_forward(model) if args.bf16 else model.apply
+    fwd = jax.jit(
+        lambda p, x: to_waveform(model, apply_fn(p, x), x.shape[-1])
+    )
 
     segments = []
     for s in range(0, len(mono), seg_len):

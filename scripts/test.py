@@ -57,6 +57,8 @@ def main() -> None:
     ap.add_argument("--conf_dir", required=True)
     ap.add_argument("--model_path", default=None)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the model core in bfloat16 (MXU-native)")
     ap.add_argument(
         "--use_vad", action="store_true",
         help="segment with the energy VAD (the reference's pyannote role) "
@@ -79,8 +81,11 @@ def main() -> None:
     # Postprocessing is fused into the jitted forward: enhancement models
     # return spectra/tuples whose eager materialization is both slow and,
     # on some backends, unsupported op-by-op.
+    from sonicsim_tpu.infer import bf16_forward
+
+    apply_fn = bf16_forward(model) if args.bf16 else model.apply
     fwd = jax.jit(
-        lambda p, x: to_waveform(model, model.apply(p, x), x.shape[-1])
+        lambda p, x: to_waveform(model, apply_fn(p, x), x.shape[-1])
     )
 
     n = len(ds) if args.limit is None else min(args.limit, len(ds))

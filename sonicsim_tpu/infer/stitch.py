@@ -19,12 +19,20 @@ import numpy as np
 from ..ops.stft import hann_window, stft
 
 
-def spectral_embedding(wav: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
-    """Cheap speaker signature: time-averaged log band energies (64 bands)."""
+def _spec_mag(wav, n_fft: int):
     import jax.numpy as jnp
 
+    return jnp.abs(stft(jnp.asarray(wav), n_fft, 128, hann_window(n_fft)))
+
+
+def spectral_embedding(wav: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
+    """Cheap speaker signature: time-averaged log band energies (64 bands)."""
+    import jax
+
     n_fft = 512
-    spec = np.abs(np.asarray(stft(jnp.asarray(wav), n_fft, 128, hann_window(n_fft))))
+    # jit rather than eager op-by-op: remote TPU backends reject some ops
+    # outside a compiled computation.
+    spec = np.asarray(jax.jit(_spec_mag, static_argnums=1)(wav, n_fft))
     bands = spec.reshape(-1, spec.shape[-1])  # (F, frames)
     # Pool 257 bins → 64 log bands.
     f = bands.shape[0]

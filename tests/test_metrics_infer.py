@@ -170,3 +170,20 @@ def test_to_waveform_dispatch():
     pc = c.init_params(jax.random.PRNGKey(0), example_len=3200)
     wav = to_waveform(c, c.apply(pc, x), 3200)
     assert wav.shape == (1, 2, 3200)
+
+
+def test_bf16_forward_fidelity():
+    import jax
+    import numpy as np
+
+    from sonicsim_tpu.infer import bf16_forward
+    from sonicsim_tpu.models import ConvTasNet
+
+    m = ConvTasNet(N=16, L=16, B=8, H=16, X=1, R=1)
+    p = m.init_params(jax.random.PRNGKey(0), example_len=3200)
+    x = np.random.default_rng(5).standard_normal((2, 3200)).astype(np.float32)
+    o32 = np.asarray(m.apply(p, x))
+    o16 = np.asarray(jax.jit(bf16_forward(m))(p, x))
+    assert o16.dtype == np.float32
+    rel = np.linalg.norm(o16 - o32) / np.linalg.norm(o32)
+    assert rel < 0.05  # ~>26 dB fidelity
