@@ -110,6 +110,65 @@ class Scene:
             receiver_rotation,
         )
 
+    def render_ir_all(
+        self,
+        source_positions: list[np.ndarray],
+        receiver_position: np.ndarray,
+        receiver_rotation: float = 90.0,
+    ) -> list[np.ndarray]:
+        """Per-source RIRs at one receiver (render_ir_all, SonicSim_rir.py:436)."""
+        return [
+            self.render_ir(p, receiver_position, receiver_rotation)
+            for p in source_positions
+        ]
+
+    def generate_data(
+        self,
+        source_positions: list[np.ndarray],
+        receiver_position: np.ndarray,
+        receiver_rotation: float = 90.0,
+        dry_sounds: list | None = None,
+        use_dry_sound: bool = False,
+    ) -> dict:
+        """One-call scene render (Scene.generate_data, SonicSim_rir.py:566-608).
+
+        Returns ``ir_list`` (per-source (C, L) RIRs), ``sample_rate``,
+        ``envmap`` (always [None, None]: no visual sensor in this build —
+        the reference gates it on include_visual_sensor the same way),
+        and, when ``use_dry_sound``, each dry sound convolved with its RIR
+        (``audio_list``) plus the loaded dry sounds. ``dry_sounds`` entries
+        may be arrays or wav paths.
+        """
+        import jax
+
+        from ..ops.fftconv import convolve_fixed_receiver
+        from ..utils.wavio import read_wav
+
+        ir_list = self.render_ir_all(
+            source_positions, receiver_position, receiver_rotation
+        )
+        audio_list: list[np.ndarray] = []
+        dry_list: list[np.ndarray] = []
+        if use_dry_sound:
+            if dry_sounds is None or len(dry_sounds) != len(source_positions):
+                raise ValueError("use_dry_sound requires one dry sound per source")
+            conv = jax.jit(convolve_fixed_receiver)
+            for dry, ir in zip(dry_sounds, ir_list):
+                if isinstance(dry, (str, bytes)):
+                    dry, _sr = read_wav(dry)
+                dry = np.asarray(dry, np.float32)
+                if dry.ndim > 1:
+                    dry = dry[0]
+                audio_list.append(np.asarray(conv(dry, np.asarray(ir, np.float32))))
+                dry_list.append(dry)
+        return dict(
+            ir_list=ir_list,
+            sample_rate=getattr(self.oracle, "sample_rate", 16000),
+            envmap=[None, None],
+            audio_list=audio_list,
+            dry_sound_list=dry_list,
+        )
+
     def render_bank(
         self,
         source_positions: list[np.ndarray],

@@ -258,3 +258,29 @@ def test_multiband_oracle_in_scene():
     scene.oracle.n_bands = 8
     rir = scene.render_ir(np.array([2.0, 0.0, 2.0]), np.array([6.0, 0.0, 4.0]))
     assert rir.ndim == 2 and np.isfinite(rir).all()
+
+
+def test_scene_generate_data():
+    import numpy as np
+
+    from sonicsim_tpu.sim.scene import Scene
+
+    scene = Scene.synthetic(resolution=0.5, max_order=2)
+    rng = np.random.default_rng(0)
+    srcs = [np.array([2.0, 0.0, 2.0]), np.array([6.0, 0.0, 5.0])]
+    recv = np.array([4.0, 0.0, 4.0])
+    dry = [rng.standard_normal(8000).astype(np.float32) * 0.1 for _ in srcs]
+
+    out = scene.generate_data(srcs, recv, dry_sounds=dry, use_dry_sound=True)
+    assert len(out["ir_list"]) == 2
+    assert out["ir_list"][0].shape[0] == 2  # binaural
+    assert out["sample_rate"] == 16000
+    assert out["envmap"] == [None, None]
+    assert len(out["audio_list"]) == 2
+    a = out["audio_list"][0]
+    assert a.shape[0] == 2 and a.shape[-1] >= 8000
+    assert np.isfinite(a).all() and np.abs(a).max() > 0
+
+    # without dry sound: IRs only
+    out2 = scene.generate_data(srcs, recv)
+    assert out2["audio_list"] == [] and len(out2["ir_list"]) == 2
