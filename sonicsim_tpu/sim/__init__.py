@@ -21,6 +21,7 @@ from .image_source import (
     render_shoebox_rir,
     render_shoebox_rir_multiband,
 )
+from .entities import Receiver, Source
 from .grid_cache import grid_cache_path, load_room_grid, save_xy_grid_points
 from .maps import points_to_pixels, save_trace_image, topdown_map
 from .materials import (
@@ -42,6 +43,8 @@ from .oracle import (
 from .scene import Scene
 
 __all__ = [
+    "Receiver",
+    "Source",
     "ACOUSTIC_CONFIG",
     "BankRirOracle",
     "CHANNEL_TYPES",

@@ -169,6 +169,24 @@ class Scene:
             dry_sound_list=dry_list,
         )
 
+    def render_custom_arrayir(
+        self,
+        source_position: np.ndarray,
+        receiver_position: np.ndarray,
+        mic_array: list,
+        receiver_rotation: float = 90.0,
+    ) -> np.ndarray:
+        """(n_mics, L) RIR for an ad-hoc mic array at one receiver pose
+        (create_custom_arrayir, SonicSim_rir.py:611-666: N mono renders at
+        receiver_position+offset, clipped to a common length)."""
+        chan = ChannelModel("CustomArrayIR", self.channel.channel_order, mic_array)
+        return self.oracle.render(
+            self._elevate(source_position, self.source_height),
+            self._elevate(receiver_position, self.sensor_height),
+            chan,
+            receiver_rotation,
+        )
+
     def render_bank(
         self,
         source_positions: list[np.ndarray],

@@ -1,9 +1,21 @@
 from .profiling import StageTimer, annotate, trace
 from .config import import_target, instantiate, load_config, save_config
 from .registry import Registry
+from .audio import (
+    all_pairs,
+    clip_all,
+    clip_two,
+    normalize,
+    sum_arrays_with_different_length,
+)
 from .wavio import read_wav, resample, write_wav
 
 __all__ = [
+    "all_pairs",
+    "clip_all",
+    "clip_two",
+    "normalize",
+    "sum_arrays_with_different_length",
     "Registry",
     "StageTimer",
     "annotate",

@@ -1,0 +1,57 @@
+"""Small audio/list utilities (SonicSim_audio.py:49-151 + SonicSim_rir.py:24-41).
+
+Host-side numpy helpers used by the generation pipeline; the jittable
+level/LUFS math lives in ``ops.levels`` / ``ops.loudness``.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+from typing import Any, Sequence
+
+import numpy as np
+
+
+def normalize(audio: np.ndarray, norm: str = "peak") -> np.ndarray:
+    """Peak or RMS normalization (SonicSim_audio.py:49-66). The rms variant
+    matches the reference's convention: RMS over the signal with trailing
+    zeros trimmed, scaled by 100."""
+    audio = np.asarray(audio)
+    if norm == "peak":
+        peak = np.abs(audio).max()
+        return audio / peak if peak != 0 else audio
+    if norm == "rms":
+        trimmed = np.trim_zeros(audio, trim="b")
+        rms = float(np.sqrt(np.mean(np.square(trimmed)))) * 100 if trimmed.size else 0.0
+        return audio / rms if rms != 0 else audio
+    raise NotImplementedError(f"unknown norm {norm!r}")
+
+
+def clip_all(audio_list: Sequence[np.ndarray]) -> list[np.ndarray]:
+    """Truncate every signal to the shortest length (SonicSim_audio.py:111)."""
+    n = min(a.shape[-1] for a in audio_list)
+    return [a[..., :n] for a in audio_list]
+
+
+def clip_two(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Truncate the longer of two signals (SonicSim_audio.py:130-151)."""
+    n = min(a.shape[-1], b.shape[-1])
+    return a[..., :n], b[..., :n]
+
+
+def sum_arrays_with_different_length(arrays: Sequence[np.ndarray]) -> np.ndarray:
+    """Zero-pad to the longest then sum (SonicSim_rir.py ir_total combine)."""
+    n = max(a.shape[-1] for a in arrays)
+    out = np.zeros(arrays[0].shape[:-1] + (n,), dtype=np.result_type(*arrays))
+    for a in arrays:
+        out[..., : a.shape[-1]] += a
+    return out
+
+
+def all_pairs(list1: Sequence[Any], list2: Sequence[Any]) -> tuple[list, list]:
+    """Cartesian product as two aligned lists (SonicSim_audio.py:88-109)."""
+    pairs = list(product(list1, list2))
+    if not pairs:
+        return [], []
+    a, b = zip(*pairs)
+    return list(a), list(b)

@@ -284,3 +284,19 @@ def test_scene_generate_data():
     # without dry sound: IRs only
     out2 = scene.generate_data(srcs, recv)
     assert out2["audio_list"] == [] and len(out2["ir_list"]) == 2
+
+
+def test_render_custom_arrayir():
+    import numpy as np
+
+    from sonicsim_tpu.sim.scene import Scene
+
+    scene = Scene.synthetic(resolution=0.5, max_order=2)
+    mics = [(0.1, 0.0, 0.0), (-0.1, 0.0, 0.0), (0.0, 0.0, 0.1)]
+    ir = scene.render_custom_arrayir(
+        np.array([2.0, 0.0, 2.0]), np.array([5.0, 0.0, 4.0]), mics
+    )
+    assert ir.shape[0] == 3
+    assert np.isfinite(ir).all() and np.abs(ir).max() > 0
+    # mic offsets change arrival: channels must differ
+    assert not np.allclose(ir[0], ir[1])

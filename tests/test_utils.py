@@ -91,3 +91,40 @@ def test_interpolate_positions(rng):
     # Constant speed: consecutive step sizes nearly equal.
     step = np.linalg.norm(np.diff(pts, axis=0), axis=1)
     assert step.std() < step.mean() * 0.5
+
+
+def test_audio_utils_parity():
+    import numpy as np
+
+    from sonicsim_tpu.utils import (
+        all_pairs,
+        clip_all,
+        clip_two,
+        normalize,
+        sum_arrays_with_different_length,
+    )
+
+    a = np.array([0.5, -2.0, 1.0, 0.0, 0.0])
+    assert np.abs(normalize(a)).max() == 1.0
+    r = normalize(a, "rms")
+    rms = np.sqrt(np.mean(np.square(np.trim_zeros(a, "b")))) * 100
+    np.testing.assert_allclose(r, a / rms)
+
+    x, y = clip_two(np.zeros(7), np.zeros(4))
+    assert x.shape[-1] == y.shape[-1] == 4
+    assert [c.shape[-1] for c in clip_all([np.zeros(3), np.zeros(9)])] == [3, 3]
+
+    s = sum_arrays_with_different_length([np.ones(2), np.ones(4)])
+    np.testing.assert_array_equal(s, [2.0, 2.0, 1.0, 1.0])
+
+    l1, l2 = all_pairs([1, 2], ["a", "b"])
+    assert l1 == [1, 1, 2, 2] and l2 == ["a", "b", "a", "b"]
+
+
+def test_receiver_source_entities():
+    from sonicsim_tpu.sim import Receiver, Source
+
+    r = Receiver(position=(1.0, 0.0, 2.0))
+    s = Source(position=(0.0, 0.0, 0.0), dry_sound="x.wav")
+    assert r.sample_rate == 16000 and r.rotation == 90.0
+    assert s.dry_sound == "x.wav"
