@@ -196,3 +196,38 @@ def _convert_convtasnet(model, sd) -> dict:
     p["mask"] = conv1d(sd, "mask")
     p["decoder"] = conv_transpose1d(sd, "decoder.decoder")
     return p
+
+
+@register_converter("sudormrf")
+def _convert_sudormrf(model, sd) -> dict:
+    """Map separation/look2hear/models/sudormrf.py parameter names
+    (encoder/ln/bottleneck/sm.{i}/mask_net/decoder)."""
+    p: dict = {
+        "encoder": conv1d(sd, "encoder"),
+        "ln": gln(sd, "ln"),
+        "bottleneck": conv1d(sd, "bottleneck"),
+        "mask_prelu": prelu(sd, "mask_net.0"),
+        "mask_conv": conv1d(sd, "mask_net.1"),
+        "decoder": conv_transpose1d(sd, "decoder"),
+    }
+    for i in range(model.num_blocks):
+        b = f"sm.{i}"
+        blk: dict = {
+            "proj_1x1": {
+                "Conv_0": conv1d(sd, f"{b}.proj_1x1.conv"),
+                "GlobalLayerNorm_0": gln(sd, f"{b}.proj_1x1.norm"),
+                "PReLU_0": prelu(sd, f"{b}.proj_1x1.act"),
+            },
+            "final_norm": {
+                "GlobalLayerNorm_0": gln(sd, f"{b}.final_norm.norm"),
+                "PReLU_0": prelu(sd, f"{b}.final_norm.act"),
+            },
+            "res_conv": conv1d(sd, f"{b}.res_conv"),
+        }
+        for k in range(model.upsampling_depth):
+            blk[f"spp_{k}"] = {
+                "Conv_0": conv1d(sd, f"{b}.spp_dw.{k}.conv"),
+                "GlobalLayerNorm_0": gln(sd, f"{b}.spp_dw.{k}.norm"),
+            }
+        p[f"sm_{i}"] = blk
+    return p

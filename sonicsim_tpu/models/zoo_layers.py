@@ -63,7 +63,7 @@ class ConvNormAct(nn.Module):
             padding=[(pad, pad)],
             feature_group_count=self.groups,
         )(x)
-        x = GlobalLayerNorm(self.out_channels)(x)
+        x = GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
         return PReLU()(x)
 
 
@@ -88,7 +88,7 @@ class ConvNorm(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
         )(x)
-        return GlobalLayerNorm(self.out_channels)(x)
+        return GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
 
 
 class NormAct(nn.Module):
@@ -98,7 +98,7 @@ class NormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return PReLU()(GlobalLayerNorm(self.dim)(x))
+        return PReLU()(GlobalLayerNorm(self.dim, eps=1e-8)(x))
 
 
 class DilatedConvNorm(nn.Module):
@@ -122,7 +122,7 @@ class DilatedConvNorm(nn.Module):
             kernel_dilation=(d,),
             feature_group_count=self.groups,
         )(x)
-        return GlobalLayerNorm(self.out_channels)(x)
+        return GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
 
 
 class LSTMLayer(nn.Module):

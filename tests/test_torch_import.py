@@ -177,3 +177,130 @@ def test_dprnn_lstm_and_groupnorm_import_parity(rng):
     xj = jnp.asarray(x.transpose(0, 3, 2, 1))  # (B, S, K, N)
     yj = np.asarray(jblk.apply(params, xj)).transpose(0, 3, 2, 1)
     np.testing.assert_allclose(yj, yt, rtol=1e-3, atol=1e-4)
+
+
+# --- SuDORMRF import parity (sudormrf.py:159-330 naming) -------------------
+
+class _TGlob(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.ones(c))
+        self.beta = tnn.Parameter(torch.zeros(c))
+
+    def forward(self, x):
+        m = x.mean((1, 2), keepdim=True)
+        v = ((x - m) ** 2).mean((1, 2), keepdim=True)
+        xh = (x - m) / torch.sqrt(v + 1e-8)
+        return self.gamma.view(1, -1, 1) * xh + self.beta.view(1, -1, 1)
+
+
+class _TConvNormAct(tnn.Module):
+    def __init__(self, nin, nout, k, stride=1, groups=1):
+        super().__init__()
+        self.conv = tnn.Conv1d(nin, nout, k, stride=stride,
+                               padding=(k - 1) // 2, groups=groups)
+        self.norm = _TGlob(nout)
+        self.act = tnn.PReLU()
+
+    def forward(self, x):
+        return self.act(self.norm(self.conv(x)))
+
+
+class _TDilConvNorm(tnn.Module):
+    def __init__(self, nin, nout, k, stride=1, groups=1):
+        super().__init__()
+        self.conv = tnn.Conv1d(nin, nout, k, stride=stride,
+                               padding=(k - 1) // 2, groups=groups)
+        self.norm = _TGlob(nout)
+
+    def forward(self, x):
+        return self.norm(self.conv(x))
+
+
+class _TNormAct(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = _TGlob(c)
+        self.act = tnn.PReLU()
+
+    def forward(self, x):
+        return self.act(self.norm(x))
+
+
+class _TUConv(tnn.Module):
+    def __init__(self, out_ch, in_ch, depth):
+        super().__init__()
+        self.depth = depth
+        self.proj_1x1 = _TConvNormAct(out_ch, in_ch, 1)
+        self.spp_dw = tnn.ModuleList(
+            [_TDilConvNorm(in_ch, in_ch, 5, 1, groups=in_ch)]
+            + [_TDilConvNorm(in_ch, in_ch, 5, 2, groups=in_ch)
+               for _ in range(1, depth)]
+        )
+        self.upsampler = tnn.Upsample(scale_factor=2)
+        self.final_norm = _TNormAct(in_ch)
+        self.res_conv = tnn.Conv1d(in_ch, out_ch, 1)
+
+    def forward(self, x):
+        res = x
+        out = [self.spp_dw[0](self.proj_1x1(x))]
+        for k in range(1, self.depth):
+            out.append(self.spp_dw[k](out[-1]))
+        for _ in range(self.depth - 1):
+            up = self.upsampler(out.pop(-1))
+            out[-1] = out[-1] + up[..., : out[-1].shape[-1]]
+        return self.res_conv(self.final_norm(out[-1])) + res
+
+
+class _TSuDO(tnn.Module):
+    def __init__(self, out_ch=8, in_ch=16, blocks=2, depth=3, k=9, basis=16, srcs=2):
+        super().__init__()
+        import math as _m
+        self.k, self.basis, self.srcs = k, basis, srcs
+        self.lcm = abs(k // 2 * 2 ** depth) // _m.gcd(k // 2, 2 ** depth)
+        self.encoder = tnn.Conv1d(1, basis, k, stride=k // 2, padding=k // 2,
+                                  bias=False)
+        self.ln = _TGlob(basis)
+        self.bottleneck = tnn.Conv1d(basis, out_ch, 1)
+        self.sm = tnn.Sequential(
+            *[_TUConv(out_ch, in_ch, depth) for _ in range(blocks)]
+        )
+        self.mask_net = tnn.Sequential(tnn.PReLU(),
+                                       tnn.Conv1d(out_ch, srcs * basis, 1))
+        self.decoder = tnn.ConvTranspose1d(
+            basis * srcs, srcs, k, stride=k // 2, padding=k // 2,
+            output_padding=k // 2 - 1, bias=False)
+
+    def forward(self, wav):
+        t = wav.shape[-1]
+        pad = (-t) % self.lcm
+        x = tF.pad(wav[:, None, :], (0, pad))
+        x = self.encoder(x)
+        s = x.clone()
+        x = self.mask_net(self.sm(self.bottleneck(self.ln(x))))
+        x = torch.relu(x.view(x.shape[0], self.srcs, self.basis, -1))
+        x = x * s.unsqueeze(1)
+        out = self.decoder(x.view(x.shape[0], -1, x.shape[-1]))
+        return out[..., :t]
+
+
+def test_sudormrf_torch_import_parity(rng):
+    from sonicsim_tpu.models import SuDORMRF
+
+    torch.manual_seed(1)
+    tm = _TSuDO().eval()
+    x = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = SuDORMRF(out_channels=8, in_channels=16, num_blocks=2,
+                     upsampling_depth=3, enc_kernel_size=9,
+                     enc_num_basis=16, num_sources=2)
+    _, params = import_torch_checkpoint(
+        {"model_name": "SuDORMRF", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model,
+    )
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
