@@ -231,3 +231,45 @@ def _convert_sudormrf(model, sd) -> dict:
             }
         p[f"sm_{i}"] = blk
     return p
+
+
+@register_converter("afrcnn")
+def _convert_afrcnn(model, sd) -> dict:
+    """Map separation/look2hear/models/afrcnn.py parameter names. The
+    separator is weight-shared (Recurrent, :238-262): one Blocks instance at
+    sm.blocks.* plus the gated re-injection convs at sm.concat_block.*."""
+    def cna(key):
+        return {
+            "Conv_0": conv1d(sd, f"{key}.conv"),
+            "GlobalLayerNorm_0": gln(sd, f"{key}.norm"),
+            "PReLU_0": prelu(sd, f"{key}.act"),
+        }
+
+    def dcn(key):
+        return {
+            "Conv_0": conv1d(sd, f"{key}.conv"),
+            "GlobalLayerNorm_0": gln(sd, f"{key}.norm"),
+        }
+
+    b = "sm.blocks"
+    blocks: dict = {
+        "proj_1x1": cna(f"{b}.proj_1x1"),
+        "last_layer": cna(f"{b}.last_layer.0"),
+        "res_conv": conv1d(sd, f"{b}.res_conv"),
+    }
+    for k in range(model.upsampling_depth):
+        blocks[f"spp_{k}"] = dcn(f"{b}.spp_dw.{k}")
+        blocks[f"concat_{k}"] = cna(f"{b}.concat_layer.{k}")
+        if k >= 1:
+            blocks[f"fuse_{k}_down"] = dcn(f"{b}.fuse_layers.{k}.0")
+    return {
+        "encoder": conv1d(sd, "encoder"),
+        "ln": gln(sd, "ln"),
+        "bottleneck": conv1d(sd, "bottleneck"),
+        "blocks": blocks,
+        "concat_conv": conv1d(sd, "sm.concat_block.0"),
+        "concat_prelu": prelu(sd, "sm.concat_block.1"),
+        "mask_prelu": prelu(sd, "mask_net.0"),
+        "mask_conv": conv1d(sd, "mask_net.1"),
+        "decoder": conv_transpose1d(sd, "decoder"),
+    }

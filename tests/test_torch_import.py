@@ -304,3 +304,119 @@ def test_sudormrf_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+# --- AFRCNN import parity (afrcnn.py:157-366 naming) ------------------------
+
+class _TAFBlocks(tnn.Module):
+    def __init__(self, out_ch, in_ch, depth):
+        super().__init__()
+        self.depth = depth
+        self.proj_1x1 = _TConvNormAct(out_ch, in_ch, 1)
+        self.spp_dw = tnn.ModuleList(
+            [_TDilConvNorm(in_ch, in_ch, 5, 1, groups=in_ch)]
+            + [_TDilConvNorm(in_ch, in_ch, 5, 2, groups=in_ch)
+               for _ in range(1, depth)]
+        )
+        self.fuse_layers = tnn.ModuleList([])
+        for i in range(depth):
+            fl = tnn.ModuleList([])
+            for j in range(depth):
+                if i - j == 1:
+                    fl.append(_TDilConvNorm(in_ch, in_ch, 5, 2, groups=in_ch))
+                elif abs(i - j) <= 1:
+                    fl.append(None)
+            self.fuse_layers.append(fl)
+        self.concat_layer = tnn.ModuleList([
+            _TConvNormAct(in_ch * (2 if i in (0, depth - 1) else 3), in_ch, 1)
+            for i in range(depth)
+        ])
+        self.last_layer = tnn.Sequential(_TConvNormAct(in_ch * depth, in_ch, 1))
+        self.res_conv = tnn.Conv1d(in_ch, out_ch, 1)
+
+    def forward(self, x):
+        res = x
+        out = [self.spp_dw[0](self.proj_1x1(x))]
+        for k in range(1, self.depth):
+            out.append(self.spp_dw[k](out[-1]))
+        fused = []
+        for i in range(self.depth):
+            n = out[i].shape[-1]
+            parts = []
+            if i - 1 >= 0:
+                parts.append(self.fuse_layers[i][0](out[i - 1])[..., :n])
+            parts.append(out[i])
+            if i + 1 < self.depth:
+                parts.append(tF.interpolate(out[i + 1], size=n, mode="nearest"))
+            fused.append(self.concat_layer[i](torch.cat(parts, dim=1)))
+        top = out[0].shape[-1]
+        fused = [fused[0]] + [
+            tF.interpolate(f, size=top, mode="nearest") for f in fused[1:]
+        ]
+        return self.res_conv(self.last_layer(torch.cat(fused, dim=1))) + res
+
+
+class _TAFRCNN(tnn.Module):
+    def __init__(self, out_ch=8, in_ch=16, blocks=2, depth=3, k=9, basis=16,
+                 srcs=2):
+        super().__init__()
+        import math as _m
+        self.k, self.basis, self.srcs, self.blocks_n = k, basis, srcs, blocks
+        self.lcm = abs(k // 2 * 2 ** depth) // _m.gcd(k // 2, 2 ** depth)
+        self.encoder = tnn.Conv1d(1, basis, k, stride=k // 2, padding=k // 2,
+                                  bias=False)
+        self.ln = _TGlob(basis)
+        self.bottleneck = tnn.Conv1d(basis, out_ch, 1)
+
+        class _Rec(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.blocks = _TAFBlocks(out_ch, in_ch, depth)
+                s.concat_block = tnn.Sequential(
+                    tnn.Conv1d(out_ch, out_ch, 1, 1, groups=out_ch), tnn.PReLU()
+                )
+
+            def forward(s, x):
+                mix = x.clone()
+                for i in range(blocks):
+                    x = s.blocks(x if i == 0 else s.concat_block(mix + x))
+                return x
+
+        self.sm = _Rec()
+        self.mask_net = tnn.Sequential(tnn.PReLU(),
+                                       tnn.Conv1d(out_ch, srcs * basis, 1))
+        self.decoder = tnn.ConvTranspose1d(
+            basis * srcs, srcs, k, stride=k // 2, padding=k // 2,
+            output_padding=k // 2 - 1, bias=False)
+
+    def forward(self, wav):
+        t = wav.shape[-1]
+        x = tF.pad(wav[:, None, :], (0, (-t) % self.lcm))
+        x = self.encoder(x)
+        s = x.clone()
+        x = self.mask_net(self.sm(self.bottleneck(self.ln(x))))
+        x = torch.relu(x.view(x.shape[0], self.srcs, self.basis, -1))
+        x = x * s.unsqueeze(1)
+        return self.decoder(x.view(x.shape[0], -1, x.shape[-1]))[..., :t]
+
+
+def test_afrcnn_torch_import_parity(rng):
+    from sonicsim_tpu.models import AFRCNN
+
+    torch.manual_seed(2)
+    tm = _TAFRCNN().eval()
+    x = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = AFRCNN(out_channels=8, in_channels=16, num_blocks=2,
+                   upsampling_depth=3, enc_kernel_size=9,
+                   enc_num_basis=16, num_sources=2)
+    _, params = import_torch_checkpoint(
+        {"model_name": "AFRCNN", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model,
+    )
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
