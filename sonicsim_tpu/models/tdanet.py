@@ -54,7 +54,7 @@ class ConvNormNB(nn.Module):
             feature_group_count=self.groups,
             use_bias=False,
         )(x)
-        return GlobalLayerNorm(self.out_channels)(x)
+        return GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
 
 
 class GlobalAttention(nn.Module):
@@ -62,6 +62,7 @@ class GlobalAttention(nn.Module):
 
     dim: int
     n_head: int = 8
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, C)
@@ -72,12 +73,24 @@ class GlobalAttention(nn.Module):
         div = np.exp(np.arange(0, self.dim, 2) * -(math.log(10000.0) / self.dim))
         pos[:, 0::2] = np.sin(position * div)
         pos[:, 1::2] = np.cos(position * div[: self.dim - self.dim // 2])
-        h = nn.LayerNorm(name="attn_in_norm")(x) + jnp.asarray(pos)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.n_head, qkv_features=self.dim, name="attn"
-        )(h, h)
+        h = nn.LayerNorm(epsilon=1e-5, name="attn_in_norm")(x) + jnp.asarray(pos)
+        if self.torch_compat:
+            # The reference feeds (B, T, C) to torch MultiheadAttention, which
+            # expects (L, N, E) — attention runs over the BATCH axis
+            # (TDANet.py:251-258). At eval batch size 1 that degenerates to a
+            # per-frame value->output linear chain (softmax over one key);
+            # released checkpoints were trained under this behavior, so
+            # imported models replicate the batch-1 semantics exactly.
+            attn = nn.Dense(self.dim, name="out_proj")(
+                nn.Dense(self.dim, name="v_proj")(h)
+            )
+        else:
+            # The intended temporal self-attention (the TDANet paper's design).
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.n_head, qkv_features=self.dim, name="attn"
+            )(h, h)
         # Reference quirk: residual of attn output with itself, then norm.
-        attn = nn.LayerNorm(name="attn_norm")(attn + attn)
+        attn = nn.LayerNorm(epsilon=1e-5, name="attn_norm")(attn + attn)
         x = x + attn
         # Conv MLP (TDANet.py:199-217).
         m = ConvNormNB(self.dim * 2, 1, name="mlp_fc1")(x)
@@ -123,6 +136,7 @@ class TDAUConvBlock(nn.Module):
     out_channels: int
     in_channels: int
     upsampling_depth: int
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -142,7 +156,9 @@ class TDAUConvBlock(nn.Module):
             )
         bottom = levels[-1].shape[1]
         global_f = sum(adaptive_avg_pool(f, bottom) for f in levels)
-        global_f = GlobalAttention(self.in_channels, name="globalatt")(global_f)
+        global_f = GlobalAttention(
+            self.in_channels, torch_compat=self.torch_compat, name="globalatt"
+        )(global_f)
 
         fused = [
             Injection(self.in_channels, 1, name=f"loc_glo_fus_{i}")(levels[i], global_f)
@@ -166,6 +182,9 @@ class TDANet(BaseModel):
     enc_kernel_size: int = 2  # milliseconds (TDANet.py:452)
     num_sources: int = 2
     sample_rate: int = 16000
+    torch_compat: bool = False  # replicate the reference's batch-axis
+    # attention quirk (needed for imported torch checkpoints; see
+    # GlobalAttention)
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
@@ -189,7 +208,8 @@ class TDANet(BaseModel):
         )
 
         block = TDAUConvBlock(
-            self.out_channels, self.in_channels, self.upsampling_depth, name="unet"
+            self.out_channels, self.in_channels, self.upsampling_depth,
+            torch_compat=self.torch_compat, name="unet"
         )
         concat_conv = nn.Conv(
             self.out_channels, (1,), feature_group_count=self.out_channels,

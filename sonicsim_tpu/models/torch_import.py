@@ -136,7 +136,10 @@ def import_torch_checkpoint(path_or_pack, model=None):
         sd = pack["state_dict"]
     if model is None:
         cls = MODELS.get(model_name)
-        model = cls(**{k: v for k, v in model_args.items() if k != "n_src"})
+        kwargs = {k: v for k, v in model_args.items() if k != "n_src"}
+        if model_name.lower() == "tdanet":
+            kwargs["torch_compat"] = True  # see _convert_tdanet
+        model = cls(**kwargs)
     conv = _CONVERTERS.get(type(model).__name__.lower())
     if conv is None:
         raise NotImplementedError(
@@ -267,6 +270,81 @@ def _convert_afrcnn(model, sd) -> dict:
         "ln": gln(sd, "ln"),
         "bottleneck": conv1d(sd, "bottleneck"),
         "blocks": blocks,
+        "concat_conv": conv1d(sd, "sm.concat_block.0"),
+        "concat_prelu": prelu(sd, "sm.concat_block.1"),
+        "mask_prelu": prelu(sd, "mask_net.0"),
+        "mask_conv": conv1d(sd, "mask_net.1"),
+        "decoder": conv_transpose1d(sd, "decoder"),
+    }
+
+
+@register_converter("tdanet")
+def _convert_tdanet(model, sd) -> dict:
+    """Map separation/look2hear/models/TDANet.py parameter names. The model
+    must be instantiated with torch_compat=True: released checkpoints were
+    trained with the reference's batch-axis attention quirk (see tdanet.py)
+    whose batch-1 eval semantics reduce to a v_proj->out_proj linear chain —
+    the q/k projections of the checkpoint are mathematically unused."""
+    if not getattr(model, "torch_compat", False):
+        raise ValueError("TDANet torch import requires torch_compat=True")
+
+    def cna(key):
+        return {
+            "Conv_0": conv1d(sd, f"{key}.conv"),
+            "GlobalLayerNorm_0": gln(sd, f"{key}.norm"),
+            "PReLU_0": prelu(sd, f"{key}.act"),
+        }
+
+    def cn(key):
+        return {
+            "Conv_0": conv1d(sd, f"{key}.conv"),
+            "GlobalLayerNorm_0": gln(sd, f"{key}.norm"),
+        }
+
+    def ln(key):
+        return {
+            "scale": np.asarray(sd[f"{key}.weight"]),
+            "bias": np.asarray(sd[f"{key}.bias"]),
+        }
+
+    u = "sm.unet"
+    ga = f"{u}.globalatt"
+    in_w = np.asarray(sd[f"{ga}.attn.attn.in_proj_weight"])
+    in_b = np.asarray(sd[f"{ga}.attn.attn.in_proj_bias"])
+    c = in_w.shape[1]
+    unet: dict = {
+        "proj_1x1": cna(f"{u}.proj_1x1"),
+        "res_conv": conv1d(sd, f"{u}.res_conv"),
+        "globalatt": {
+            "attn_in_norm": ln(f"{ga}.attn.attn_in_norm"),
+            "v_proj": {
+                "kernel": np.ascontiguousarray(in_w[2 * c : 3 * c].T),
+                "bias": in_b[2 * c : 3 * c],
+            },
+            "out_proj": linear(sd, f"{ga}.attn.attn.out_proj"),
+            "attn_norm": ln(f"{ga}.attn.norm"),
+            "mlp_fc1": cn(f"{ga}.mlp.fc1"),
+            "mlp_dwconv": conv1d(sd, f"{ga}.mlp.dwconv"),
+            "mlp_fc2": cn(f"{ga}.mlp.fc2"),
+        },
+    }
+    for k in range(model.upsampling_depth):
+        unet[f"spp_{k}"] = cn(f"{u}.spp_dw.{k}")
+        unet[f"loc_glo_fus_{k}"] = {
+            "local_embedding": cn(f"{u}.loc_glo_fus.{k}.local_embedding"),
+            "global_act": cn(f"{u}.loc_glo_fus.{k}.global_act"),
+        }
+    for i in range(model.upsampling_depth - 1):
+        unet[f"last_layer_{i}"] = {
+            "local_embedding": cn(f"{u}.last_layer.{i}.local_embedding"),
+            "global_embedding": cn(f"{u}.last_layer.{i}.global_embedding"),
+            "global_act": cn(f"{u}.last_layer.{i}.global_act"),
+        }
+    return {
+        "encoder": conv1d(sd, "encoder"),
+        "ln": gln(sd, "ln"),
+        "bottleneck": conv1d(sd, "bottleneck"),
+        "unet": unet,
         "concat_conv": conv1d(sd, "sm.concat_block.0"),
         "concat_prelu": prelu(sd, "sm.concat_block.1"),
         "mask_prelu": prelu(sd, "mask_net.0"),

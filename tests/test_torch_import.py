@@ -420,3 +420,180 @@ def test_afrcnn_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+# --- TDANet import parity (TDANet.py:199-557 naming; batch-1 eval) ----------
+
+class _TConvNormNB(tnn.Module):
+    def __init__(self, nin, nout, k, groups=1):
+        super().__init__()
+        self.conv = tnn.Conv1d(nin, nout, k, padding=(k - 1) // 2,
+                               groups=groups, bias=False)
+        self.norm = _TGlob(nout)
+
+    def forward(self, x):
+        return self.norm(self.conv(x))
+
+
+class _TMlp(tnn.Module):
+    def __init__(self, c, hid):
+        super().__init__()
+        self.fc1 = _TConvNormNB(c, hid, 1)
+        self.dwconv = tnn.Conv1d(hid, hid, 5, 1, 2, groups=hid)
+        self.fc2 = _TConvNormNB(hid, c, 1)
+
+    def forward(self, x):
+        return self.fc2(torch.relu(self.dwconv(self.fc1(x))))
+
+
+class _TMHA(tnn.Module):
+    def __init__(self, c, heads):
+        super().__init__()
+        import math as _m
+        pe = torch.zeros(10000, c)
+        pos = torch.arange(0, 10000).unsqueeze(1).float()
+        div = torch.exp(torch.arange(0, c, 2).float() * -(_m.log(10000.0) / c))
+        pe[:, 0::2] = torch.sin(pos * div)
+        pe[:, 1::2] = torch.cos(pos * div)
+        self.register_buffer("pe", pe.unsqueeze(0))
+        self.attn_in_norm = tnn.LayerNorm(c)
+        self.attn = tnn.MultiheadAttention(c, heads, 0.0)
+        self.norm = tnn.LayerNorm(c)
+
+    def forward(self, x):  # x (B, C, T); reference transpose quirk kept
+        x = x.transpose(1, 2)
+        out = self.attn_in_norm(x) + self.pe[:, : x.size(1)]
+        out, _ = self.attn(out, out, out)
+        out = self.norm(out + out)
+        return out.transpose(1, 2)
+
+
+class _TGlobalAtt(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.attn = _TMHA(c, 8)
+        self.mlp = _TMlp(c, c * 2)
+
+    def forward(self, x):
+        x = x + self.attn(x)
+        return x + self.mlp(x)
+
+
+class _TInjection(tnn.Module):
+    def __init__(self, c, k=1, with_sum=False):
+        super().__init__()
+        self.local_embedding = _TConvNormNB(c, c, k, groups=c)
+        if with_sum:
+            self.global_embedding = _TConvNormNB(c, c, k, groups=c)
+        self.global_act = _TConvNormNB(c, c, k, groups=c)
+        self.with_sum = with_sum
+
+    def forward(self, xl, xg):
+        t = xl.shape[-1]
+        out = self.local_embedding(xl) * tF.interpolate(
+            torch.sigmoid(self.global_act(xg)), size=t, mode="nearest")
+        if self.with_sum:
+            out = out + tF.interpolate(self.global_embedding(xg), size=t,
+                                       mode="nearest")
+        return out
+
+
+class _TTDAUConv(tnn.Module):
+    def __init__(self, out_ch, in_ch, depth):
+        super().__init__()
+        self.depth = depth
+        self.proj_1x1 = _TConvNormAct(out_ch, in_ch, 1)
+        self.spp_dw = tnn.ModuleList(
+            [_TDilConvNorm(in_ch, in_ch, 5, 1, groups=in_ch)]
+            + [_TDilConvNorm(in_ch, in_ch, 5, 2, groups=in_ch)
+               for _ in range(1, depth)]
+        )
+        self.loc_glo_fus = tnn.ModuleList(
+            [_TInjection(in_ch) for _ in range(depth)])
+        self.res_conv = tnn.Conv1d(in_ch, out_ch, 1)
+        self.globalatt = _TGlobalAtt(in_ch)
+        self.last_layer = tnn.ModuleList(
+            [_TInjection(in_ch, 5, with_sum=True) for _ in range(depth - 1)])
+
+    def forward(self, x):
+        res = x
+        out = [self.spp_dw[0](self.proj_1x1(x))]
+        for k in range(1, self.depth):
+            out.append(self.spp_dw[k](out[-1]))
+        gf = sum(tF.adaptive_avg_pool1d(f, out[-1].shape[-1]) for f in out)
+        gf = self.globalatt(gf)
+        fused = [self.loc_glo_fus[i](out[i], gf) for i in range(self.depth)]
+        exp = None
+        for i in range(self.depth - 2, -1, -1):
+            other = fused[i - 1] if i == self.depth - 2 else exp
+            exp = self.last_layer[i](fused[i], other)
+        return self.res_conv(exp) + res
+
+
+class _TTDANet(tnn.Module):
+    def __init__(self, out_ch=8, in_ch=16, blocks=2, depth=3, k=16, srcs=2):
+        super().__init__()
+        self.k, self.srcs, self.blocks_n = k, srcs, blocks
+        self.basis = k // 2 + 1
+        self.encoder = tnn.Conv1d(1, self.basis, k, stride=k // 4,
+                                  padding=k // 2, bias=False)
+        self.ln = _TGlob(self.basis)
+        self.bottleneck = tnn.Conv1d(self.basis, out_ch, 1)
+
+        class _Rec(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.unet = _TTDAUConv(out_ch, in_ch, depth)
+                s.concat_block = tnn.Sequential(
+                    tnn.Conv1d(out_ch, out_ch, 1, 1, groups=out_ch), tnn.PReLU())
+
+            def forward(s, x):
+                mix = x.clone()
+                for i in range(blocks):
+                    x = s.unet(x if i == 0 else s.concat_block(mix + x))
+                return x
+
+        self.sm = _Rec()
+        self.mask_net = tnn.Sequential(
+            tnn.PReLU(), tnn.Conv1d(out_ch, srcs * self.basis, 1))
+        self.decoder = tnn.ConvTranspose1d(
+            self.basis * srcs, srcs, k, stride=k // 4, padding=k // 2,
+            bias=False)
+
+    def forward(self, wav):
+        k, stride = self.k, self.k // 4
+        b, n = wav.shape
+        rest = k - (stride + n % k) % k
+        x = wav
+        if rest > 0:
+            x = tF.pad(x, (0, rest))
+        x = tF.pad(x, (k - stride, k - stride))
+        x = self.encoder(x[:, None, :])
+        s = x.clone()
+        x = self.mask_net(self.sm(self.bottleneck(self.ln(x))))
+        x = torch.relu(x.view(x.shape[0], self.srcs, self.basis, -1))
+        x = x * s.unsqueeze(1)
+        out = self.decoder(x.view(x.shape[0], -1, x.shape[-1]))
+        return out[:, :, k - stride : -(rest + k - stride)]
+
+
+def test_tdanet_torch_import_parity(rng):
+    from sonicsim_tpu.models import TDANet
+
+    torch.manual_seed(3)
+    tm = _TTDANet().eval()
+    x = rng.standard_normal((1, 1600)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = TDANet(out_channels=8, in_channels=16, num_blocks=2,
+                   upsampling_depth=3, enc_kernel_size=1, num_sources=2,
+                   torch_compat=True)
+    _, params = import_torch_checkpoint(
+        {"model_name": "TDANet", "model_args": {},
+         "state_dict": {kk: v.numpy() for kk, v in tm.state_dict().items()}},
+        model=model,
+    )
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
