@@ -116,9 +116,11 @@ class BSRNN(BaseModel):
                 feature_group_count=self.num_output,
                 name=f"mask_c3_{i}",
             )(h)  # (B, T', out*4*bw)
-            h = h.reshape(bsz, t_frames, self.num_output, 2, 2, bw)
-            mask = h[:, :, :, 0] * jax.nn.sigmoid(h[:, :, :, 1])  # (B,T',out,2,bw)
-            m_re, m_im = mask[:, :, :, 0], mask[:, :, :, 1]
+            # Channel axis factored (2, 2, out, bw) — the reference's exact
+            # view of the group-blocked conv output (bsrnn.py:157).
+            h = h.reshape(bsz, t_frames, 2, 2, self.num_output, bw)
+            mask = h[:, :, 0] * jax.nn.sigmoid(h[:, :, 1])  # (B,T',2,out,bw)
+            m_re, m_im = mask[:, :, 0], mask[:, :, 1]
             # Sum-to-one mask correction (bsrnn.py:161-164).
             m_re = m_re - (m_re.sum(axis=2, keepdims=True) - 1.0) / self.num_output
             m_im = m_im - m_im.sum(axis=2, keepdims=True) / self.num_output

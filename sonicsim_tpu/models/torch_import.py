@@ -351,3 +351,41 @@ def _convert_tdanet(model, sd) -> dict:
         "mask_conv": conv1d(sd, "mask_net.1"),
         "decoder": conv_transpose1d(sd, "decoder"),
     }
+
+
+@register_converter("bsrnn")
+def _convert_bsrnn(model, sd) -> dict:
+    """Map separation/look2hear/models/bsrnn.py parameter names
+    (BN.{i}/separator.{r}.band_{rnn,comm}/mask.{i})."""
+    from .bsrnn import band_widths
+
+    nband = len(band_widths(model.sample_rate, model.win // 2 + 1))
+
+    def resrnn(key):
+        return {
+            "GroupNorm1_0": groupnorm(sd, f"{key}.norm"),
+            "LSTMLayer_0": {
+                "OptimizedLSTMCell_0": lstm_cell(sd, f"{key}.rnn")[
+                    "OptimizedLSTMCell_0"
+                ],
+                "OptimizedLSTMCell_1": lstm_cell(sd, f"{key}.rnn", reverse=True)[
+                    "OptimizedLSTMCell_0"
+                ],
+            },
+            "Dense_0": linear(sd, f"{key}.proj"),
+        }
+
+    p: dict = {}
+    for i in range(nband):
+        p[f"bn_norm_{i}"] = groupnorm(sd, f"BN.{i}.0")
+        p[f"bn_conv_{i}"] = conv1d(sd, f"BN.{i}.1")
+        p[f"mask_norm_{i}"] = groupnorm(sd, f"mask.{i}.0")
+        p[f"mask_c1_{i}"] = conv1d(sd, f"mask.{i}.1")
+        p[f"mask_c2_{i}"] = conv1d(sd, f"mask.{i}.3")
+        p[f"mask_c3_{i}"] = conv1d(sd, f"mask.{i}.5")
+    for r in range(model.num_repeat):
+        p[f"bsnet_{r}"] = {
+            "band_rnn": resrnn(f"separator.{r}.band_rnn"),
+            "band_comm": resrnn(f"separator.{r}.band_comm"),
+        }
+    return p

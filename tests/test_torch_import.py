@@ -597,3 +597,110 @@ def test_tdanet_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+# --- BSRNN import parity (bsrnn.py:6-180 naming) ----------------------------
+
+class _TResRNN(tnn.Module):
+    def __init__(self, c, h):
+        super().__init__()
+        self.norm = tnn.GroupNorm(1, c, torch.finfo(torch.float32).eps)
+        self.rnn = tnn.LSTM(c, h, 1, batch_first=True, bidirectional=True)
+        self.proj = tnn.Linear(h * 2, c)
+
+    def forward(self, x):  # (B, C, T)
+        y, _ = self.rnn(self.norm(x).transpose(1, 2))
+        return x + self.proj(y).transpose(1, 2)
+
+
+class _TBSNet(tnn.Module):
+    def __init__(self, in_ch, nband):
+        super().__init__()
+        self.nband, self.fd = nband, in_ch // nband
+        self.band_rnn = _TResRNN(self.fd, self.fd * 2)
+        self.band_comm = _TResRNN(self.fd, self.fd * 2)
+
+    def forward(self, x):
+        b, n, t = x.shape
+        y = self.band_rnn(x.reshape(b * self.nband, self.fd, -1))
+        y = y.view(b, self.nband, -1, t)
+        y = y.permute(0, 3, 2, 1).reshape(b * t, -1, self.nband)
+        y = self.band_comm(y).view(b, t, -1, self.nband).permute(0, 3, 2, 1)
+        return y.reshape(b, n, t)
+
+
+class _TBSRNN(tnn.Module):
+    def __init__(self, sr=16000, win=512, stride=128, fd=8, repeat=1, out=2):
+        super().__init__()
+        self.win, self.stride, self.fd, self.out = win, stride, fd, out
+        enc = win // 2 + 1
+        bw = lambda hz: int(np.floor(hz / (sr / 2) * enc))
+        self.band_width = [bw(50)] * 20 + [bw(100)] * 10 + [bw(250)] * 8 + \
+            [bw(500)] * 8
+        self.band_width.append(enc - int(np.sum(self.band_width)))
+        self.nband = len(self.band_width)
+        eps = torch.finfo(torch.float32).eps
+        self.BN = tnn.ModuleList([
+            tnn.Sequential(tnn.GroupNorm(1, w * 2, eps), tnn.Conv1d(w * 2, fd, 1))
+            for w in self.band_width])
+        self.separator = tnn.Sequential(
+            *[_TBSNet(self.nband * fd, self.nband) for _ in range(repeat)])
+        self.mask = tnn.ModuleList([
+            tnn.Sequential(
+                tnn.GroupNorm(1, fd, eps),
+                tnn.Conv1d(fd, fd * out, 1), tnn.Tanh(),
+                tnn.Conv1d(fd * out, fd * 2 * out, 1, groups=out), tnn.Tanh(),
+                tnn.Conv1d(fd * 2 * out, w * 4 * out, 1, groups=out))
+            for w in self.band_width])
+
+    def forward(self, wav):
+        b, n = wav.shape
+        spec = torch.stft(wav, n_fft=self.win, hop_length=self.stride,
+                          window=torch.hann_window(self.win),
+                          return_complex=True)
+        ri = torch.stack([spec.real, spec.imag], 1)
+        feats, subs = [], []
+        idx = 0
+        for i, w in enumerate(self.band_width):
+            band_ri = ri[:, :, idx:idx + w]
+            subs.append(spec[:, idx:idx + w])
+            feats.append(self.BN[i](band_ri.reshape(b, w * 2, -1)))
+            idx += w
+        x = torch.stack(feats, 1).reshape(b, self.nband * self.fd, -1)
+        x = self.separator(x).view(b, self.nband, self.fd, -1)
+        est = []
+        for i, w in enumerate(self.band_width):
+            o = self.mask[i](x[:, i]).view(b, 2, 2, self.out, w, -1)
+            msk = o[:, 0] * torch.sigmoid(o[:, 1])
+            mr, mi = msk[:, 0], msk[:, 1]
+            mr = mr - (mr.sum(1, keepdim=True) - 1) / self.out
+            mi = mi - mi.sum(1, keepdim=True) / self.out
+            sr_ = subs[i].real.unsqueeze(1)
+            si_ = subs[i].imag.unsqueeze(1)
+            est.append(torch.complex(sr_ * mr - si_ * mi, sr_ * mi + si_ * mr))
+        est = torch.cat(est, 2)
+        out = torch.istft(est.reshape(b * self.out, self.win // 2 + 1, -1),
+                          n_fft=self.win, hop_length=self.stride,
+                          window=torch.hann_window(self.win), length=n)
+        return out.view(b, self.out, -1)
+
+
+def test_bsrnn_torch_import_parity(rng):
+    from sonicsim_tpu.models import BSRNN
+
+    torch.manual_seed(4)
+    tm = _TBSRNN().eval()
+    x = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = BSRNN(feature_dim=8, num_repeat=1, num_output=2, win=512,
+                  stride=128, sample_rate=16000)
+    _, params = import_torch_checkpoint(
+        {"model_name": "BSRNN", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model,
+    )
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
