@@ -40,11 +40,24 @@ def conv_stft(x: jax.Array, win_len: int, hop: int, fft_len: int):
     return jnp.swapaxes(spec.real, 1, 2), jnp.swapaxes(spec.imag, 1, 2)
 
 
+def _istft_pinv(win_len: int, fft_len: int) -> np.ndarray:
+    """Least-squares synthesis matrix (2F, win): the reference inverts the
+    un-windowed real-DFT analysis matrix with pinv (conv_stft.py:20-22),
+    which differs from truncated irfft whenever win_len < fft_len
+    (inconsistent masked spectra; ~3% rel on random input)."""
+    basis = np.fft.rfft(np.eye(fft_len))[:win_len]
+    analysis = np.concatenate([basis.real, basis.imag], 1).T  # (2F, win)
+    return np.linalg.pinv(analysis).astype(np.float32).T  # (2F, win)
+
+
 def conv_istft(real, imag, win_len: int, hop: int, fft_len: int, length: int):
-    """ConviSTFT parity: OLA with window^2 normalization, crop win-hop."""
+    """ConviSTFT parity: pinv synthesis + OLA with window^2 normalization,
+    crop win-hop."""
     window = jnp.asarray(_hann(win_len))
-    spec = jnp.swapaxes(real, 1, 2) + 1j * jnp.swapaxes(imag, 1, 2)  # (B, fr, F)
-    frames = jnp.fft.irfft(spec, fft_len)[..., :win_len] * window
+    spec_ri = jnp.concatenate([real, imag], axis=1)  # (B, 2F, fr)
+    frames = jnp.einsum(
+        "bft,fw->btw", spec_ri, jnp.asarray(_istft_pinv(win_len, fft_len))
+    ) * window
     b, n_frames, _ = frames.shape
     total = (n_frames - 1) * hop + win_len
     idx = (np.arange(n_frames)[:, None] * hop + np.arange(win_len)[None, :]).reshape(-1)
@@ -155,6 +168,8 @@ class DCCRN(BaseModel):
     kernel_size: int = 5
     kernel_num: tuple[int, ...] = (32, 64, 128, 256, 256, 256)
     sample_rate: int = 16000
+    torch_compat: bool = False  # frozen BatchNorm running stats (eval-mode
+    # torch semantics, filled by checkpoint import)
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
@@ -169,22 +184,31 @@ class DCCRN(BaseModel):
         real = real_s[:, 1:, :, None]
         imag = imag_s[:, 1:, :, None]
 
-        kernels = (1,) + tuple(self.kernel_num)
+        # kernel_num entries are TOTAL (real+imag) channels like the
+        # reference's ComplexConv2d contract (complexnn.py:359-369); each
+        # part carries half.
+        kernels = (2,) + tuple(self.kernel_num)
+        halves = [k // 2 for k in kernels]
         skips = []
         for i in range(len(kernels) - 1):
-            real, imag = ComplexConv2d(kernels[i + 1], name=f"enc_{i}")(real, imag)
+            real, imag = ComplexConv2d(halves[i + 1], name=f"enc_{i}")(real, imag)
             from .zoo_layers import StatelessBatchNorm
 
-            real = StatelessBatchNorm(kernels[i + 1], name=f"enc_bn_{i}")(real)
-            imag = StatelessBatchNorm(kernels[i + 1], name=f"enc_bni_{i}")(imag)
+            real = StatelessBatchNorm(
+                halves[i + 1], use_running_stats=self.torch_compat,
+                name=f"enc_bn_{i}")(real)
+            imag = StatelessBatchNorm(
+                halves[i + 1], use_running_stats=self.torch_compat,
+                name=f"enc_bni_{i}")(imag)
             alpha = self.param(f"enc_prelu_{i}", lambda k, s: jnp.full(s, 0.25), (1,))
             real = jnp.where(real >= 0, real, alpha * real)
             imag = jnp.where(imag >= 0, imag, alpha * imag)
             skips.append((real, imag))
 
         b, f_b, t_b, c_b = real.shape
-        r_in = jnp.swapaxes(real, 1, 2).reshape(b, t_b, f_b * c_b)
-        i_in = jnp.swapaxes(imag, 1, 2).reshape(b, t_b, f_b * c_b)
+        # torch flattens (C, D) channel-major (dccrn.py:171-175).
+        r_in = jnp.transpose(real, (0, 2, 3, 1)).reshape(b, t_b, c_b * f_b)
+        i_in = jnp.transpose(imag, (0, 2, 3, 1)).reshape(b, t_b, c_b * f_b)
         if self.use_clstm:
             for li in range(self.rnn_layers):
                 proj = f_b * c_b if li == self.rnn_layers - 1 else None
@@ -197,21 +221,25 @@ class DCCRN(BaseModel):
                 x = nn.RNN(nn.OptimizedLSTMCell(self.rnn_units), name=f"lstm_{li}")(x)
             x = nn.Dense(2 * f_b * c_b, name="tranform")(x)
             r_in, i_in = jnp.split(x, 2, axis=-1)
-        real = jnp.swapaxes(r_in.reshape(b, t_b, f_b, c_b), 1, 2)
-        imag = jnp.swapaxes(i_in.reshape(b, t_b, f_b, c_b), 1, 2)
+        real = jnp.transpose(r_in.reshape(b, t_b, c_b, f_b), (0, 3, 1, 2))
+        imag = jnp.transpose(i_in.reshape(b, t_b, c_b, f_b), (0, 3, 1, 2))
 
         for i in range(len(kernels) - 1):
             skip_r, skip_i = skips[-1 - i]
             real = jnp.concatenate([real, skip_r], axis=-1)
             imag = jnp.concatenate([imag, skip_i], axis=-1)
-            out_ch = kernels[-2 - i] if i < len(kernels) - 2 else 1
+            out_ch = halves[-2 - i] if i < len(kernels) - 2 else 1
             real, imag = ComplexConvTranspose2d(out_ch, name=f"dec_{i}")(real, imag)
             real, imag = real[:, :, 1:], imag[:, :, 1:]  # causal trim (dccrn.py:193)
             if i < len(kernels) - 2:
                 from .zoo_layers import StatelessBatchNorm
 
-                real = StatelessBatchNorm(out_ch, name=f"dec_bn_{i}")(real)
-                imag = StatelessBatchNorm(out_ch, name=f"dec_bni_{i}")(imag)
+                real = StatelessBatchNorm(
+                    out_ch, use_running_stats=self.torch_compat,
+                    name=f"dec_bn_{i}")(real)
+                imag = StatelessBatchNorm(
+                    out_ch, use_running_stats=self.torch_compat,
+                    name=f"dec_bni_{i}")(imag)
                 alpha = self.param(
                     f"dec_prelu_{i}", lambda k, s: jnp.full(s, 0.25), (1,)
                 )

@@ -137,8 +137,8 @@ def import_torch_checkpoint(path_or_pack, model=None):
     if model is None:
         cls = MODELS.get(model_name)
         kwargs = {k: v for k, v in model_args.items() if k != "n_src"}
-        if model_name.lower() == "tdanet":
-            kwargs["torch_compat"] = True  # see _convert_tdanet
+        if model_name.lower() in ("tdanet", "dccrn"):
+            kwargs["torch_compat"] = True  # reference-quirk compat modes
         model = cls(**kwargs)
     conv = _CONVERTERS.get(type(model).__name__.lower())
     if conv is None:
@@ -388,4 +388,72 @@ def _convert_bsrnn(model, sd) -> dict:
             "band_rnn": resrnn(f"separator.{r}.band_rnn"),
             "band_comm": resrnn(f"separator.{r}.band_comm"),
         }
+    return p
+
+
+def conv_transpose2d(sd, key):
+    """torch ConvTranspose2d (in, out, kh, kw) → flax (kh, kw, in, out) with
+    both spatial axes flipped."""
+    w = np.asarray(sd[f"{key}.weight"]).transpose(2, 3, 0, 1)[::-1, ::-1]
+    out = {"kernel": np.ascontiguousarray(w)}
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"])
+    return out
+
+
+def batchnorm_halves(sd, key):
+    """torch BatchNorm2d over concatenated [real, imag] channels → two
+    StatelessBatchNorm(use_running_stats=True) param sets."""
+    w = np.asarray(sd[f"{key}.weight"])
+    b = np.asarray(sd[f"{key}.bias"])
+    rm = np.asarray(sd[f"{key}.running_mean"])
+    rv = np.asarray(sd[f"{key}.running_var"])
+    h = w.shape[0] // 2
+    def part(sl):
+        return {"scale": w[sl], "bias": b[sl], "mean": rm[sl], "var": rv[sl]}
+    return part(slice(0, h)), part(slice(h, 2 * h))
+
+
+@register_converter("dccrn")
+def _convert_dccrn(model, sd) -> dict:
+    """Map enhancement/look2hear/models/dccrn.py parameter names. Requires
+    torch_compat=True (frozen BatchNorm running stats; eval semantics)."""
+    if not getattr(model, "torch_compat", False):
+        raise ValueError("DCCRN torch import requires torch_compat=True")
+    p: dict = {}
+    n_layers = len(model.kernel_num)
+    for i in range(n_layers):
+        p[f"enc_{i}"] = {
+            "real_conv": conv2d(sd, f"encoder.{i}.0.real_conv"),
+            "imag_conv": conv2d(sd, f"encoder.{i}.0.imag_conv"),
+        }
+        p[f"enc_bn_{i}"], p[f"enc_bni_{i}"] = batchnorm_halves(
+            sd, f"encoder.{i}.1"
+        )
+        p[f"enc_prelu_{i}"] = np.asarray(sd[f"encoder.{i}.2.weight"]).reshape(-1)
+    for li in range(model.rnn_layers):
+        blk: dict = {
+            "OptimizedLSTMCell_0": lstm_cell(sd, f"enhance.{li}.real_lstm")[
+                "OptimizedLSTMCell_0"
+            ],
+            "OptimizedLSTMCell_1": lstm_cell(sd, f"enhance.{li}.imag_lstm")[
+                "OptimizedLSTMCell_0"
+            ],
+        }
+        if f"enhance.{li}.r_trans.weight" in sd:
+            blk["r_trans"] = linear(sd, f"enhance.{li}.r_trans")
+            blk["i_trans"] = linear(sd, f"enhance.{li}.i_trans")
+        p[f"clstm_{li}"] = blk
+    for i in range(n_layers):
+        p[f"dec_{i}"] = {
+            "real_conv": conv_transpose2d(sd, f"decoder.{i}.0.real_conv"),
+            "imag_conv": conv_transpose2d(sd, f"decoder.{i}.0.imag_conv"),
+        }
+        if i < n_layers - 1:
+            p[f"dec_bn_{i}"], p[f"dec_bni_{i}"] = batchnorm_halves(
+                sd, f"decoder.{i}.1"
+            )
+            p[f"dec_prelu_{i}"] = np.asarray(
+                sd[f"decoder.{i}.2.weight"]
+            ).reshape(-1)
     return p

@@ -33,14 +33,20 @@ class StatelessBatchNorm(nn.Module):
 
     dim: int
     eps: float = 1e-5
+    use_running_stats: bool = False  # frozen eval-mode stats as params
+    # (filled by checkpoint import; torch BatchNorm eval semantics)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        axes = tuple(range(x.ndim - 1))
-        mu = x.mean(axis=axes, keepdims=True)
-        var = x.var(axis=axes, keepdims=True)
         gamma = self.param("scale", nn.initializers.ones, (self.dim,))
         beta = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if self.use_running_stats:
+            mu = self.param("mean", nn.initializers.zeros, (self.dim,))
+            var = self.param("var", nn.initializers.ones, (self.dim,))
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mu = x.mean(axis=axes, keepdims=True)
+            var = x.var(axis=axes, keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + self.eps) * gamma + beta
 
 

@@ -189,13 +189,13 @@ class Trainer:
             out_shardings=(rep, None, rep),
             donate_argnums=(0, 1),
         )
-        eval_step = None
-        if self.metric_fn is not None:
-            eval_step = jax.jit(
-                make_eval_step(self.model, self.metric_fn),
-                in_shardings=(rep, data_shard, data_shard),
-                out_shardings=rep,
-            )
+        # Validation metric defaults to the training loss when no dedicated
+        # metric_fn is provided (the reference's val_loss behavior).
+        eval_step = jax.jit(
+            make_eval_step(self.model, self.metric_fn or self.loss_fn),
+            in_shardings=(rep, data_shard, data_shard),
+            out_shardings=rep,
+        )
 
         plateau = ReduceLROnPlateau(self.lr, self.lr_factor, self.patience_lr)
         stopper = EarlyStopping(self.patience_stop)
@@ -216,7 +216,7 @@ class Trainer:
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
             val_loss = train_loss
-            if val_batches is not None and eval_step is not None:
+            if val_batches is not None:
                 vals = [
                     eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
                     for m, t in val_batches()

@@ -704,3 +704,174 @@ def test_bsrnn_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+# --- DCCRN import parity (dccrn.py:11-226 + complexnn.py naming) ------------
+
+def _stft_kernels(win_len, fft_len, invers=False):
+    from scipy.signal import get_window
+    window = get_window("hann", win_len, fftbins=True)
+    basis = np.fft.rfft(np.eye(fft_len))[:win_len]
+    kernel = np.concatenate([basis.real, basis.imag], 1).T
+    if invers:
+        kernel = np.linalg.pinv(kernel).T
+    kernel = (kernel * window)[:, None, :]
+    return (torch.from_numpy(kernel.astype(np.float32)),
+            torch.from_numpy(window[None, :, None].astype(np.float32)))
+
+
+class _TCC2d(tnn.Module):
+    def __init__(self, cin, cout, k=(5, 2), stride=(2, 1), padding=(2, 1)):
+        super().__init__()
+        self.pad_t = padding[1]
+        self.real_conv = tnn.Conv2d(cin // 2, cout // 2, k, stride,
+                                    padding=[padding[0], 0])
+        self.imag_conv = tnn.Conv2d(cin // 2, cout // 2, k, stride,
+                                    padding=[padding[0], 0])
+
+    def forward(self, x):  # causal time pad
+        x = tF.pad(x, [self.pad_t, 0, 0, 0])
+        real, imag = torch.chunk(x, 2, 1)
+        rr, ii = self.real_conv(real), self.imag_conv(imag)
+        ri, ir = self.imag_conv(real), self.real_conv(imag)
+        return torch.cat([rr - ii, ri + ir], 1)
+
+
+class _TCCT2d(tnn.Module):
+    def __init__(self, cin, cout, k=(5, 2), stride=(2, 1)):
+        super().__init__()
+        self.real_conv = tnn.ConvTranspose2d(cin // 2, cout // 2, k, stride,
+                                             padding=(2, 0),
+                                             output_padding=(1, 0))
+        self.imag_conv = tnn.ConvTranspose2d(cin // 2, cout // 2, k, stride,
+                                             padding=(2, 0),
+                                             output_padding=(1, 0))
+
+    def forward(self, x):
+        real, imag = torch.chunk(x, 2, 1)
+        rr, ii = self.real_conv(real), self.imag_conv(imag)
+        ri, ir = self.imag_conv(real), self.real_conv(imag)
+        return torch.cat([rr - ii, ri + ir], 1)
+
+
+class _TNCLSTM(tnn.Module):
+    def __init__(self, input_size, hidden_size, projection_dim=None):
+        super().__init__()
+        self.real_lstm = tnn.LSTM(input_size // 2, hidden_size // 2, 1)
+        self.imag_lstm = tnn.LSTM(input_size // 2, hidden_size // 2, 1)
+        if projection_dim is not None:
+            self.r_trans = tnn.Linear(hidden_size // 2, projection_dim // 2)
+            self.i_trans = tnn.Linear(hidden_size // 2, projection_dim // 2)
+        self.proj = projection_dim
+
+    def forward(self, rin):
+        real, imag = rin
+        r2r, r2i = self.real_lstm(real)[0], self.imag_lstm(real)[0]
+        i2r, i2i = self.real_lstm(imag)[0], self.imag_lstm(imag)[0]
+        ro, io = r2r - i2i, i2r + r2i
+        if self.proj is not None:
+            ro, io = self.r_trans(ro), self.i_trans(io)
+        return [ro, io]
+
+
+class _TDCCRN(tnn.Module):
+    def __init__(self, win=48, inc=12, fft=64, kernel_num=(8, 16),
+                 rnn_layers=2, rnn_units=16):
+        super().__init__()
+        self.win, self.inc, self.fft = win, inc, fft
+        kn = [2] + list(kernel_num)
+        self.kn = kn
+        k_f, _ = _stft_kernels(win, fft)
+        k_i, w = _stft_kernels(win, fft, invers=True)
+        self.register_buffer("fwd_k", k_f)
+        self.register_buffer("inv_k", k_i)
+        self.register_buffer("win_buf", w)
+        self.register_buffer("enframe", torch.eye(win)[:, None, :])
+        self.encoder = tnn.ModuleList([
+            tnn.Sequential(_TCC2d(kn[i], kn[i + 1]),
+                           tnn.BatchNorm2d(kn[i + 1]), tnn.PReLU())
+            for i in range(len(kn) - 1)])
+        hidden = fft // (2 ** len(kn))
+        rnns = []
+        for li in range(rnn_layers):
+            rnns.append(_TNCLSTM(
+                hidden * kn[-1] if li == 0 else rnn_units, rnn_units,
+                projection_dim=hidden * kn[-1] if li == rnn_layers - 1 else None))
+        self.enhance = tnn.Sequential(*rnns)
+        self.decoder = tnn.ModuleList()
+        for idx in range(len(kn) - 1, 0, -1):
+            if idx != 1:
+                self.decoder.append(tnn.Sequential(
+                    _TCCT2d(kn[idx] * 2, kn[idx - 1]),
+                    tnn.BatchNorm2d(kn[idx - 1]), tnn.PReLU()))
+            else:
+                self.decoder.append(tnn.Sequential(_TCCT2d(kn[idx] * 2, 2)))
+
+    def forward(self, wav):
+        pad = self.win - self.inc
+        x = tF.pad(wav[:, None, :], [pad, pad])
+        specs = tF.conv1d(x, self.fwd_k, stride=self.inc)
+        fdim = self.fft // 2 + 1
+        real, imag = specs[:, :fdim], specs[:, fdim:]
+        mags = torch.sqrt(real ** 2 + imag ** 2 + 1e-8)
+        phase = torch.atan2(imag, real)
+        out = torch.stack([real, imag], 1)[:, :, 1:]
+        enc_out = []
+        for layer in self.encoder:
+            out = layer(out)
+            enc_out.append(out)
+        b, c, d, t = out.size()
+        out = out.permute(3, 0, 1, 2)
+        r_in = out[:, :, :c // 2].reshape(t, b, c // 2 * d)
+        i_in = out[:, :, c // 2:].reshape(t, b, c // 2 * d)
+        r_in, i_in = self.enhance([r_in, i_in])
+        r_in = r_in.reshape(t, b, c // 2, d)
+        i_in = i_in.reshape(t, b, c // 2, d)
+        out = torch.cat([r_in, i_in], 2).permute(1, 2, 3, 0)
+        for idx, layer in enumerate(self.decoder):
+            skip = enc_out[-1 - idx]
+            sr, si = torch.chunk(out, 2, 1)
+            kr, ki = torch.chunk(skip, 2, 1)
+            out = layer(torch.cat([sr, kr, si, ki], 1))[..., 1:]
+        mask_real = tF.pad(out[:, 0], [0, 0, 1, 0])
+        mask_imag = tF.pad(out[:, 1], [0, 0, 1, 0])
+        mask_mags = (mask_real ** 2 + mask_imag ** 2) ** 0.5
+        mask_phase = torch.atan2(mask_imag / (mask_mags + 1e-8),
+                                 mask_real / (mask_mags + 1e-8))
+        est_mags = torch.tanh(mask_mags) * mags
+        est_phase = phase + mask_phase
+        real = est_mags * torch.cos(est_phase)
+        imag = est_mags * torch.sin(est_phase)
+        spec = torch.cat([real, imag], 1)
+        wav_out = tF.conv_transpose1d(spec, self.inv_k, stride=self.inc)
+        twin = self.win_buf.repeat(1, 1, spec.size(-1)) ** 2
+        coff = tF.conv_transpose1d(twin, self.enframe, stride=self.inc)
+        wav_out = wav_out / (coff + 1e-8)
+        wav_out = wav_out[..., pad:-pad].squeeze(1)
+        return torch.clamp(wav_out, -1, 1)
+
+
+def test_dccrn_torch_import_parity(rng):
+    from sonicsim_tpu.models import DCCRN
+
+    torch.manual_seed(5)
+    tm = _TDCCRN()
+    # populate BatchNorm running stats with a train-mode pass, then eval
+    with torch.no_grad():
+        tm.train()
+        tm(torch.from_numpy(
+            rng.standard_normal((4, 960)).astype(np.float32) * 0.3))
+        tm.eval()
+        x = rng.standard_normal((2, 960)).astype(np.float32) * 0.3
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = DCCRN(rnn_layers=2, rnn_units=16, win_len=48, win_inc=12,
+                  fft_len=64, kernel_num=(8, 16), torch_compat=True)
+    _, params = import_torch_checkpoint(
+        {"model_name": "DCCRN", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model,
+    )
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
