@@ -457,3 +457,31 @@ def _convert_dccrn(model, sd) -> dict:
                 sd[f"decoder.{i}.2.weight"]
             ).reshape(-1)
     return p
+
+
+def sequence_model(sd, key, num_layers):
+    """Reference SequenceModel (fullband.py:53-154): multi-layer
+    unidirectional LSTM + optional fc_output_layer."""
+    blk: dict = {}
+    for k in range(num_layers):
+        blk[f"OptimizedLSTMCell_{k}"] = lstm_cell(
+            sd, f"{key}.sequence_model", suffix=f"l{k}"
+        )["OptimizedLSTMCell_0"]
+    if f"{key}.fc_output_layer.weight" in sd:
+        blk["fc_output"] = linear(sd, f"{key}.fc_output_layer")
+    return blk
+
+
+@register_converter("fullband")
+def _convert_fullband(model, sd) -> dict:
+    """Map enhancement/look2hear/models/fullband.py parameter names."""
+    return {"fullband_model": sequence_model(sd, "fullband_model", 3)}
+
+
+@register_converter("fullsubnet")
+def _convert_fullsubnet(model, sd) -> dict:
+    """Map enhancement/look2hear/models/fullsubnet.py parameter names."""
+    return {
+        "fb_model": sequence_model(sd, "fb_model", 2),
+        "sb_model": sequence_model(sd, "sb_model", 2),
+    }

@@ -875,3 +875,112 @@ def test_dccrn_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- Fullband / FullSubnet import parity (fullband.py:53-657 naming) --------
+
+class _TSeqModel(tnn.Module):
+    def __init__(self, input_size, output_size, hidden, layers, act):
+        super().__init__()
+        self.sequence_model = tnn.LSTM(input_size, hidden, layers,
+                                       batch_first=True)
+        if output_size:
+            self.fc_output_layer = tnn.Linear(hidden, output_size)
+        self.output_size, self.act = output_size, act
+
+    def forward(self, x):  # (B, F, T)
+        o, _ = self.sequence_model(x.permute(0, 2, 1))
+        if self.output_size:
+            o = self.fc_output_layer(o)
+        if self.act == "ReLU":
+            o = torch.relu(o)
+        return o.permute(0, 2, 1)
+
+
+def _tstft(y, n_fft, hop):
+    s = torch.stft(y, n_fft, hop, win_length=n_fft,
+                   window=torch.hann_window(n_fft), return_complex=True)
+    return s.abs(), s.real, s.imag
+
+
+def _tlaplace(x):
+    return x / (x.mean(dim=list(range(1, x.dim())), keepdim=True) + 1e-5)
+
+
+def _tunfold(x, n):  # (B, F, T) → (B, F, 2n+1, T)
+    if n <= 0:
+        return x.unsqueeze(2)
+    b, f, t = x.shape
+    xp = tF.pad(x.unsqueeze(1), [0, 0, n, n], mode="reflect")[:, 0]
+    return xp.unfold(1, 2 * n + 1, 1).permute(0, 1, 3, 2)
+
+
+class _TFullband(tnn.Module):
+    def __init__(self, num_freqs=33, hidden=16, n_fft=64, hop=32, look=2):
+        super().__init__()
+        self.n_fft, self.hop, self.look = n_fft, hop, look
+        self.fullband_model = _TSeqModel(num_freqs, num_freqs * 2, hidden, 3,
+                                         False)
+
+    def forward(self, y):
+        mag, real, imag = _tstft(y, self.n_fft, self.hop)
+        x = tF.pad(mag, [0, self.look])
+        b, f, t = x.shape
+        out = self.fullband_model(_tlaplace(x.unsqueeze(1)).reshape(b, f, t))
+        out = out.reshape(b, 2, f, t)
+        return out[..., self.look:], real, imag
+
+
+class _TFullSubnet(tnn.Module):
+    def __init__(self, num_freqs=33, fbh=16, sbh=16, n_fft=64, hop=32,
+                 look=2, sb_n=4):
+        super().__init__()
+        self.n_fft, self.hop, self.look, self.sb_n = n_fft, hop, look, sb_n
+        self.fb_model = _TSeqModel(num_freqs, num_freqs, fbh, 2, "ReLU")
+        self.sb_model = _TSeqModel(sb_n * 2 + 2, 2, sbh, 2, False)
+
+    def forward(self, y):
+        mag, real, imag = _tstft(y, self.n_fft, self.hop)
+        x = tF.pad(mag, [0, self.look])
+        b, f, t = x.shape
+        fb = self.fb_model(_tlaplace(x.unsqueeze(1)).reshape(b, f, t))
+        fb_unf = _tunfold(fb, 0)
+        mag_unf = _tunfold(x, self.sb_n)
+        sb = torch.cat([mag_unf, fb_unf], dim=2)
+        sb = _tlaplace(sb)
+        sb = sb.reshape(b * f, self.sb_n * 2 + 2, t)
+        m = self.sb_model(sb).reshape(b, f, 2, t).permute(0, 2, 1, 3)
+        return m[..., self.look:], real, imag
+
+
+def test_fullband_fullsubnet_torch_import_parity(rng):
+    from sonicsim_tpu.models import Fullband, FullSubnet
+
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+
+    torch.manual_seed(6)
+    tm = _TFullband().eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))[0].numpy()
+    model = Fullband(num_freqs=33, hidden_size=16, n_fft=64, hop_length=32,
+                     win_length=64)
+    _, params = import_torch_checkpoint(
+        {"model_name": "Fullband", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+    torch.manual_seed(7)
+    tm2 = _TFullSubnet().eval()
+    with torch.no_grad():
+        ref2 = tm2(torch.from_numpy(x))[0].numpy()
+    model2 = FullSubnet(num_freqs=33, fb_model_hidden_size=16,
+                        sb_model_hidden_size=16, sb_num_neighbors=4,
+                        n_fft=64, hop_length=32, win_length=64)
+    _, params2 = import_torch_checkpoint(
+        {"model_name": "FullSubnet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm2.state_dict().items()}},
+        model=model2)
+    got2 = np.asarray(model2.apply(params2, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got2, ref2, atol=5e-4, rtol=1e-3)
