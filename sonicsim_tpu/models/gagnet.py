@@ -315,7 +315,8 @@ class GaGNet(BaseModel):
                 h = ChannelPReLU(64 if i == 4 else self.c, name=f"unet_{i}_prelu")(h)
 
         b, t_frames, f_down, c_enc = h.shape
-        feat_x = h.reshape(b, t_frames, f_down * c_enc)
+        # torch flattens (C, F) channel-major (gagnet.py:112-113).
+        feat_x = jnp.swapaxes(h, 2, 3).reshape(b, t_frames, c_enc * f_down)
         if feat_x.shape[-1] != self.d_feat:
             raise ValueError(
                 f"encoder feature dim {feat_x.shape[-1]} != d_feat {self.d_feat}"

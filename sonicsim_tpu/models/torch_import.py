@@ -485,3 +485,96 @@ def _convert_fullsubnet(model, sd) -> dict:
         "fb_model": sequence_model(sd, "fb_model", 2),
         "sb_model": sequence_model(sd, "sb_model", 2),
     }
+
+
+def instancenorm(sd, key):
+    return {
+        "scale": np.asarray(sd[f"{key}.norm.weight"]),
+        "bias": np.asarray(sd[f"{key}.norm.bias"]),
+    }
+
+
+def channel_prelu(sd, key):
+    return {"alpha": np.asarray(sd[f"{key}.weight"]).reshape(-1)}
+
+
+def _gate_conv(sd, key):
+    """GateConv2d: Sequential(pad, Conv2d) when k_t>1 else bare Conv2d."""
+    k = f"{key}.conv.1" if f"{key}.conv.1.weight" in sd else f"{key}.conv"
+    return {"conv": conv2d(sd, k)}
+
+
+def _squeezed_tcm(sd, key):
+    return {
+        "in_conv": conv1d(sd, f"{key}.in_conv"),
+        "d_prelu": channel_prelu(sd, f"{key}.d_conv.0"),
+        "d_norm": instancenorm(sd, f"{key}.d_conv.1"),
+        "d_conv": conv1d(sd, f"{key}.d_conv.3"),
+        "out_prelu": channel_prelu(sd, f"{key}.out_conv.0"),
+        "out_norm": instancenorm(sd, f"{key}.out_conv.1"),
+        "out_conv": conv1d(sd, f"{key}.out_conv.2"),
+    }
+
+
+def _tcn_group(sd, key, n):
+    return {f"tcm_{j}": _squeezed_tcm(sd, f"{key}.tcns.{j}") for j in range(n)}
+
+
+def u2_encoder(sd, prefix, n_modules=4):
+    """U2Net_Encoder naming (gagnet.py:361-399)."""
+    en: dict = {}
+    for i in range(n_modules):
+        m = f"{prefix}.meta_unet_list.{i}"
+        blk: dict = {
+            "in_conv_gate": _gate_conv(sd, f"{m}.in_conv.0"),
+            "in_conv_norm": instancenorm(sd, f"{m}.in_conv.1"),
+            "in_conv_prelu": channel_prelu(sd, f"{m}.in_conv.2"),
+        }
+        j = 0
+        while f"{m}.enco.{j}.conv.0.weight" in sd:
+            blk[f"enco_{j}"] = {
+                "conv": conv2d(sd, f"{m}.enco.{j}.conv.0"),
+                "norm": instancenorm(sd, f"{m}.enco.{j}.conv.1"),
+                "prelu": channel_prelu(sd, f"{m}.enco.{j}.conv.2"),
+            }
+            blk[f"deco_{j}"] = {
+                "deconv": conv_transpose2d(sd, f"{m}.deco.{j}.deconv.0"),
+                "norm": instancenorm(sd, f"{m}.deco.{j}.deconv.1"),
+                "prelu": channel_prelu(sd, f"{m}.deco.{j}.deconv.2"),
+            }
+            j += 1
+        en[f"unet_{i}"] = blk
+    en["last_gate"] = _gate_conv(sd, f"{prefix}.last_conv.0")
+    en["last_norm"] = instancenorm(sd, f"{prefix}.last_conv.1")
+    en["last_prelu"] = channel_prelu(sd, f"{prefix}.last_conv.2")
+    return en
+
+
+@register_converter("gagnet")
+def _convert_gagnet(model, sd) -> dict:
+    """Map enhancement/look2hear/models/gagnet.py parameter names."""
+    p: dict = {"en": u2_encoder(sd, "en")}
+    for i in range(model.q):
+        g = f"gags.{i}"
+        blk: dict = {
+            "glance_main": conv1d(sd, f"{g}.glance_block.in_conv_main"),
+            "glance_gate": conv1d(sd, f"{g}.glance_block.in_conv_gate.0"),
+            "glance_linear": conv1d(sd, f"{g}.glance_block.linear_g.0"),
+            "gaze_main": conv1d(sd, f"{g}.gaze_block.in_conv_main"),
+            "gaze_gate": conv1d(sd, f"{g}.gaze_block.in_conv_gate.0"),
+            "gaze_linear_r": conv1d(sd, f"{g}.gaze_block.linear_r"),
+            "gaze_linear_i": conv1d(sd, f"{g}.gaze_block.linear_i"),
+        }
+        n = len(model.dilas)
+        for pp in range(model.p):
+            blk[f"glance_tcn_{pp}"] = _tcn_group(
+                sd, f"{g}.glance_block.tcn_g.{pp}", n
+            )
+            blk[f"gaze_tcn_r_{pp}"] = _tcn_group(
+                sd, f"{g}.gaze_block.tcm_r.{pp}", n
+            )
+            blk[f"gaze_tcn_i_{pp}"] = _tcn_group(
+                sd, f"{g}.gaze_block.tcm_i.{pp}", n
+            )
+        p[f"gag_{i}"] = blk
+    return p

@@ -984,3 +984,232 @@ def test_fullband_fullsubnet_torch_import_parity(rng):
         model=model2)
     got2 = np.asarray(model2.apply(params2, jnp.asarray(x))[0])
     np.testing.assert_allclose(got2, ref2, atol=5e-4, rtol=1e-3)
+
+
+# --- GaGNet import parity (gagnet.py:6-630 naming) ---------------------------
+
+class _TIN1d(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = tnn.InstanceNorm1d(c, affine=True)
+
+    def forward(self, x):
+        return self.norm(x)
+
+
+class _TIN2d(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = tnn.InstanceNorm2d(c, affine=True)
+
+    def forward(self, x):
+        return self.norm(x)
+
+
+class _TGateConv2d(tnn.Module):
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        if k[0] > 1:
+            self.conv = tnn.Sequential(
+                tnn.ConstantPad2d((0, 0, k[0] - 1, 0), 0.0),
+                tnn.Conv2d(cin, cout * 2, k, stride))
+        else:
+            self.conv = tnn.Conv2d(cin, cout * 2, k, stride)
+
+    def forward(self, x):
+        out, gate = self.conv(x).chunk(2, 1)
+        return out * gate.sigmoid()
+
+
+class _TConv2dUnit(tnn.Module):
+    def __init__(self, c, k):
+        super().__init__()
+        self.conv = tnn.Sequential(tnn.Conv2d(c, c, k, (1, 2)), _TIN2d(c),
+                                   tnn.PReLU(c))
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _TDeconv2dUnit(tnn.Module):
+    def __init__(self, cin, c, k):
+        super().__init__()
+        self.deconv = tnn.Sequential(tnn.ConvTranspose2d(cin, c, k, (1, 2)),
+                                     _TIN2d(c), tnn.PReLU(c))
+
+    def forward(self, x):
+        return self.deconv(x)
+
+
+class _TEnUnet(tnn.Module):
+    def __init__(self, cin, cout, k1, k2, scale):
+        super().__init__()
+        self.in_conv = tnn.Sequential(_TGateConv2d(cin, cout, k1, (1, 2)),
+                                      _TIN2d(cout), tnn.PReLU(cout))
+        self.enco = tnn.ModuleList(
+            [_TConv2dUnit(cout, k2) for _ in range(scale)])
+        self.deco = tnn.ModuleList(
+            [_TDeconv2dUnit(cout if i == 0 else cout * 2, cout, k2)
+             for i in range(scale)])
+
+    def forward(self, x):
+        xr = self.in_conv(x)
+        h, hist = xr, []
+        for e in self.enco:
+            h = e(h)
+            hist.append(h)
+        for i, d in enumerate(self.deco):
+            h = d(h if i == 0 else torch.cat((h, hist[-(i + 1)]), 1))
+        return xr + h
+
+
+class _TSqTCM(tnn.Module):
+    def __init__(self, kd1, cd1, d_feat, dila):
+        super().__init__()
+        self.in_conv = tnn.Conv1d(d_feat, cd1, 1, bias=False)
+        self.d_conv = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1),
+            tnn.ConstantPad1d(((kd1 - 1) * dila, 0), 0.0),
+            tnn.Conv1d(cd1, cd1, kd1, dilation=dila, bias=False))
+        self.out_conv = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1), tnn.Conv1d(cd1, d_feat, 1, bias=False))
+
+    def forward(self, x):
+        return x + self.out_conv(self.d_conv(self.in_conv(x)))
+
+
+class _TTCNGroup(tnn.Module):
+    def __init__(self, kd1, cd1, d_feat, dilas):
+        super().__init__()
+        self.tcns = tnn.Sequential(
+            *[_TSqTCM(kd1, cd1, d_feat, d) for d in dilas])
+
+    def forward(self, x):
+        return self.tcns(x)
+
+
+class _TGlance(tnn.Module):
+    def __init__(self, kd1, cd1, d_feat, p, dilas, fftn, ci):
+        super().__init__()
+        self.in_conv_main = tnn.Conv1d(ci, d_feat, 1)
+        self.in_conv_gate = tnn.Sequential(tnn.Conv1d(ci, d_feat, 1),
+                                           tnn.Sigmoid())
+        self.tcn_g = tnn.Sequential(
+            *[_TTCNGroup(kd1, cd1, d_feat, dilas) for _ in range(p)])
+        self.linear_g = tnn.Sequential(tnn.Conv1d(d_feat, fftn // 2 + 1, 1),
+                                       tnn.Sigmoid())
+
+    def forward(self, feat_x, pre_x):
+        b = pre_x.shape[0]
+        pre = pre_x.reshape(b, -1, pre_x.shape[-1])
+        z = torch.cat((feat_x, pre), 1)
+        x = self.in_conv_main(z) * self.in_conv_gate(z)
+        return self.linear_g(self.tcn_g(x))
+
+
+class _TGaze(tnn.Module):
+    def __init__(self, kd1, cd1, d_feat, p, dilas, fftn, ci):
+        super().__init__()
+        self.in_conv_main = tnn.Conv1d(ci, d_feat, 1)
+        self.in_conv_gate = tnn.Sequential(tnn.Conv1d(ci, d_feat, 1),
+                                           tnn.Sigmoid())
+        self.tcm_r = tnn.Sequential(
+            *[_TTCNGroup(kd1, cd1, d_feat, dilas) for _ in range(p)])
+        self.tcm_i = tnn.Sequential(
+            *[_TTCNGroup(kd1, cd1, d_feat, dilas) for _ in range(p)])
+        self.linear_r = tnn.Conv1d(d_feat, fftn // 2 + 1, 1)
+        self.linear_i = tnn.Conv1d(d_feat, fftn // 2 + 1, 1)
+
+    def forward(self, feat_x, pre_x):
+        b = pre_x.shape[0]
+        pre = pre_x.reshape(b, -1, pre_x.shape[-1])
+        z = torch.cat((feat_x, pre), 1)
+        x = self.in_conv_main(z) * self.in_conv_gate(z)
+        return torch.stack((self.linear_r(self.tcm_r(x)),
+                            self.linear_i(self.tcm_i(x))), 1)
+
+
+class _TGaG(tnn.Module):
+    def __init__(self, kd1=3, cd1=8, d_feat=192, p=1, dilas=(1, 2), fftn=256,
+                 hop=128, c=8, q=2):
+        super().__init__()
+        self.fftn, self.hop, self.q = fftn, hop, q
+        k1, k2 = (2, 3), (1, 3)
+        ci = d_feat + 2 * (fftn // 2 + 1)
+
+        class _En(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.meta_unet_list = tnn.ModuleList([
+                    _TEnUnet(2, c, (2, 5), k2, 4),
+                    _TEnUnet(c, c, k1, k2, 3),
+                    _TEnUnet(c, c, k1, k2, 2),
+                    _TEnUnet(c, c, k1, k2, 1)])
+                s.last_conv = tnn.Sequential(_TGateConv2d(c, 64, k1, (1, 2)),
+                                             _TIN2d(64), tnn.PReLU(64))
+
+            def forward(s, x):
+                for m in s.meta_unet_list:
+                    x = m(x)
+                return s.last_conv(x)
+
+        class _GaGMod(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.glance_block = _TGlance(kd1, cd1, d_feat, p, dilas, fftn, ci)
+                s.gaze_block = _TGaze(kd1, cd1, d_feat, p, dilas, fftn, ci)
+
+            def forward(s, feat_x, pre_x):
+                gain = s.glance_block(feat_x, pre_x)
+                resi = s.gaze_block(feat_x, pre_x)
+                mag = torch.norm(pre_x, dim=1)
+                ph = torch.atan2(pre_x[:, -1], pre_x[:, 0])
+                filt = mag * gain.squeeze(1) if gain.dim() == 4 else mag * gain
+                coarse = torch.stack((filt * torch.cos(ph),
+                                      filt * torch.sin(ph)), 1)
+                return coarse + resi
+
+        self.en = _En()
+        self.gags = tnn.ModuleList([_GaGMod() for _ in range(q)])
+
+    def forward(self, x):
+        cnorm = torch.sqrt(x.shape[-1] / torch.sum(x ** 2, dim=-1))
+        x = x * cnorm.unsqueeze(-1)
+        s = torch.stft(x, self.fftn, self.hop, win_length=self.fftn,
+                       window=torch.hann_window(self.fftn),
+                       return_complex=True)
+        sr = torch.view_as_real(s)
+        mag = torch.norm(sr, dim=-1) ** 0.5
+        ph = torch.atan2(sr[..., 1], sr[..., 0])
+        sr = torch.stack((mag * torch.cos(ph), mag * torch.sin(ph)), -1)
+        sr = sr.permute(0, 3, 2, 1)  # (B, 2, T, F)
+        b, _, t, _ = sr.shape
+        feat = self.en(sr)
+        feat = feat.transpose(-2, -1).reshape(b, -1, t)
+        pre = sr.transpose(-2, -1)  # (B, 2, F, T)
+        outs = []
+        for g in self.gags:
+            pre = g(feat, pre)
+            outs.append(pre)
+        return outs
+
+
+def test_gagnet_torch_import_parity(rng):
+    from sonicsim_tpu.models import GaGNet
+
+    torch.manual_seed(8)
+    tm = _TGaG().eval()
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        refs = [o.numpy() for o in tm(torch.from_numpy(x))]
+
+    model = GaGNet(c=8, kd1=3, cd1=8, d_feat=192, p=1, q=2, dilas=(1, 2),
+                   fft_num=256, n_fft=256, hop_length=128, win_length=256)
+    _, params = import_torch_checkpoint(
+        {"model_name": "GaGNet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    outs = model.apply(params, jnp.asarray(x))
+    assert len(outs) == len(refs)
+    for got, ref in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-2)
