@@ -17,7 +17,58 @@ import jax.numpy as jnp
 
 from ..ops.stft import hann_window, stft
 from .base import BaseModel, register_model
-from .gagnet import TCNGroup, U2Encoder
+from .gagnet import ChannelPReLU, InstanceNorm, U2Encoder
+
+
+class GatedSqueezedTCM(nn.Module):
+    """g2net.py:356-402: squeezed TCM whose dilated conv is GATED
+    (dd_conv_main * sigmoid(dd_conv_gate)) — distinct from GaGNet's
+    ungated SqueezedTCM."""
+
+    kd1: int
+    cd1: int
+    d_feat: int
+    dilation: int
+    is_causal: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, d_feat)
+        h = nn.Conv(self.cd1, (1,), use_bias=False, name="in_conv")(x)
+        d = (self.kd1 - 1) * self.dilation
+        padding = [(d, 0)] if self.is_causal else [(d // 2, d - d // 2)]
+
+        def branch(z, tag):
+            z = ChannelPReLU(self.cd1, name=f"{tag}_prelu")(z)
+            z = InstanceNorm(self.cd1, name=f"{tag}_norm")(z)
+            return nn.Conv(
+                self.cd1, (self.kd1,), kernel_dilation=(self.dilation,),
+                padding=padding, use_bias=False, name=f"{tag}_conv",
+            )(z)
+
+        h = branch(h, "main") * jax.nn.sigmoid(branch(h, "gate"))
+        h = ChannelPReLU(self.cd1, name="out_prelu")(h)
+        h = InstanceNorm(self.cd1, name="out_norm")(h)
+        h = nn.Conv(self.d_feat, (1,), use_bias=False, name="out_conv")(h)
+        return x + h
+
+
+class GatedTCNList(nn.Module):
+    """SqueezedTCNList (g2net.py:336-354)."""
+
+    kd1: int
+    cd1: int
+    d_feat: int
+    dilas: tuple[int, ...]
+    is_causal: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        for j, d in enumerate(self.dilas):
+            x = GatedSqueezedTCM(
+                self.kd1, self.cd1, self.d_feat, d, self.is_causal,
+                name=f"tcm_{j}",
+            )(x)
+        return x
 
 
 class G2GGModule(nn.Module):
@@ -47,7 +98,7 @@ class G2GGModule(nn.Module):
         )
         acc = jnp.zeros_like(g)
         for i in range(self.tcn_num):
-            g = TCNGroup(
+            g = GatedTCNList(
                 self.kd1, self.cd1, self.d_feat, self.dilas, self.is_causal,
                 name=f"glance_tcn_{i}",
             )(g)
@@ -64,11 +115,11 @@ class G2GGModule(nn.Module):
         acc_r = jnp.zeros_like(zr)
         acc_i = jnp.zeros_like(zi)
         for i in range(self.tcn_num):
-            zr = TCNGroup(
+            zr = GatedTCNList(
                 self.kd1, self.cd1, self.d_feat, self.dilas, self.is_causal,
                 name=f"gaze_tcn_r_{i}",
             )(zr)
-            zi = TCNGroup(
+            zi = GatedTCNList(
                 self.kd1, self.cd1, self.d_feat, self.dilas, self.is_causal,
                 name=f"gaze_tcn_i_{i}",
             )(zi)
@@ -127,12 +178,17 @@ class G2Net(BaseModel):
             ri = U2Encoder(self.c, self.k1, self.k2, self.intra_connect, name="ri_en")(
                 x_ri
             )
-            heads.append(ri.reshape(ri.shape[0], ri.shape[1], -1))
+            # torch flattens (C, F) channel-major (g2net.py:121-131).
+            heads.append(
+                jnp.swapaxes(ri, 2, 3).reshape(ri.shape[0], ri.shape[1], -1)
+            )
         if "MAG" in self.head_type:
             mg = U2Encoder(self.c, self.k1, self.k2, self.intra_connect, name="mag_en")(
                 mag[..., None]
             )
-            heads.append(mg.reshape(mg.shape[0], mg.shape[1], -1))
+            heads.append(
+                jnp.swapaxes(mg, 2, 3).reshape(mg.shape[0], mg.shape[1], -1)
+            )
         feat_x = jnp.concatenate(heads, axis=-1)
 
         pre_x = x_ri

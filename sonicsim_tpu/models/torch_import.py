@@ -520,13 +520,25 @@ def _tcn_group(sd, key, n):
     return {f"tcm_{j}": _squeezed_tcm(sd, f"{key}.tcns.{j}") for j in range(n)}
 
 
-def u2_encoder(sd, prefix, n_modules=4):
-    """U2Net_Encoder naming (gagnet.py:361-399)."""
+def _gate2dconv(sd, key):
+    """g2net Gate2dconv (g2net.py:601-630): two separate convs fused into the
+    chunked-gate layout (out channels then gate channels)."""
+    a = conv2d(sd, f"{key}.conv.1")
+    g = conv2d(sd, f"{key}.gate_conv.1")
+    return {"conv": {
+        "kernel": np.concatenate([a["kernel"], g["kernel"]], axis=-1),
+        "bias": np.concatenate([a["bias"], g["bias"]]),
+    }}
+
+
+def u2_encoder(sd, prefix, n_modules=4, gate_fn=None):
+    """U2Net_Encoder naming (gagnet.py:361-399; g2net variant via gate_fn)."""
+    gate_fn = gate_fn or _gate_conv
     en: dict = {}
     for i in range(n_modules):
         m = f"{prefix}.meta_unet_list.{i}"
         blk: dict = {
-            "in_conv_gate": _gate_conv(sd, f"{m}.in_conv.0"),
+            "in_conv_gate": gate_fn(sd, f"{m}.in_conv.0"),
             "in_conv_norm": instancenorm(sd, f"{m}.in_conv.1"),
             "in_conv_prelu": channel_prelu(sd, f"{m}.in_conv.2"),
         }
@@ -544,7 +556,7 @@ def u2_encoder(sd, prefix, n_modules=4):
             }
             j += 1
         en[f"unet_{i}"] = blk
-    en["last_gate"] = _gate_conv(sd, f"{prefix}.last_conv.0")
+    en["last_gate"] = gate_fn(sd, f"{prefix}.last_conv.0")
     en["last_norm"] = instancenorm(sd, f"{prefix}.last_conv.1")
     en["last_prelu"] = channel_prelu(sd, f"{prefix}.last_conv.2")
     return en
@@ -577,4 +589,57 @@ def _convert_gagnet(model, sd) -> dict:
                 sd, f"{g}.gaze_block.tcm_i.{pp}", n
             )
         p[f"gag_{i}"] = blk
+    return p
+
+
+def _gated_tcm(sd, key):
+    """g2net GatedSqueezedTCM naming (g2net.py:356-402)."""
+    return {
+        "in_conv": conv1d(sd, f"{key}.in_conv"),
+        "main_prelu": channel_prelu(sd, f"{key}.dd_conv_main.0"),
+        "main_norm": instancenorm(sd, f"{key}.dd_conv_main.1"),
+        "main_conv": conv1d(sd, f"{key}.dd_conv_main.3"),
+        "gate_prelu": channel_prelu(sd, f"{key}.dd_conv_gate.0"),
+        "gate_norm": instancenorm(sd, f"{key}.dd_conv_gate.1"),
+        "gate_conv": conv1d(sd, f"{key}.dd_conv_gate.3"),
+        "out_prelu": channel_prelu(sd, f"{key}.out_conv.0"),
+        "out_norm": instancenorm(sd, f"{key}.out_conv.1"),
+        "out_conv": conv1d(sd, f"{key}.out_conv.2"),
+    }
+
+
+def _gated_tcn_list(sd, key, n):
+    return {f"tcm_{j}": _gated_tcm(sd, f"{key}.tcm_list.{j}") for j in range(n)}
+
+
+@register_converter("g2net")
+def _convert_g2net(model, sd) -> dict:
+    """Map enhancement/look2hear/models/g2net.py parameter names
+    (RI+MAG u2 head, crm1 — the released config)."""
+    p: dict = {
+        "ri_en": u2_encoder(sd, "ri_en", gate_fn=_gate2dconv),
+        "mag_en": u2_encoder(sd, "mag_en", gate_fn=_gate2dconv),
+    }
+    n = len(model.dilas)
+    for i in range(model.stage_num):
+        g = f"ggms.{i}"
+        blk: dict = {
+            "glance_in": conv1d(sd, f"{g}.glance_branch.in_conv"),
+            "glance_linear": conv1d(sd, f"{g}.glance_branch.linear_mag"),
+            "gaze_in_r": conv1d(sd, f"{g}.gaze_branch.in_conv_r"),
+            "gaze_in_i": conv1d(sd, f"{g}.gaze_branch.in_conv_i"),
+            "gaze_linear_r": linear(sd, f"{g}.gaze_branch.linear_r"),
+            "gaze_linear_i": linear(sd, f"{g}.gaze_branch.linear_i"),
+        }
+        for pp in range(model.tcn_num):
+            blk[f"glance_tcn_{pp}"] = _gated_tcn_list(
+                sd, f"{g}.glance_branch.tcn_list.{pp}", n
+            )
+            blk[f"gaze_tcn_r_{pp}"] = _gated_tcn_list(
+                sd, f"{g}.gaze_branch.tcn_r.{pp}", n
+            )
+            blk[f"gaze_tcn_i_{pp}"] = _gated_tcn_list(
+                sd, f"{g}.gaze_branch.tcn_i.{pp}", n
+            )
+        p[f"ggm_{i}"] = blk
     return p

@@ -1213,3 +1213,210 @@ def test_gagnet_torch_import_parity(rng):
     assert len(outs) == len(refs)
     for got, ref in zip(outs, refs):
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-2)
+
+
+# --- G2Net import parity (g2net.py:7-630 naming) -----------------------------
+
+class _TGate2dconv(tnn.Module):
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        pad = (0, 0, k[0] - 1, 0)
+        self.conv = tnn.Sequential(tnn.ConstantPad2d(pad, 0.0),
+                                   tnn.Conv2d(cin, cout, k, stride))
+        self.gate_conv = tnn.Sequential(tnn.ConstantPad2d(pad, 0.0),
+                                        tnn.Conv2d(cin, cout, k, stride),
+                                        tnn.Sigmoid())
+
+    def forward(self, x):
+        return self.conv(x) * self.gate_conv(x)
+
+
+class _TG2EnUnet(tnn.Module):
+    def __init__(self, cin, cout, k1, k2, scale):
+        super().__init__()
+        self.in_conv = tnn.Sequential(_TGate2dconv(cin, cout, k1, (1, 2)),
+                                      _TIN2d(cout), tnn.PReLU(cout))
+        self.enco = tnn.ModuleList(
+            [_TConv2dUnit(cout, k2) for _ in range(scale)])
+        self.deco = tnn.ModuleList(
+            [_TDeconv2dUnit(cout if i == 0 else cout * 2, cout, k2)
+             for i in range(scale)])
+
+    def forward(self, x):
+        xr = self.in_conv(x)
+        h, hist = xr, []
+        for e in self.enco:
+            h = e(h)
+            hist.append(h)
+        for i, d in enumerate(self.deco):
+            h = d(h if i == 0 else torch.cat((h, hist[-(i + 1)]), 1))
+        return xr + h
+
+
+class _TG2U2En(tnn.Module):
+    def __init__(self, cin, c):
+        super().__init__()
+        k1, k2 = (2, 3), (1, 3)
+        self.meta_unet_list = tnn.ModuleList([
+            _TG2EnUnet(cin, c, (2, 5), k2, 4),
+            _TG2EnUnet(c, c, k1, k2, 3),
+            _TG2EnUnet(c, c, k1, k2, 2),
+            _TG2EnUnet(c, c, k1, k2, 1)])
+        self.last_conv = tnn.Sequential(_TGate2dconv(c, 64, k1, (1, 2)),
+                                        _TIN2d(64), tnn.PReLU(64))
+
+    def forward(self, x):
+        for m in self.meta_unet_list:
+            x = m(x)
+        return self.last_conv(x)
+
+
+class _TGatedTCM(tnn.Module):
+    def __init__(self, d_feat, kd1, cd1, dila):
+        super().__init__()
+        pad = tnn.ConstantPad1d(((kd1 - 1) * dila, 0), 0.0)
+        self.in_conv = tnn.Conv1d(d_feat, cd1, 1, bias=False)
+        self.dd_conv_main = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1), pad,
+            tnn.Conv1d(cd1, cd1, kd1, dilation=dila, bias=False))
+        self.dd_conv_gate = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1), pad,
+            tnn.Conv1d(cd1, cd1, kd1, dilation=dila, bias=False), tnn.Sigmoid())
+        self.out_conv = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1), tnn.Conv1d(cd1, d_feat, 1, bias=False))
+
+    def forward(self, x):
+        h = self.in_conv(x)
+        h = self.dd_conv_main(h) * self.dd_conv_gate(h)
+        return x + self.out_conv(h)
+
+
+class _TGatedTCNList(tnn.Module):
+    def __init__(self, d_feat, kd1, cd1, dilas):
+        super().__init__()
+        self.tcm_list = tnn.ModuleList(
+            [_TGatedTCM(d_feat, kd1, cd1, d) for d in dilas])
+
+    def forward(self, x):
+        for m in self.tcm_list:
+            x = m(x)
+        return x
+
+
+class _TG2Net(tnn.Module):
+    def __init__(self, c=8, d_feat=192, kd1=3, cd1=8, tcn_num=1, dilas=(1, 2),
+                 fftn=256, hop=128, stages=2):
+        super().__init__()
+        self.fftn, self.hop, self.stages, self.tcn_num = fftn, hop, stages, tcn_num
+        F = fftn // 2 + 1
+        self.ri_en = _TG2U2En(2, c)
+        self.mag_en = _TG2U2En(1, c)
+        ci_g = F + d_feat * 2
+        ci_z = 2 * F + d_feat * 2
+
+        class _GGM(tnn.Module):
+            def __init__(s):
+                super().__init__()
+
+                class _Glance(tnn.Module):
+                    def __init__(ss):
+                        super().__init__()
+                        ss.in_conv = tnn.Conv1d(ci_g, d_feat, 1)
+                        ss.tcn_list = tnn.ModuleList(
+                            [_TGatedTCNList(d_feat, kd1, cd1, dilas)
+                             for _ in range(tcn_num)])
+                        ss.linear_mag = tnn.Conv1d(d_feat, F, 1)
+
+                    def forward(ss, x, mag):
+                        h = ss.in_conv(torch.cat((x, mag), 1))
+                        acc = torch.zeros_like(h)
+                        for t in ss.tcn_list:
+                            h = t(h)
+                            acc = acc + h
+                        return torch.sigmoid(ss.linear_mag(acc))
+
+                class _Gaze(tnn.Module):
+                    def __init__(ss):
+                        super().__init__()
+                        ss.in_conv_r = tnn.Conv1d(ci_z, d_feat, 1)
+                        ss.in_conv_i = tnn.Conv1d(ci_z, d_feat, 1)
+                        ss.tcn_r = tnn.ModuleList(
+                            [_TGatedTCNList(d_feat, kd1, cd1, dilas)
+                             for _ in range(tcn_num)])
+                        ss.tcn_i = tnn.ModuleList(
+                            [_TGatedTCNList(d_feat, kd1, cd1, dilas)
+                             for _ in range(tcn_num)])
+                        ss.linear_r = tnn.Linear(d_feat, F)
+                        ss.linear_i = tnn.Linear(d_feat, F)
+
+                    def forward(ss, x, com):
+                        z = torch.cat((x, com), 1)
+                        hr, hi = ss.in_conv_r(z), ss.in_conv_i(z)
+                        ar, ai = torch.zeros_like(hr), torch.zeros_like(hi)
+                        for tr, ti in zip(ss.tcn_r, ss.tcn_i):
+                            hr, hi = tr(hr), ti(hi)
+                            ar, ai = ar + hr, ai + hi
+                        st = torch.stack((ar, ai), 1).transpose(-2, -1)
+                        xr = ss.linear_r(st[:, 0]).transpose(-2, -1)
+                        xi = ss.linear_i(st[:, 1]).transpose(-2, -1)
+                        return torch.stack((xr, xi), 1)
+
+                s.glance_branch = _Glance()
+                s.gaze_branch = _Gaze()
+
+            def forward(s, x, pre_x):
+                b, _, f, t = pre_x.shape
+                mag = torch.norm(pre_x, dim=1)
+                ph = torch.atan2(pre_x[:, -1], pre_x[:, 0])
+                com = pre_x.reshape(b, -1, t)
+                gain = s.glance_branch(x, mag)
+                resi = s.gaze_branch(x, com)
+                xm = mag * gain
+                return torch.stack((xm * torch.cos(ph),
+                                    xm * torch.sin(ph)), 1) + resi
+
+        self.ggms = tnn.ModuleList([_GGM() for _ in range(stages)])
+
+    def forward(self, x):
+        cnorm = torch.sqrt(x.shape[-1] / torch.sum(x ** 2, dim=-1))
+        x = x * cnorm.unsqueeze(-1)
+        s = torch.stft(x, self.fftn, self.hop, win_length=self.fftn,
+                       window=torch.hann_window(self.fftn), return_complex=True)
+        sr = torch.view_as_real(s)
+        mag = torch.norm(sr, dim=-1) ** 0.5
+        ph = torch.atan2(sr[..., 1], sr[..., 0])
+        sr = torch.stack((mag * torch.cos(ph), mag * torch.sin(ph)), -1)
+        sr = sr.permute(0, 3, 2, 1)  # (B, 2, T, F)
+        b = sr.shape[0]
+        t = sr.shape[2]
+        inpt_mag = torch.norm(sr, dim=1, keepdim=True)
+        ri_x = self.ri_en(sr).transpose(-2, -1).reshape(b, -1, t)
+        mag_x = self.mag_en(inpt_mag).transpose(-2, -1).reshape(b, -1, t)
+        feat = torch.cat((ri_x, mag_x), 1)
+        pre = sr.transpose(-2, -1)
+        outs = []
+        for g in self.ggms:
+            pre = g(feat, pre)
+            outs.append(pre)
+        return outs
+
+
+def test_g2net_torch_import_parity(rng):
+    from sonicsim_tpu.models import G2Net
+
+    torch.manual_seed(9)
+    tm = _TG2Net().eval()
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        refs = [o.numpy() for o in tm(torch.from_numpy(x))]
+
+    model = G2Net(c=8, d_feat=192, cd1=8, tcn_num=1, dilas=(1, 2),
+                  stage_num=2, fft_num=256, n_fft=256, hop_length=128,
+                  win_length=256)
+    _, params = import_torch_checkpoint(
+        {"model_name": "G2Net", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    outs = model.apply(params, jnp.asarray(x))
+    for got, ref in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-2)
