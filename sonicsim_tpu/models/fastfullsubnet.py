@@ -110,7 +110,8 @@ class FastFullSubnet(BaseModel):
         )
         bn_out = SequenceModel(
             1, self.bottleneck_hidden_size, self.bottleneck_num_layers,
-            sequence_model=self.sequence_model, output_activate_function=None,
+            sequence_model=self.sequence_model,
+            output_activate_function="ReLU",  # fastfullsubnet.py:225
             name="bottleneck",
         )(bn_seq)  # (B*M, T', 1)
         bn_out = jnp.swapaxes(bn_out, 1, 2).reshape(b, self.num_mels, t_small)

@@ -48,14 +48,14 @@ class TCNBlock(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, T, F)
         y = nn.Conv(self.hidden, (1,), name="conv1x1")(x)
-        y = GroupNorm1(name="norm1")(PReLU(name="prelu1")(y))
+        y = GroupNorm1(eps=1e-8, name="norm1")(PReLU(name="prelu1")(y))
         pad = (self.dilation * (self.kernel_size - 1)) // 2
         y = nn.Conv(
             self.hidden, (self.kernel_size,), kernel_dilation=(self.dilation,),
             padding=[(pad, pad)], feature_group_count=self.hidden,
             name="depthwise",
         )(y)
-        y = GroupNorm1(name="norm2")(PReLU(name="prelu2")(y))
+        y = GroupNorm1(eps=1e-8, name="norm2")(PReLU(name="prelu2")(y))
         y = nn.Conv(self.channels, (1,), name="sconv")(y)
         return x + y
 
@@ -71,6 +71,8 @@ class TCNSequence(nn.Module):
     def __call__(self, x):
         for i, d in enumerate([1, 2, 5, 9, 1, 2, 5, 9]):
             x = TCNBlock(self.channels, dilation=d, name=f"tcn_{i}")(x)
+        x = jax.nn.relu(x)  # trailing ReLU inside the Sequential
+        # (fullsubnet_plus.py:551-555), before the linear head
         x = nn.Dense(self.channels, name="fc_output")(x)
         if self.activate == "ReLU":
             x = jax.nn.relu(x)

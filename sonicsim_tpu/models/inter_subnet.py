@@ -35,7 +35,12 @@ class SubbandInteraction(nn.Module):
         mean = jnp.broadcast_to(mean, h.shape)
         out = jnp.concatenate([h, mean], axis=-1)
         out = PReLU(name="out_prelu")(nn.Dense(self.input_size, name="output_linear")(out))
-        out = GroupNorm1(name="norm")(out)
+        # torch GroupNorm(1, N) runs per (B, F) group over (N, T)
+        # (inter_subnet.py:773-774), not jointly over F.
+        b, f, t, n = out.shape
+        out = GroupNorm1(eps=1e-5, name="norm")(
+            out.reshape(b * f, t, n)
+        ).reshape(b, f, t, n)
         return x + out
 
 
@@ -52,7 +57,7 @@ class SILBlock(nn.Module):
         x = SubbandInteraction(self.input_size, self.tac_hidden, name="subinter")(x)
         h = x.reshape(b * f, t, n)
         h = nn.RNN(nn.OptimizedLSTMCell(self.lstm_hidden), name="rnn")(h)
-        h = GroupNorm1(name="norm")(h)
+        h = GroupNorm1(eps=1e-5, name="norm")(h)
         return h.reshape(b, f, t, self.lstm_hidden)
 
 

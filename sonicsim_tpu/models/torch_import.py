@@ -643,3 +643,79 @@ def _convert_g2net(model, sd) -> dict:
             )
         p[f"ggm_{i}"] = blk
     return p
+
+
+@register_converter("fastfullsubnet")
+def _convert_fastfullsubnet(model, sd) -> dict:
+    """Map enhancement/look2hear/models/fastfullsubnet.py parameter names
+    (encoder/bottleneck/decoder_lstm SequenceModels)."""
+    return {
+        "encoder_0": sequence_model(sd, "encoder.0", 1),
+        "encoder_1": sequence_model(sd, "encoder.1", 1),
+        "bottleneck": sequence_model(sd, "bottleneck", 2),
+        "decoder_0": sequence_model(sd, "decoder_lstm.0", 1),
+        "decoder_1": sequence_model(sd, "decoder_lstm.1", 1),
+    }
+
+
+def _se_layer(sd, key):
+    return {"fc1": linear(sd, f"{key}.fc1"), "fc2": linear(sd, f"{key}.fc2")}
+
+
+def _tcn_sequence(sd, key):
+    """SequenceModel('TCN'): 8 TCNBlocks + fc (fullsubnet_plus.py:543-555)."""
+    blk: dict = {}
+    for i in range(8):
+        t = f"{key}.sequence_model.{i}"
+        blk[f"tcn_{i}"] = {
+            "conv1x1": conv1d(sd, f"{t}.conv1x1"),
+            "prelu1": prelu(sd, f"{t}.prelu1"),
+            "norm1": groupnorm(sd, f"{t}.norm1"),
+            "depthwise": conv1d(sd, f"{t}.depthwise_conv"),
+            "prelu2": prelu(sd, f"{t}.prelu2"),
+            "norm2": groupnorm(sd, f"{t}.norm2"),
+            "sconv": conv1d(sd, f"{t}.sconv"),
+        }
+    blk["fc_output"] = linear(sd, f"{key}.fc_output_layer")
+    return blk
+
+
+@register_converter("fullsubnet_plus")
+def _convert_fullsubnet_plus(model, sd) -> dict:
+    """Map enhancement/look2hear/models/fullsubnet_plus.py parameter names
+    (SE channel attention + TCN fullband branches + LSTM subband)."""
+    return {
+        "fb_se": _se_layer(sd, "channel_attention"),
+        "fbr_se": _se_layer(sd, "channel_attention_real"),
+        "fbi_se": _se_layer(sd, "channel_attention_imag"),
+        "fb_tcn": _tcn_sequence(sd, "fb_model"),
+        "fbr_tcn": _tcn_sequence(sd, "fb_model_real"),
+        "fbi_tcn": _tcn_sequence(sd, "fb_model_imag"),
+        "sb_model": sequence_model(sd, "sb_model", 2),
+    }
+
+
+@register_converter("inter_subnet")
+def _convert_inter_subnet(model, sd) -> dict:
+    """Map enhancement/look2hear/models/inter_subnet.py parameter names
+    (stacked SIL blocks: subband interaction + LSTM + GroupNorm)."""
+    p: dict = {}
+    for i in range(2):
+        s = f"sb_model.sequence_list.{i}"
+        p[f"sil_{i}"] = {
+            "subinter": {
+                "input_linear": linear(sd, f"{s}.SubInter.input_linear.0"),
+                "in_prelu": prelu(sd, f"{s}.SubInter.input_linear.1"),
+                "mean_linear": linear(sd, f"{s}.SubInter.mean_linear.0"),
+                "mean_prelu": prelu(sd, f"{s}.SubInter.mean_linear.1"),
+                "output_linear": linear(sd, f"{s}.SubInter.output_linear.0"),
+                "out_prelu": prelu(sd, f"{s}.SubInter.output_linear.1"),
+                "norm": groupnorm(sd, f"{s}.SubInter.norm"),
+            },
+            "OptimizedLSTMCell_0": lstm_cell(sd, f"{s}.RNN")[
+                "OptimizedLSTMCell_0"
+            ],
+            "norm": groupnorm(sd, f"{s}.norm"),
+        }
+    p["fc_output"] = linear(sd, "sb_model.fc_output_layer")
+    return p

@@ -1420,3 +1420,278 @@ def test_g2net_torch_import_parity(rng):
     outs = model.apply(params, jnp.asarray(x))
     for got, ref in zip(outs, refs):
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-2)
+
+
+# --- FastFullSubnet / FullSubNet_Plus / Inter_SubNet import parity ----------
+
+class _TSeq0(tnn.Module):
+    """SequenceModel with optional fc (output_size=0 → raw LSTM out)."""
+
+    def __init__(self, input_size, output_size, hidden, layers, act):
+        super().__init__()
+        self.sequence_model = tnn.LSTM(input_size, hidden, layers,
+                                       batch_first=True)
+        if output_size:
+            self.fc_output_layer = tnn.Linear(hidden, output_size)
+        self.output_size, self.act = output_size, act
+
+    def forward(self, x):  # (B, F, T)
+        o, _ = self.sequence_model(x.permute(0, 2, 1))
+        if self.output_size:
+            o = self.fc_output_layer(o)
+        if self.act == "ReLU":
+            o = torch.relu(o)
+        return o.permute(0, 2, 1)
+
+
+class _TFastFSN(tnn.Module):
+    def __init__(self, shrink=2, mels=64, look=2, n_fft=512, hop=256):
+        super().__init__()
+        from sonicsim_tpu.models.fastfullsubnet import mel_filterbank
+        self.n_fft, self.hop, self.look, self.shrink = n_fft, hop, look, shrink
+        self.mels = mels
+        self.encoder = tnn.Sequential(
+            _TSeq0(64, 0, 384, 1, None), _TSeq0(384, 64, 257, 1, "ReLU"))
+        # torchaudio is unavailable here; MelScale's HTK fb matches our
+        # mel_filterbank (same create_fb_matrix math)
+        fb = torch.from_numpy(mel_filterbank(257, mels, 16000, 0.0, 8000.0))
+        self.mel_scale = lambda x: torch.einsum("bcft,fm->bcmt", x, fb)
+        self.bottleneck = _TSeq0(12, 1, 384, 2, "ReLU")
+        self.decoder_lstm = tnn.Sequential(
+            _TSeq0(128, 0, 512, 1, None), _TSeq0(512, 257 * 2, 512, 1, None))
+
+    def forward(self, y):
+        mag, real, imag = _tstft(y, self.n_fft, self.hop)
+        x = tF.pad(mag.unsqueeze(1), [0, self.look])
+        b, _, f, t = x.shape
+        mel = self.mel_scale(x)
+        enc_in = _tlaplace(mel).reshape(b, -1, t)
+        enc_out = self.encoder(enc_in).reshape(b, 1, -1, t)
+        mel_unf = _tunfold(mel[:, 0], 5)
+        enc_unf = _tunfold(enc_out[:, 0], 0)
+        bn_in = torch.cat([mel_unf, enc_unf], dim=2)  # (B, M, 12, T)
+        first = bn_in[..., :1]
+        blocks = torch.split(bn_in[..., 1:], self.shrink, dim=-1)
+        shrunk = torch.cat(
+            [first, torch.stack(blocks[:-1], -1).mean(-2),
+             blocks[-1].mean(-1, keepdim=True)], dim=-1)
+        shrunk = _tlaplace(shrunk)
+        ts = shrunk.shape[-1]
+        bn_out = self.bottleneck(shrunk.reshape(b * self.mels, 12, ts))
+        bn_out = bn_out.reshape(b, self.mels, ts)
+        bn_out = bn_out[..., None].expand(b, self.mels, ts, self.shrink)
+        bn_out = bn_out.reshape(b, self.mels, ts * self.shrink)[..., :t]
+        dec_in = torch.cat([enc_out[:, 0], bn_out], dim=1).reshape(b, -1, t)
+        dec = self.decoder_lstm(dec_in).reshape(b, 2, 257, t)
+        return dec[..., self.look:], real, imag
+
+
+def test_fastfullsubnet_torch_import_parity(rng):
+    from sonicsim_tpu.models import FastFullSubnet
+
+    torch.manual_seed(10)
+    tm = _TFastFSN().eval()
+    x = rng.standard_normal((1, 4096)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))[0].numpy()
+    model = FastFullSubnet()
+    _, params = import_torch_checkpoint(
+        {"model_name": "FastFullSubnet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()
+                        if "mel_scale" not in k}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+class _TSE(tnn.Module):
+    def __init__(self, c, r=2):
+        super().__init__()
+        self.fc1 = tnn.Linear(c, c // r)
+        self.fc2 = tnn.Linear(c // r, c)
+
+    def forward(self, x):  # (B, C, T)
+        s = torch.relu(self.fc1(x.mean(2)))
+        s = torch.sigmoid(self.fc2(s))
+        return x * s.unsqueeze(-1)
+
+
+class _TTCNBlk(tnn.Module):
+    def __init__(self, cin, hidden, k=3, dila=1):
+        super().__init__()
+        self.conv1x1 = tnn.Conv1d(cin, hidden, 1)
+        self.prelu1 = tnn.PReLU()
+        self.norm1 = tnn.GroupNorm(1, hidden, eps=1e-8)
+        pad = dila * (k - 1) // 2
+        self.depthwise_conv = tnn.Conv1d(hidden, hidden, k, groups=hidden,
+                                         padding=pad, dilation=dila)
+        self.prelu2 = tnn.PReLU()
+        self.norm2 = tnn.GroupNorm(1, hidden, eps=1e-8)
+        self.sconv = tnn.Conv1d(hidden, cin, 1)
+
+    def forward(self, x):
+        y = self.norm1(self.prelu1(self.conv1x1(x)))
+        y = self.depthwise_conv(y)
+        y = self.norm2(self.prelu2(y))
+        return x + self.sconv(y)
+
+
+class _TTCNSeq(tnn.Module):
+    def __init__(self, cin, hidden=512):
+        super().__init__()
+        self.sequence_model = tnn.Sequential(
+            *[_TTCNBlk(cin, hidden, dila=d) for d in [1, 2, 5, 9, 1, 2, 5, 9]],
+            tnn.ReLU())
+        self.fc_output_layer = tnn.Linear(cin, cin)
+
+    def forward(self, x):  # (B, F, T)
+        x = self.sequence_model(x)
+        o = torch.relu(self.fc_output_layer(x.permute(0, 2, 1)))
+        return o.permute(0, 2, 1)
+
+
+class _TFSNPlus(tnn.Module):
+    def __init__(self, F=33, sbh=16, look=2, n_fft=64, hop=32, sb_n=4):
+        super().__init__()
+        self.n_fft, self.hop, self.look, self.sb_n = n_fft, hop, look, sb_n
+        self.channel_attention = _TSE(F)
+        self.channel_attention_real = _TSE(F)
+        self.channel_attention_imag = _TSE(F)
+        self.fb_model = _TTCNSeq(F)
+        self.fb_model_real = _TTCNSeq(F)
+        self.fb_model_imag = _TTCNSeq(F)
+        self.sb_model = _TSeq0(sb_n * 2 + 4, 2, sbh, 2, None)
+
+    def forward(self, y):
+        mag, real, imag = _tstft(y, self.n_fft, self.hop)
+        pad = [0, self.look]
+        magp = tF.pad(mag, pad)
+        realp, imagp = tF.pad(real, pad), tF.pad(imag, pad)
+        b, f, t = magp.shape
+        fb_in = self.channel_attention(_tlaplace(magp.unsqueeze(1))[:, 0])
+        fb = self.fb_model(fb_in)
+        fbr = self.fb_model_real(
+            self.channel_attention_real(_tlaplace(realp.unsqueeze(1))[:, 0]))
+        fbi = self.fb_model_imag(
+            self.channel_attention_imag(_tlaplace(imagp.unsqueeze(1))[:, 0]))
+        sb = torch.cat([
+            _tunfold(fb_in, self.sb_n), _tunfold(fb, 0), _tunfold(fbr, 0),
+            _tunfold(fbi, 0)], dim=2)
+        sb = _tlaplace(sb)
+        sb = sb.reshape(b * f, self.sb_n * 2 + 4, t)
+        m = self.sb_model(sb).reshape(b, f, 2, t).permute(0, 2, 1, 3)
+        return m[..., self.look:], real, imag
+
+
+def test_fullsubnet_plus_torch_import_parity(rng):
+    from sonicsim_tpu.models import FullSubNet_Plus
+
+    torch.manual_seed(11)
+    tm = _TFSNPlus().eval()
+    x = rng.standard_normal((1, 1600)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))[0].numpy()
+    model = FullSubNet_Plus(num_freqs=33, sb_num_neighbors=4,
+                            sb_model_hidden_size=16, n_fft=64, hop_length=32,
+                            win_length=64)
+    _, params = import_torch_checkpoint(
+        {"model_name": "FullSubNet_Plus", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- Inter_SubNet import parity (inter_subnet.py:732-1040 naming) ------------
+
+class _TSubInter(tnn.Module):
+    def __init__(self, input_size, hidden):
+        super().__init__()
+        self.input_linear = tnn.Sequential(tnn.Linear(input_size, hidden),
+                                           tnn.PReLU())
+        self.mean_linear = tnn.Sequential(tnn.Linear(hidden, hidden),
+                                          tnn.PReLU())
+        self.output_linear = tnn.Sequential(tnn.Linear(hidden * 2, input_size),
+                                            tnn.PReLU())
+        self.norm = tnn.GroupNorm(1, input_size)
+
+    def forward(self, x):  # (B, G, N, T)
+        B, G, N, T = x.shape
+        gi = x.permute(0, 3, 1, 2).reshape(-1, N)
+        go = self.input_linear(gi).view(B, T, G, -1)
+        gm = go.mean(2).view(B * T, -1)
+        go = go.view(B * T, G, -1)
+        gm = self.mean_linear(gm).unsqueeze(1).expand_as(go)
+        go = torch.cat([go, gm], 2)
+        go = self.output_linear(go.reshape(-1, go.shape[-1]))
+        go = go.view(B, T, G, -1).permute(0, 2, 3, 1)
+        go = self.norm(go.reshape(B * G, N, T))
+        return x + go.view(x.shape)
+
+
+class _TSIL(tnn.Module):
+    def __init__(self, input_size, tac_hidden, lstm_hidden):
+        super().__init__()
+        self.SubInter = _TSubInter(input_size, tac_hidden)
+        self.RNN = tnn.LSTM(input_size, lstm_hidden, 1, batch_first=True)
+        self.norm = tnn.GroupNorm(1, lstm_hidden)
+
+    def forward(self, x):
+        B, G, N, T = x.shape
+        x = self.SubInter(x)
+        h = x.reshape(B * G, N, T).permute(0, 2, 1)
+        o, _ = self.RNN(h)
+        o = self.norm(o.permute(0, 2, 1))
+        return o.reshape(B, G, -1, T)
+
+
+class _TInterSubNet(tnn.Module):
+    def __init__(self, F=33, sb_n=4, hidden=20, look=2, n_fft=64, hop=32):
+        super().__init__()
+        self.n_fft, self.hop, self.look, self.sb_n = n_fft, hop, look, sb_n
+        n_sub = sb_n * 2 + 1
+
+        class _SB(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.sequence_list = tnn.ModuleList([
+                    _TSIL(n_sub, 3 * n_sub, hidden),
+                    _TSIL(hidden, int(0.8 * hidden), hidden)])
+                s.fc_output_layer = tnn.Linear(hidden, 2)
+
+            def forward(s, x):
+                for blk in s.sequence_list:
+                    x = blk(x)
+                B, G, H, T = x.shape
+                o = s.fc_output_layer(x.reshape(B * G, H, T).permute(0, 2, 1))
+                return o.permute(0, 2, 1)
+
+        self.sb_model = _SB()
+
+    def forward(self, y):
+        mag, real, imag = _tstft(y, self.n_fft, self.hop)
+        x = tF.pad(mag, [0, self.look])
+        b, f, t = x.shape
+        units = _tunfold(x, self.sb_n)  # (B, F, N, T)
+        units = _tlaplace(units)
+        m = self.sb_model(units).reshape(b, f, 2, t).permute(0, 2, 1, 3)
+        return m[..., self.look:], real, imag
+
+
+def test_inter_subnet_torch_import_parity(rng):
+    from sonicsim_tpu.models import Inter_SubNet
+
+    torch.manual_seed(12)
+    tm = _TInterSubNet().eval()
+    x = rng.standard_normal((1, 1600)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))[0].numpy()
+    model = Inter_SubNet(num_freqs=33, sb_num_neighbors=4,
+                         sb_model_hidden_size=20, n_fft=64, hop_length=32,
+                         win_length=64)
+    _, params = import_torch_checkpoint(
+        {"model_name": "Inter_SubNet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
