@@ -190,8 +190,9 @@ class TFGridNet(BaseModel):
         n_freqs = self.n_fft // 2 + 1
         win = hann_window(self.n_fft)
 
-        # Variance normalization (TFGNet.py:594-596).
-        std = jnp.std(wav, axis=1, keepdims=True) + 1e-8
+        # Variance normalization (TFGNet.py:495-497); torch.std is Bessel-
+        # corrected (ddof=1).
+        std = jnp.std(wav, axis=1, keepdims=True, ddof=1) + 1e-8
         x = wav / std
 
         spec = stft(x, self.n_fft, self.stride, win)  # (B, F, T)

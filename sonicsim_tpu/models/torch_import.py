@@ -719,3 +719,75 @@ def _convert_inter_subnet(model, sd) -> dict:
         }
     p["fc_output"] = linear(sd, "sb_model.fc_output_layer")
     return p
+
+
+def layernorm(sd, key):
+    return {
+        "scale": np.asarray(sd[f"{key}.weight"]),
+        "bias": np.asarray(sd[f"{key}.bias"]),
+    }
+
+
+def bidir_lstm(sd, key):
+    """torch bidirectional LSTM layer → flax Bidirectional cell pair."""
+    return {
+        "OptimizedLSTMCell_0": lstm_cell(sd, key)["OptimizedLSTMCell_0"],
+        "OptimizedLSTMCell_1": lstm_cell(sd, key, reverse=True)[
+            "OptimizedLSTMCell_0"
+        ],
+    }
+
+
+@register_converter("tfgridnet")
+def _convert_tfgridnet(model, sd) -> dict:
+    """Map separation/look2hear/models/TFGNet.py parameter names."""
+    p: dict = {
+        "conv": conv2d(sd, "conv.0"),
+        "conv_norm": layernorm(sd, "conv.1"),  # GroupNorm(1,·): same fields
+        "deconv": conv_transpose2d(sd, "deconv"),
+    }
+
+    def ahln(key):
+        return {
+            "gamma": np.asarray(sd[f"{key}.gamma"]),
+            "beta": np.asarray(sd[f"{key}.beta"]),
+            "prelu_alpha": np.asarray(sd[f"{key}.act.weight"]).reshape(
+                -1, 1, 1, 1
+            ),
+        }
+
+    sublinear = (
+        linear if model.emb_ks == model.emb_hs else conv_transpose1d
+    )
+    for i in range(model.n_layers):
+        bk = f"blocks.{i}"
+        p[f"block_{i}"] = {
+            "intra_norm": layernorm(sd, f"{bk}.intra_norm"),
+            "intra_rnn": bidir_lstm(sd, f"{bk}.intra_rnn"),
+            "intra_linear": sublinear(sd, f"{bk}.intra_linear"),
+            "inter_norm": layernorm(sd, f"{bk}.inter_norm"),
+            "inter_rnn": bidir_lstm(sd, f"{bk}.inter_rnn"),
+            "inter_linear": sublinear(sd, f"{bk}.inter_linear"),
+            "attn_conv_Q": conv2d(sd, f"{bk}.attn_conv_Q"),
+            "attn_norm_Q": ahln(f"{bk}.attn_norm_Q"),
+            "attn_conv_K": conv2d(sd, f"{bk}.attn_conv_K"),
+            "attn_norm_K": ahln(f"{bk}.attn_norm_K"),
+            "attn_conv_V": conv2d(sd, f"{bk}.attn_conv_V"),
+            "attn_norm_V": ahln(f"{bk}.attn_norm_V"),
+            "attn_concat_conv": conv2d(sd, f"{bk}.attn_concat_proj.0"),
+            "attn_prelu": prelu(sd, f"{bk}.attn_concat_proj.1")["alpha"],
+            "attn_concat_norm": {
+                # torch (1, C, 1, F) → channel-last (1, 1, F, C)
+                "gamma": np.ascontiguousarray(
+                    np.asarray(sd[f"{bk}.attn_concat_proj.2.gamma"]).transpose(
+                        0, 2, 3, 1
+                    )
+                ),
+                "beta": np.ascontiguousarray(
+                    np.asarray(sd[f"{bk}.attn_concat_proj.2.beta"]).transpose(
+                        0, 2, 3, 1
+                    )
+                ),
+            },
+        }
+    return p

@@ -1695,3 +1695,155 @@ def test_inter_subnet_torch_import_parity(rng):
         model=model)
     got = np.asarray(model.apply(params, jnp.asarray(x))[0])
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- TFGridNet import parity (TFGNet.py:352-785 naming) ----------------------
+
+class _TAllHeadLN(tnn.Module):
+    def __init__(self, H, E, F, eps=1e-5):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.ones(1, H, E, 1, F))
+        self.beta = tnn.Parameter(torch.zeros(1, H, E, 1, F))
+        self.act = tnn.PReLU(num_parameters=H, init=0.25)
+        self.H, self.E, self.eps = H, E, eps
+
+    def forward(self, x):  # (B, H*E, T, F)
+        B, _, T, F = x.shape
+        x = x.view(B, self.H, self.E, T, F)
+        x = self.act(x.transpose(1, 0)).transpose(1, 0) if False else \
+            torch.where(x >= 0, x, self.act.weight.view(1, self.H, 1, 1, 1) * x)
+        mu = x.mean(dim=(2, 4), keepdim=True)
+        std = torch.sqrt(x.var(dim=(2, 4), unbiased=False, keepdim=True)
+                         + self.eps)
+        return (x - mu) / std * self.gamma + self.beta
+
+
+class _TLN4DCF(tnn.Module):
+    def __init__(self, C, F, eps=1e-5):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.ones(1, C, 1, F))
+        self.beta = tnn.Parameter(torch.zeros(1, C, 1, F))
+        self.eps = eps
+
+    def forward(self, x):  # (B, C, T, F)
+        mu = x.mean(dim=(1, 3), keepdim=True)
+        std = torch.sqrt(x.var(dim=(1, 3), unbiased=False, keepdim=True)
+                         + self.eps)
+        return (x - mu) / std * self.gamma + self.beta
+
+
+class _TGridBlock(tnn.Module):
+    def __init__(self, C=8, ks=4, hs=1, F=33, hid=16, heads=2, qk=64):
+        super().__init__()
+        import math as _m
+        E = _m.ceil(qk / F)
+        self.C, self.ks, self.hs, self.heads, self.E = C, ks, hs, heads, E
+        in_ch = C * ks
+        self.intra_norm = tnn.LayerNorm(C)
+        self.intra_rnn = tnn.LSTM(in_ch, hid, 1, batch_first=True,
+                                  bidirectional=True)
+        self.intra_linear = tnn.ConvTranspose1d(hid * 2, C, ks, stride=hs)
+        self.inter_norm = tnn.LayerNorm(C)
+        self.inter_rnn = tnn.LSTM(in_ch, hid, 1, batch_first=True,
+                                  bidirectional=True)
+        self.inter_linear = tnn.ConvTranspose1d(hid * 2, C, ks, stride=hs)
+        self.attn_conv_Q = tnn.Conv2d(C, heads * E, 1)
+        self.attn_norm_Q = _TAllHeadLN(heads, E, F)
+        self.attn_conv_K = tnn.Conv2d(C, heads * E, 1)
+        self.attn_norm_K = _TAllHeadLN(heads, E, F)
+        self.attn_conv_V = tnn.Conv2d(C, heads * C // heads, 1)
+        self.attn_norm_V = _TAllHeadLN(heads, C // heads, F)
+        self.attn_concat_proj = tnn.Sequential(
+            tnn.Conv2d(C, C, 1), tnn.PReLU(), _TLN4DCF(C, F))
+
+    def forward(self, x):  # (B, C, T, Q)
+        import math as _m
+        B, C, oT, oQ = x.shape
+        olp = self.ks - self.hs
+        T = _m.ceil((oT + 2 * olp - self.ks) / self.hs) * self.hs + self.ks
+        Q = _m.ceil((oQ + 2 * olp - self.ks) / self.hs) * self.hs + self.ks
+        x = x.permute(0, 2, 3, 1)
+        x = tF.pad(x, (0, 0, olp, Q - oQ - olp, olp, T - oT - olp))
+        inp = x
+        h = self.intra_norm(inp).view(B * T, Q, C).transpose(1, 2)
+        h = tF.unfold(h[..., None], (self.ks, 1), stride=(self.hs, 1))
+        h = h.transpose(1, 2)
+        h, _ = self.intra_rnn(h)
+        h = self.intra_linear(h.transpose(1, 2)).view(B, T, C, Q)
+        x = inp + h.transpose(-2, -1)
+        x = x.transpose(1, 2)
+        inp = x
+        h = self.inter_norm(inp).reshape(B * Q, T, C).transpose(1, 2)
+        h = tF.unfold(h[..., None], (self.ks, 1), stride=(self.hs, 1))
+        h = h.transpose(1, 2)
+        h, _ = self.inter_rnn(h)
+        h = self.inter_linear(h.transpose(1, 2)).view(B, Q, C, T)
+        x = inp + h.transpose(-2, -1)
+        x = x.permute(0, 3, 2, 1)[..., olp:olp + oT, olp:olp + oQ]
+        batch = x
+        Qm = self.attn_norm_Q(self.attn_conv_Q(batch))
+        Km = self.attn_norm_K(self.attn_conv_K(batch))
+        Vm = self.attn_norm_V(self.attn_conv_V(batch))
+        Qm = Qm.reshape(-1, *Qm.shape[2:]).transpose(1, 2).flatten(2)
+        Km = Km.reshape(-1, *Km.shape[2:]).transpose(2, 3)
+        Km = Km.contiguous().view(B * self.heads, -1, oT)
+        Vm = Vm.reshape(-1, *Vm.shape[2:]).transpose(1, 2)
+        old_shape = Vm.shape
+        Vm = Vm.flatten(2)
+        att = torch.softmax(torch.matmul(Qm, Km) / Qm.shape[-1] ** 0.5, dim=2)
+        Vm = torch.matmul(att, Vm).reshape(old_shape).transpose(1, 2)
+        out = Vm.contiguous().view(B, -1, oT, oQ)
+        return self.attn_concat_proj(out) + x
+
+
+class _TTFGrid(tnn.Module):
+    def __init__(self, srcs=2, n_fft=64, stride=16, layers=1, emb=8):
+        super().__init__()
+        self.n_fft, self.stride, self.srcs = n_fft, stride, srcs
+        F = n_fft // 2 + 1
+        self.conv = tnn.Sequential(tnn.Conv2d(2, emb, (3, 3), padding=(1, 1)),
+                                   tnn.GroupNorm(1, emb, eps=1e-5))
+        self.blocks = tnn.ModuleList(
+            [_TGridBlock(C=emb, F=F) for _ in range(layers)])
+        self.deconv = tnn.ConvTranspose2d(emb, srcs * 2, (3, 3), padding=(1, 1))
+
+    def forward(self, x):  # (B, N)
+        n = x.shape[-1]
+        std = torch.std(x.unsqueeze(2), dim=(1, 2), keepdim=True)[:, :, 0]
+        x = x / std
+        spec = torch.stft(x, self.n_fft, self.stride, win_length=self.n_fft,
+                          window=torch.hann_window(self.n_fft),
+                          return_complex=True)  # (B, F, T)
+        spec = spec.transpose(1, 2)  # (B, T, F)
+        batch = torch.stack((spec.real, spec.imag), 1)  # (B, 2, T, F)
+        b, _, t, f = batch.shape
+        h = self.conv(batch)
+        for blk in self.blocks:
+            h = blk(h)
+        h = self.deconv(h).view(b, self.srcs, 2, t, f)
+        est = torch.complex(h[:, :, 0], h[:, :, 1]).view(-1, t, f)
+        wav = torch.istft(est.transpose(1, 2), self.n_fft, self.stride,
+                          win_length=self.n_fft,
+                          window=torch.hann_window(self.n_fft), length=n)
+        return wav.view(b, self.srcs, -1) * std.unsqueeze(1)
+
+
+def test_tfgridnet_torch_import_parity(rng):
+    from sonicsim_tpu.models import TFGridNet
+
+    torch.manual_seed(13)
+    tm = _TTFGrid().eval()
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = TFGridNet(n_fft=64, stride=16, n_layers=1, lstm_hidden_units=16,
+                      attn_n_head=2, attn_approx_qk_dim=64, emb_dim=8,
+                      emb_ks=4, emb_hs=1)
+    _, params = import_torch_checkpoint(
+        {"model_name": "TFGridNet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
