@@ -28,13 +28,16 @@ def _hann(win_len: int) -> np.ndarray:
     return get_window("hann", win_len, fftbins=True).astype(np.float32)
 
 
-def conv_stft(x: jax.Array, win_len: int, hop: int, fft_len: int):
-    """ConvSTFT 'complex' parity: (B, T) → (real, imag) each (B, F, frames)."""
+def conv_stft(x: jax.Array, win_len: int, hop: int, fft_len: int,
+              sqrt_window: bool = False):
+    """ConvSTFT 'complex' parity: (B, T) → (real, imag) each (B, F, frames).
+    FRCRN's variant windows with sqrt-Hann (frcrn.py:40-41)."""
+    win = _hann(win_len) ** 0.5 if sqrt_window else _hann(win_len)
     pad = win_len - hop
     xp = jnp.pad(x, ((0, 0), (pad, pad)))
     n_frames = (xp.shape[-1] - win_len) // hop + 1
     idx = np.arange(n_frames)[:, None] * hop + np.arange(win_len)[None, :]
-    frames = xp[:, idx] * jnp.asarray(_hann(win_len))  # (B, frames, win)
+    frames = xp[:, idx] * jnp.asarray(win)  # (B, frames, win)
     spec = jnp.fft.rfft(frames, fft_len)  # (B, frames, F); rfft imag == the
     # reference kernel's -sin rows (conv_stft.py:15-23)
     return jnp.swapaxes(spec.real, 1, 2), jnp.swapaxes(spec.imag, 1, 2)
@@ -50,10 +53,13 @@ def _istft_pinv(win_len: int, fft_len: int) -> np.ndarray:
     return np.linalg.pinv(analysis).astype(np.float32).T  # (2F, win)
 
 
-def conv_istft(real, imag, win_len: int, hop: int, fft_len: int, length: int):
+def conv_istft(real, imag, win_len: int, hop: int, fft_len: int, length: int,
+               sqrt_window: bool = False):
     """ConviSTFT parity: pinv synthesis + OLA with window^2 normalization,
     crop win-hop."""
-    window = jnp.asarray(_hann(win_len))
+    window = jnp.asarray(
+        _hann(win_len) ** 0.5 if sqrt_window else _hann(win_len)
+    )
     spec_ri = jnp.concatenate([real, imag], axis=1)  # (B, 2F, fr)
     frames = jnp.einsum(
         "bft,fw->btw", spec_ri, jnp.asarray(_istft_pinv(win_len, fft_len))

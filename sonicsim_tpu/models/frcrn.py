@@ -122,6 +122,7 @@ class ComplexEncoderLayer(nn.Module):
     out_channels: int
     kernel: tuple[int, int]
     pad: tuple[int, int]
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, re, im):
@@ -138,8 +139,12 @@ class ComplexEncoderLayer(nn.Module):
                      padding="VALID", name="conv_im")
         rr = cr(p(re)) - ci(p(im))
         ii = cr(p(im)) + ci(p(re))
-        rr = StatelessBatchNorm(self.out_channels, name="bn_re")(rr)
-        ii = StatelessBatchNorm(self.out_channels, name="bn_im")(ii)
+        rr = StatelessBatchNorm(
+            self.out_channels, use_running_stats=self.torch_compat,
+            name="bn_re")(rr)
+        ii = StatelessBatchNorm(
+            self.out_channels, use_running_stats=self.torch_compat,
+            name="bn_im")(ii)
         return jax.nn.leaky_relu(rr, 0.01), jax.nn.leaky_relu(ii, 0.01)
 
 
@@ -147,6 +152,7 @@ class ComplexDecoderLayer(nn.Module):
     out_channels: int
     kernel: tuple[int, int]
     pad: tuple[int, int]
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, re, im):
@@ -163,13 +169,19 @@ class ComplexDecoderLayer(nn.Module):
 
         rr = crop(cr(re) - ci(im))
         ii = crop(cr(im) + ci(re))
-        rr = StatelessBatchNorm(self.out_channels, name="bn_re")(rr)
-        ii = StatelessBatchNorm(self.out_channels, name="bn_im")(ii)
+        rr = StatelessBatchNorm(
+            self.out_channels, use_running_stats=self.torch_compat,
+            name="bn_re")(rr)
+        ii = StatelessBatchNorm(
+            self.out_channels, use_running_stats=self.torch_compat,
+            name="bn_im")(ii)
         return jax.nn.leaky_relu(rr, 0.01), jax.nn.leaky_relu(ii, 0.01)
 
 
 class FRCRNUNet(nn.Module):
     """frcrn.py:216-321 (model_depth 14, all-128-channel variant)."""
+
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, re, im):
@@ -180,7 +192,8 @@ class FRCRNUNet(nn.Module):
             if i > 0:
                 x = ComplexFSMNFreq(128, name=f"fsmn_enc_{i}")(*x)
             x = ComplexEncoderLayer(
-                128, ENC_KERNELS[i], PADDINGS[i], name=f"encoder_{i}"
+                128, ENC_KERNELS[i], PADDINGS[i], self.torch_compat,
+                name=f"encoder_{i}"
             )(*x)
             skips.append(SELayer(128, name=f"se_enc_{i}")(*x))
         x = ComplexFSMN(128, name="fsmn")(*x)
@@ -188,7 +201,8 @@ class FRCRNUNet(nn.Module):
         for i in range(n):
             out_ch = 1 if i == n - 1 else 128
             p = ComplexDecoderLayer(
-                out_ch, DEC_KERNELS[i], PADDINGS[i], name=f"decoder_{i}"
+                out_ch, DEC_KERNELS[i], PADDINGS[i], self.torch_compat,
+                name=f"decoder_{i}"
             )(*p)
             if i < n - 1:
                 p = ComplexFSMNFreq(128, name=f"fsmn_dec_{i}")(*p)
@@ -220,19 +234,21 @@ class FRCRN(BaseModel):
     fft_len: int = 640
     win_type: str = "hann"
     sample_rate: int = 16000
+    torch_compat: bool = False  # frozen BatchNorm running stats for import
 
     @nn.compact
     def __call__(self, wav: jax.Array):
         if wav.ndim == 1:
             wav = wav[None, :]
         length = wav.shape[-1]
-        real, imag = conv_stft(wav, self.win_len, self.win_inc, self.fft_len)
+        real, imag = conv_stft(wav, self.win_len, self.win_inc, self.fft_len,
+                               sqrt_window=True)  # frcrn.py:40-41
         re = real[..., None]  # (B, F, T, 1)
         im = imag[..., None]
 
-        u1_r, u1_i = FRCRNUNet(name="unet")(re, im)
+        u1_r, u1_i = FRCRNUNet(self.torch_compat, name="unet")(re, im)
         mask1 = (jnp.tanh(u1_r), jnp.tanh(u1_i))
-        u2_r, u2_i = FRCRNUNet(name="unet2")(u1_r, u1_i)
+        u2_r, u2_i = FRCRNUNet(self.torch_compat, name="unet2")(u1_r, u1_i)
         mask2 = (jnp.tanh(u2_r) + mask1[0], jnp.tanh(u2_i) + mask1[1])
 
         def apply_mask(m):
@@ -243,7 +259,8 @@ class FRCRN(BaseModel):
             est_i = real * mi + imag * mr
             est_spec = jnp.concatenate([est_r, est_i], axis=1)  # (B, 2F, T)
             est_wav = conv_istft(
-                est_r, est_i, self.win_len, self.win_inc, self.fft_len, length
+                est_r, est_i, self.win_len, self.win_inc, self.fft_len, length,
+                sqrt_window=True,
             )
             est_mask = jnp.concatenate([mr, mi], axis=1)
             return est_spec, est_wav, est_mask

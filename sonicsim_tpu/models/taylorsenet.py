@@ -22,14 +22,46 @@ import jax.numpy as jnp
 
 from ..ops.stft import hann_window, stft
 from .base import BaseModel, register_model
-from .gagnet import (
-    ChannelPReLU,
-    Conv2dUnit,
-    Deconv2dUnit,
-    GateConv2d,
-    InstanceNorm,
-    TCNGroup,
-)
+from .g2net import GatedTCNList
+from .gagnet import ChannelPReLU, GateConv2d, InstanceNorm
+
+
+class Conv2dUnitT(nn.Module):
+    """taylorsenet.py:731-757: conv unit with CAUSAL time padding when
+    k_t > 1 (k2=(2,3) in the released config) — unlike GaGNet's unit."""
+
+    dim: int
+    kernel: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, F, C)
+        kt = self.kernel[0]
+        if kt > 1:
+            x = jnp.pad(x, ((0, 0), (kt - 1, 0), (0, 0), (0, 0)))
+        x = nn.Conv(
+            self.dim, self.kernel, strides=(1, 2), padding="VALID", name="conv"
+        )(x)
+        x = InstanceNorm(self.dim, name="norm")(x)
+        return ChannelPReLU(self.dim, name="prelu")(x)
+
+
+class Deconv2dUnitT(nn.Module):
+    """taylorsenet.py:760-793: transposed conv unit, trailing-time chomp."""
+
+    dim: int
+    kernel: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        kt = self.kernel[0]
+        x = nn.ConvTranspose(
+            self.dim, self.kernel, strides=(1, 2), padding="VALID",
+            name="deconv",
+        )(x)
+        if kt > 1:
+            x = x[:, : x.shape[1] - (kt - 1)]
+        x = InstanceNorm(self.dim, name="norm")(x)
+        return ChannelPReLU(self.dim, name="prelu")(x)
 
 
 class GateConvTranspose2d(nn.Module):
@@ -73,11 +105,11 @@ class EnUnetModuleT(nn.Module):
         h = x_resi
         skips = []
         for i in range(self.scale):
-            h = Conv2dUnit(self.cout, self.k2, name=f"enco_{i}")(h)
+            h = Conv2dUnitT(self.cout, self.k2, name=f"enco_{i}")(h)
             skips.append(h)
         for i in range(self.scale):
             if i == 0:
-                h = Deconv2dUnit(self.cout, self.k2, name=f"deco_{i}")(h)
+                h = Deconv2dUnitT(self.cout, self.k2, name=f"deco_{i}")(h)
             else:
                 skip = skips[-(i + 1)]
                 h = h[:, :, : skip.shape[2]]
@@ -86,7 +118,7 @@ class EnUnetModuleT(nn.Module):
                     if self.intra_connect == "add"
                     else jnp.concatenate([h, skip], axis=-1)
                 )
-                h = Deconv2dUnit(self.cout, self.k2, name=f"deco_{i}")(cat)
+                h = Deconv2dUnitT(self.cout, self.k2, name=f"deco_{i}")(cat)
         h = h[:, :, : x_resi.shape[2]]
         return x_resi + h
 
@@ -103,8 +135,8 @@ class U2NetEncoderT(nn.Module):
     def __call__(self, x):
         skips = []
         for i, (k, scale) in enumerate(
-            [((2, 5), 4), (self.k1, 3), (self.k1, 2), (self.k1, 1)]
-        ):
+            [((1, 5), 4), (self.k1, 3), (self.k1, 2), (self.k1, 1)]
+        ):  # kernel_begin (1,5): taylorsenet.py:581
             x = EnUnetModuleT(
                 self.c, k, self.k2, scale, self.intra_connect, name=f"unet_{i}"
             )(x)
@@ -189,13 +221,14 @@ class TaylorSENet(BaseModel):
             self.c, self.k1, self.k2, self.intra_connect, name="zero_en"
         )(mag[..., None])
         b, t_fr, f_dn, c_enc = en_x.shape
-        feat = en_x.reshape(b, t_fr, f_dn * c_enc)
+        # torch flattens (C, F) channel-major (taylorsenet.py:394-396)
+        feat = jnp.swapaxes(en_x, 2, 3).reshape(b, t_fr, c_enc * f_dn)
         for i in range(self.p):
-            feat = TCNGroup(
+            feat = GatedTCNList(
                 self.kd1, self.cd1, self.d_feat, self.dilations, self.is_causal,
                 name=f"zero_tcm_{i}",
             )(feat)
-        mid = feat.reshape(b, t_fr, f_dn, c_enc)
+        mid = jnp.swapaxes(feat.reshape(b, t_fr, c_enc, f_dn), 2, 3)
         gain = U2NetDecoderT(
             self.c, self.k1, self.k2, self.intra_connect, name="zero_de"
         )(mid, en_skips)  # skips include the bottom (taylorsenet.py:599-606)
@@ -211,7 +244,7 @@ class TaylorSENet(BaseModel):
         en2, _ = U2NetEncoderT(
             self.c, self.k1, self.k2, self.intra_connect, name="separate_en"
         )(x_ri)
-        feat_head = en2.reshape(b, t_fr, -1)
+        feat_head = jnp.swapaxes(en2, 2, 3).reshape(b, t_fr, -1)
         if feat_head.shape[-1] != self.d_feat:
             raise ValueError("encoder feature dim mismatch with d_feat")
 
@@ -224,7 +257,7 @@ class TaylorSENet(BaseModel):
             h = jnp.concatenate([feat_head, pre_flat], axis=-1)
             h = nn.Conv(self.d_feat, (1,), name=f"ho_{order}_in")(h)
             for i in range(self.p):
-                h = TCNGroup(
+                h = GatedTCNList(
                     self.kd1, self.cd1, self.d_feat, self.dilations,
                     self.is_causal, name=f"ho_{order}_tcm_{i}",
                 )(h)

@@ -137,7 +137,7 @@ def import_torch_checkpoint(path_or_pack, model=None):
     if model is None:
         cls = MODELS.get(model_name)
         kwargs = {k: v for k, v in model_args.items() if k != "n_src"}
-        if model_name.lower() in ("tdanet", "dccrn"):
+        if model_name.lower() in ("tdanet", "dccrn", "frcrn"):
             kwargs["torch_compat"] = True  # reference-quirk compat modes
         model = cls(**kwargs)
     conv = _CONVERTERS.get(type(model).__name__.lower())
@@ -791,3 +791,187 @@ def _convert_tfgridnet(model, sd) -> dict:
             },
         }
     return p
+
+
+def _gate_convT(sd, key):
+    """taylorsenet GateConvTranspose2d: Sequential(deconv, chomp) when
+    k_t>1 else bare deconv (taylorsenet.py:823-850)."""
+    k = f"{key}.conv.0" if f"{key}.conv.0.weight" in sd else f"{key}.conv"
+    return {"conv": conv_transpose2d(sd, k)}
+
+
+def _taylor_tcm(sd, key):
+    """taylorsenet gated SqueezedTCM (left_conv * right_conv, :895-952)."""
+    return {
+        "in_conv": conv1d(sd, f"{key}.in_conv"),
+        "main_prelu": channel_prelu(sd, f"{key}.left_conv.0"),
+        "main_norm": instancenorm(sd, f"{key}.left_conv.1"),
+        "main_conv": conv1d(sd, f"{key}.left_conv.3"),
+        "gate_prelu": channel_prelu(sd, f"{key}.right_conv.0"),
+        "gate_norm": instancenorm(sd, f"{key}.right_conv.1"),
+        "gate_conv": conv1d(sd, f"{key}.right_conv.3"),
+        "out_prelu": channel_prelu(sd, f"{key}.out_conv.0"),
+        "out_norm": instancenorm(sd, f"{key}.out_conv.1"),
+        "out_conv": conv1d(sd, f"{key}.out_conv.2"),
+    }
+
+
+def _taylor_unit(sd, key, kind):
+    """Conv2dunit/Deconv2dunit with optional time pad/chomp shifting the
+    Sequential indices (taylorsenet.py:731-793)."""
+    base = f"{key}.{kind}"
+    if kind == "conv":
+        # k_t == 1: [conv, norm, prelu]; k_t > 1: [pad, conv, norm, prelu]
+        idx = (0, 1, 2) if f"{base}.0.weight" in sd else (1, 2, 3)
+    else:
+        # k_t == 1: [deconv, norm, prelu]; k_t > 1: [deconv, chomp, norm, prelu]
+        idx = (0, 1, 2) if f"{base}.1.norm.weight" in sd else (0, 2, 3)
+    conv_fn = conv2d if kind == "conv" else conv_transpose2d
+    return {
+        kind: conv_fn(sd, f"{base}.{idx[0]}"),
+        "norm": instancenorm(sd, f"{base}.{idx[1]}"),
+        "prelu": channel_prelu(sd, f"{base}.{idx[2]}"),
+    }
+
+
+def _taylor_unet_module(sd, m, de_flag=False):
+    gate = _gate_convT if de_flag else _gate_conv
+    blk: dict = {
+        "in_conv_gate": gate(sd, f"{m}.in_conv.0"),
+        "in_conv_norm": instancenorm(sd, f"{m}.in_conv.1"),
+        "in_conv_prelu": channel_prelu(sd, f"{m}.in_conv.2"),
+    }
+    j = 0
+    while any(f"{m}.enco.{j}.conv.{i}.weight" in sd for i in (0, 1)):
+        blk[f"enco_{j}"] = _taylor_unit(sd, f"{m}.enco.{j}", "conv")
+        blk[f"deco_{j}"] = _taylor_unit(sd, f"{m}.deco.{j}", "deconv")
+        j += 1
+    return blk
+
+
+def _taylor_u2_encoder(sd, prefix):
+    en: dict = {
+        f"unet_{i}": _taylor_unet_module(sd, f"{prefix}.meta_unet_list.{i}")
+        for i in range(4)
+    }
+    en["last_gate"] = _gate_conv(sd, f"{prefix}.last_conv.0")
+    en["last_norm"] = instancenorm(sd, f"{prefix}.last_conv.1")
+    en["last_prelu"] = channel_prelu(sd, f"{prefix}.last_conv.2")
+    return en
+
+
+@register_converter("taylorsenet")
+def _convert_taylorsenet(model, sd) -> dict:
+    """Map enhancement/look2hear/models/taylorsenet.py parameter names."""
+    de = "zeroorderblock.de"
+    zero_de: dict = {
+        f"unet_{i}": _taylor_unet_module(
+            sd, f"{de}.meta_unet_list.{i}", de_flag=True
+        )
+        for i in range(4)
+    }
+    zero_de["last_gate"] = _gate_convT(sd, f"{de}.last_conv.0")
+    zero_de["last_norm"] = instancenorm(sd, f"{de}.last_conv.1")
+    zero_de["last_prelu"] = channel_prelu(sd, f"{de}.last_conv.2")
+    zero_de["last_conv"] = conv2d(sd, f"{de}.last_conv.3")
+
+    n = len(model.dilations)
+    p: dict = {
+        "zero_en": _taylor_u2_encoder(sd, "zeroorderblock.en"),
+        "zero_de": zero_de,
+        "separate_en": _taylor_u2_encoder(sd, "separate_en"),
+    }
+    for i in range(model.p):
+        p[f"zero_tcm_{i}"] = {
+            f"tcm_{j}": _taylor_tcm(sd, f"zeroorderblock.tcms.{i}.tcm_list.{j}")
+            for j in range(n)
+        }
+    for k in range(model.order_num):
+        hb = f"highorderblock_list.{k}"
+        p[f"ho_{k}_in"] = conv1d(sd, f"{hb}.in_conv")
+        p[f"ho_{k}_r"] = conv1d(sd, f"{hb}.real_resi")
+        p[f"ho_{k}_i"] = conv1d(sd, f"{hb}.imag_resi")
+        for i in range(model.p):
+            p[f"ho_{k}_tcm_{i}"] = {
+                f"tcm_{j}": _taylor_tcm(sd, f"{hb}.tcms.{i}.tcm_list.{j}")
+                for j in range(n)
+            }
+    return p
+
+
+def _fsmn(sd, key):
+    """UniDeepFsmn (complex_nn.py:57-95): linear + project + depthwise
+    memory conv (torch Conv2d (C,1,lorder,1) → flax (lorder,1,C))."""
+    w = np.asarray(sd[f"{key}.conv1.weight"])[:, 0, :, 0]  # (C, lorder)
+    return {
+        "linear": linear(sd, f"{key}.linear"),
+        "project": linear(sd, f"{key}.project"),
+        "conv1": {"kernel": np.ascontiguousarray(w.T[:, None, :])},
+    }
+
+
+def _frcrn_se(sd, key):
+    return {
+        "fc_r_1": linear(sd, f"{key}.fc_r.0"),
+        "fc_r_2": linear(sd, f"{key}.fc_r.2"),
+        "fc_i_1": linear(sd, f"{key}.fc_i.0"),
+        "fc_i_2": linear(sd, f"{key}.fc_i.2"),
+    }
+
+
+def _frcrn_bn(sd, key):
+    return {
+        "scale": np.asarray(sd[f"{key}.weight"]),
+        "bias": np.asarray(sd[f"{key}.bias"]),
+        "mean": np.asarray(sd[f"{key}.running_mean"]),
+        "var": np.asarray(sd[f"{key}.running_var"]),
+    }
+
+
+def _frcrn_unet(sd, u):
+    p: dict = {
+        "fsmn": {
+            "re_L1": _fsmn(sd, f"{u}.fsmn.fsmn_re_L1"),
+            "im_L1": _fsmn(sd, f"{u}.fsmn.fsmn_im_L1"),
+            "re_L2": _fsmn(sd, f"{u}.fsmn.fsmn_re_L2"),
+            "im_L2": _fsmn(sd, f"{u}.fsmn.fsmn_im_L2"),
+        },
+        "linear_re": conv2d(sd, f"{u}.linear.conv_re"),
+        "linear_im": conv2d(sd, f"{u}.linear.conv_im"),
+    }
+    for i in range(7):
+        p[f"encoder_{i}"] = {
+            "conv_re": conv2d(sd, f"{u}.encoder{i}.conv.conv_re"),
+            "conv_im": conv2d(sd, f"{u}.encoder{i}.conv.conv_im"),
+            "bn_re": _frcrn_bn(sd, f"{u}.encoder{i}.bn.bn_re"),
+            "bn_im": _frcrn_bn(sd, f"{u}.encoder{i}.bn.bn_im"),
+        }
+        p[f"se_enc_{i}"] = _frcrn_se(sd, f"{u}.se_layer_enc{i}")
+        p[f"decoder_{i}"] = {
+            "conv_re": conv_transpose2d(sd, f"{u}.decoder{i}.transconv.tconv_re"),
+            "conv_im": conv_transpose2d(sd, f"{u}.decoder{i}.transconv.tconv_im"),
+            "bn_re": _frcrn_bn(sd, f"{u}.decoder{i}.bn.bn_re"),
+            "bn_im": _frcrn_bn(sd, f"{u}.decoder{i}.bn.bn_im"),
+        }
+        if i > 0:
+            p[f"fsmn_enc_{i}"] = {
+                "re_L1": _fsmn(sd, f"{u}.fsmn_enc{i}.fsmn_re_L1"),
+                "im_L1": _fsmn(sd, f"{u}.fsmn_enc{i}.fsmn_im_L1"),
+            }
+        if i < 6:
+            p[f"fsmn_dec_{i}"] = {
+                "re_L1": _fsmn(sd, f"{u}.fsmn_dec{i}.fsmn_re_L1"),
+                "im_L1": _fsmn(sd, f"{u}.fsmn_dec{i}.fsmn_im_L1"),
+            }
+        if i < 5:
+            p[f"se_dec_{i}"] = _frcrn_se(sd, f"{u}.se_layer_dec{i}")
+    return p
+
+
+@register_converter("frcrn")
+def _convert_frcrn(model, sd) -> dict:
+    """Map enhancement/look2hear/models/frcrn.py parameter names (depth-14
+    complex UNets). Requires torch_compat=True (frozen BatchNorm stats)."""
+    if not getattr(model, "torch_compat", False):
+        raise ValueError("FRCRN torch import requires torch_compat=True")
+    return {"unet": _frcrn_unet(sd, "unet"), "unet2": _frcrn_unet(sd, "unet2")}

@@ -1847,3 +1847,526 @@ def test_tfgridnet_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- TaylorSENet import parity (taylorsenet.py:220-960 naming) ---------------
+
+class _TChompT(tnn.Module):
+    def __init__(self, t):
+        super().__init__()
+        self.t = t
+
+    def forward(self, x):
+        return x[:, :, :-self.t, :]
+
+
+class _TTayGateConv(tnn.Module):
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__()
+        if k[0] > 1:
+            self.conv = tnn.Sequential(tnn.ConstantPad2d(pad, 0.0),
+                                       tnn.Conv2d(cin, cout * 2, k, stride))
+        else:
+            self.conv = tnn.Conv2d(cin, cout * 2, k, stride)
+
+    def forward(self, x):
+        o, g = self.conv(x).chunk(2, 1)
+        return o * g.sigmoid()
+
+
+class _TTayGateConvT(tnn.Module):
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        if k[0] > 1:
+            self.conv = tnn.Sequential(
+                tnn.ConvTranspose2d(cin, cout * 2, k, stride), _TChompT(k[0] - 1))
+        else:
+            self.conv = tnn.ConvTranspose2d(cin, cout * 2, k, stride)
+
+    def forward(self, x):
+        o, g = self.conv(x).chunk(2, 1)
+        return o * g.sigmoid()
+
+
+class _TTayConvUnit(tnn.Module):
+    def __init__(self, k, c):
+        super().__init__()
+        if k[0] > 1:
+            self.conv = tnn.Sequential(
+                tnn.ConstantPad2d((0, 0, k[0] - 1, 0), 0.0),
+                tnn.Conv2d(c, c, k, (1, 2)), _TIN2d(c), tnn.PReLU(c))
+        else:
+            self.conv = tnn.Sequential(
+                tnn.Conv2d(c, c, k, (1, 2)), _TIN2d(c), tnn.PReLU(c))
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _TTayDeconvUnit(tnn.Module):
+    def __init__(self, k, c, cat):
+        super().__init__()
+        cin = 2 * c if cat else c
+        mods = [tnn.ConvTranspose2d(cin, c, k, (1, 2))]
+        if k[0] > 1:
+            mods.append(_TChompT(k[0] - 1))
+        mods += [_TIN2d(c), tnn.PReLU(c)]
+        self.deconv = tnn.Sequential(*mods)
+
+    def forward(self, x):
+        return self.deconv(x)
+
+
+class _TTayEnUnet(tnn.Module):
+    def __init__(self, cin, cout, k1, k2, scale, de_flag=False):
+        super().__init__()
+        gate = (_TTayGateConvT(cin, cout, k1, (1, 2)) if de_flag else
+                _TTayGateConv(cin, cout, k1, (1, 2), (0, 0, k1[0] - 1, 0)))
+        self.in_conv = tnn.Sequential(gate, _TIN2d(cout), tnn.PReLU(cout))
+        self.enco = tnn.ModuleList([_TTayConvUnit(k2, cout)
+                                    for _ in range(scale)])
+        self.deco = tnn.ModuleList([_TTayDeconvUnit(k2, cout, i != 0)
+                                    for i in range(scale)])
+
+    def forward(self, x):
+        xr = self.in_conv(x)
+        h, hist = xr, []
+        for e in self.enco:
+            h = e(h)
+            hist.append(h)
+        for i, d in enumerate(self.deco):
+            h = d(h if i == 0 else torch.cat((h, hist[-(i + 1)]), 1))
+        return xr + h
+
+
+class _TTayU2En(tnn.Module):
+    def __init__(self, cin, c, k1, k2):
+        super().__init__()
+        self.meta_unet_list = tnn.ModuleList([
+            _TTayEnUnet(cin, c, (1, 5), k2, 4),
+            _TTayEnUnet(c, c, k1, k2, 3),
+            _TTayEnUnet(c, c, k1, k2, 2),
+            _TTayEnUnet(c, c, k1, k2, 1)])
+        self.last_conv = tnn.Sequential(
+            _TTayGateConv(c, 64, k1, (1, 2), (0, 0, k1[0] - 1, 0)),
+            _TIN2d(64), tnn.PReLU(64))
+
+    def forward(self, x):
+        hist = []
+        for m in self.meta_unet_list:
+            x = m(x)
+            hist.append(x)
+        x = self.last_conv(x)
+        hist.append(x)
+        return x, hist
+
+
+class _TTayU2De(tnn.Module):
+    def __init__(self, c, k1, k2):
+        super().__init__()
+        self.meta_unet_list = tnn.ModuleList([
+            _TTayEnUnet(64 * 2, c, k1, k2, 1, de_flag=True),
+            _TTayEnUnet(c * 2, c, k1, k2, 2, de_flag=True),
+            _TTayEnUnet(c * 2, c, k1, k2, 3, de_flag=True),
+            _TTayEnUnet(c * 2, c, k1, k2, 4, de_flag=True)])
+        self.last_conv = tnn.Sequential(
+            _TTayGateConvT(c * 2, 16, (1, 5), (1, 2)), _TIN2d(16),
+            tnn.PReLU(16), tnn.Conv2d(16, 1, 1, 1), tnn.Sigmoid())
+
+    def forward(self, x, hist):
+        for i, m in enumerate(self.meta_unet_list):
+            x = m(torch.cat((x, hist[-(i + 1)]), 1))
+        x = torch.cat((x, hist[0]), 1)
+        return self.last_conv(x).squeeze(1)
+
+
+class _TTayTCM(tnn.Module):
+    def __init__(self, kd1, cd1, d_feat, dila):
+        super().__init__()
+        pad = tnn.ConstantPad1d(((kd1 - 1) * dila, 0), 0.0)
+        self.in_conv = tnn.Conv1d(d_feat, cd1, 1, bias=False)
+        self.left_conv = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1), pad,
+            tnn.Conv1d(cd1, cd1, kd1, dilation=dila, bias=False))
+        self.right_conv = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1), pad,
+            tnn.Conv1d(cd1, cd1, kd1, dilation=dila, bias=False), tnn.Sigmoid())
+        self.out_conv = tnn.Sequential(
+            tnn.PReLU(cd1), _TIN1d(cd1), tnn.Conv1d(cd1, d_feat, 1, bias=False))
+
+    def forward(self, x):
+        h = self.in_conv(x)
+        h = self.left_conv(h) * self.right_conv(h)
+        return x + self.out_conv(h)
+
+
+class _TTayTCMList(tnn.Module):
+    def __init__(self, kd1, cd1, d_feat, dilas):
+        super().__init__()
+        self.tcm_list = tnn.ModuleList(
+            [_TTayTCM(kd1, cd1, d_feat, d) for d in dilas])
+
+    def forward(self, x):
+        for m in self.tcm_list:
+            x = m(x)
+        return x
+
+
+class _TTaylor(tnn.Module):
+    def __init__(self, c=8, kd1=5, cd1=8, d_feat=192, dilas=(1, 2), p=1,
+                 fftn=256, hop=128, orders=2):
+        super().__init__()
+        k1, k2 = (1, 3), (2, 3)
+        self.fftn, self.hop, self.orders, self.p = fftn, hop, orders, p
+        F = fftn // 2 + 1
+
+        class _Zero(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.en = _TTayU2En(1, c, k1, k2)
+                s.de = _TTayU2De(c, k1, k2)
+                s.tcms = tnn.ModuleList(
+                    [_TTayTCMList(kd1, cd1, d_feat, dilas) for _ in range(p)])
+
+            def forward(s, mag):
+                en_x, hist = s.en(mag.unsqueeze(1))
+                b, cc, t, f = en_x.shape
+                x = en_x.transpose(-2, -1).reshape(b, cc * f, t)
+                feat = x
+                for m in s.tcms:
+                    x = m(x)
+                x = x.view(b, cc, f, t).transpose(-2, -1)
+                return s.de(x, hist), feat
+
+        class _High(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.in_conv = tnn.Conv1d(2 * F + d_feat, d_feat, 1)
+                s.tcms = tnn.ModuleList(
+                    [_TTayTCMList(kd1, cd1, d_feat, dilas) for _ in range(p)])
+                s.real_resi = tnn.Conv1d(d_feat, F, 1)
+                s.imag_resi = tnn.Conv1d(d_feat, F, 1)
+
+            def forward(s, en_x, pre_x):
+                b, _, t, f = pre_x.shape
+                x1 = pre_x.transpose(-2, -1).reshape(b, -1, t)
+                x = s.in_conv(torch.cat((en_x, x1), 1))
+                for m in s.tcms:
+                    x = m(x)
+                xr = s.real_resi(x).transpose(-2, -1)
+                xi = s.imag_resi(x).transpose(-2, -1)
+                return torch.stack((xr, xi), 1)
+
+        self.zeroorderblock = _Zero()
+        self.separate_en = _TTayU2En(2, c, k1, k2)
+        self.highorderblock_list = tnn.ModuleList(
+            [_High() for _ in range(orders)])
+
+    def forward(self, x):
+        import math as _m
+        cnorm = torch.sqrt(x.shape[-1] / torch.sum(x ** 2, dim=-1))
+        x = x * cnorm.unsqueeze(-1)
+        s = torch.stft(x, self.fftn, self.hop, win_length=self.fftn,
+                       window=torch.hann_window(self.fftn), return_complex=True)
+        sr = torch.view_as_real(s)
+        mag = torch.norm(sr, dim=-1) ** 0.5
+        ph = torch.atan2(sr[..., 1], sr[..., 0])
+        sr = torch.stack((mag * torch.cos(ph), mag * torch.sin(ph)), -1)
+        sr = sr.permute(0, 3, 2, 1)  # (B, 2, T, F)
+        inputs_mag = torch.norm(sr, dim=1)
+        inputs_ph = torch.atan2(sr[:, -1], sr[:, 0])
+        gain, _ = self.zeroorderblock(inputs_mag)
+        zmag = gain * inputs_mag
+        zero = torch.stack((zmag * torch.cos(inputs_ph),
+                            zmag * torch.sin(inputs_ph)), 1)
+        feat, _ = self.separate_en(sr)
+        b, cc, t, f = feat.shape
+        feat = feat.transpose(-2, -1).reshape(b, -1, t)
+        out, pre = zero, zero
+        for k, blk in enumerate(self.highorderblock_list):
+            upd = blk(feat, pre) + k * pre
+            pre = upd
+            out = out + upd / _m.factorial(k + 1)
+        return out
+
+
+def test_taylorsenet_torch_import_parity(rng):
+    from sonicsim_tpu.models import TaylorSENet
+
+    torch.manual_seed(14)
+    tm = _TTaylor().eval()
+    x = rng.standard_normal((1, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = TaylorSENet(c=8, cd1=8, d_feat=192, p=1, order_num=2,
+                        dilations=(1, 2), fft_num=256, n_fft=256,
+                        hop_length=128, win_length=256)
+    _, params = import_torch_checkpoint(
+        {"model_name": "TaylorSENet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- FRCRN import parity (frcrn.py:12-540 + complex_nn.py naming) ------------
+
+def _stft_kernels_sqrt(win_len, fft_len, invers=False):
+    from scipy.signal import get_window
+    window = get_window("hann", win_len, fftbins=True) ** 0.5
+    basis = np.fft.rfft(np.eye(fft_len))[:win_len]
+    kernel = np.concatenate([basis.real, basis.imag], 1).T
+    if invers:
+        kernel = np.linalg.pinv(kernel).T
+    kernel = (kernel * window)[:, None, :]
+    return (torch.from_numpy(kernel.astype(np.float32)),
+            torch.from_numpy(window[None, :, None].astype(np.float32)))
+
+
+class _TFsmn(tnn.Module):
+    def __init__(self, input_dim, output_dim, lorder=20, hidden=128):
+        super().__init__()
+        self.linear = tnn.Linear(input_dim, hidden)
+        self.project = tnn.Linear(hidden, output_dim, bias=False)
+        self.conv1 = tnn.Conv2d(output_dim, output_dim, (lorder, 1), (1, 1),
+                                groups=output_dim, bias=False)
+        self.lorder = lorder
+
+    def forward(self, x):  # (N, T, h)
+        p1 = self.project(torch.relu(self.linear(x)))
+        xp = p1.unsqueeze(1).permute(0, 3, 2, 1)  # (N, h, T, 1)
+        y = tF.pad(xp, [0, 0, self.lorder - 1, 0])
+        out = (xp + self.conv1(y)).permute(0, 3, 2, 1)  # (N, 1, T, h)
+        return x + out[:, 0]
+
+
+class _TCFsmn(tnn.Module):
+    """ComplexUniDeepFsmn over time (bottleneck)."""
+
+    def __init__(self, c=128):
+        super().__init__()
+        self.fsmn_re_L1 = _TFsmn(c, c)
+        self.fsmn_im_L1 = _TFsmn(c, c)
+        self.fsmn_re_L2 = _TFsmn(c, c)
+        self.fsmn_im_L2 = _TFsmn(c, c)
+
+    def forward(self, x):  # (B, C, F, T, 2)
+        b, c, h, T, d = x.shape
+        z = x.reshape(b, c * h, T, d).transpose(1, 2)  # (B, T, C*F, 2)
+        r1 = self.fsmn_re_L1(z[..., 0]) - self.fsmn_im_L1(z[..., 1])
+        i1 = self.fsmn_re_L1(z[..., 1]) + self.fsmn_im_L1(z[..., 0])
+        r = self.fsmn_re_L2(r1) - self.fsmn_im_L2(i1)
+        i = self.fsmn_re_L2(i1) + self.fsmn_im_L2(r1)
+        out = torch.stack((r, i), -1).transpose(1, 2)
+        return out.reshape(b, c, h, T, d)
+
+
+class _TCFsmnL1(tnn.Module):
+    """ComplexUniDeepFsmn_L1 over frequency."""
+
+    def __init__(self, c=128):
+        super().__init__()
+        self.fsmn_re_L1 = _TFsmn(c, c)
+        self.fsmn_im_L1 = _TFsmn(c, c)
+
+    def forward(self, x):  # (B, C, F, T, 2)
+        b, c, h, T, d = x.shape
+        z = x.transpose(1, 3).reshape(b * T, h, c, d)
+        r = self.fsmn_re_L1(z[..., 0]) - self.fsmn_im_L1(z[..., 1])
+        i = self.fsmn_re_L1(z[..., 1]) + self.fsmn_im_L1(z[..., 0])
+        out = torch.stack((r, i), -1).reshape(b, T, h, c, d)
+        return out.transpose(1, 3)
+
+
+class _TFrcrnSE(tnn.Module):
+    def __init__(self, c, r=8):
+        super().__init__()
+        self.fc_r = tnn.Sequential(tnn.Linear(c, c // r), tnn.ReLU(),
+                                   tnn.Linear(c // r, c), tnn.Sigmoid())
+        self.fc_i = tnn.Sequential(tnn.Linear(c, c // r), tnn.ReLU(),
+                                   tnn.Linear(c // r, c), tnn.Sigmoid())
+
+    def forward(self, x):  # (B, C, F, T, 2)
+        b, c = x.shape[:2]
+        xr = x[..., 0].mean((2, 3))
+        xi = x[..., 1].mean((2, 3))
+        yr = (self.fc_r(xr) - self.fc_i(xi)).view(b, c, 1, 1, 1)
+        yi = (self.fc_r(xi) + self.fc_i(xr)).view(b, c, 1, 1, 1)
+        return x * torch.cat([yr, yi], 4)
+
+
+class _TCConv(tnn.Module):
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__()
+        self.conv_re = tnn.Conv2d(cin, cout, k, stride, pad)
+        self.conv_im = tnn.Conv2d(cin, cout, k, stride, pad)
+
+    def forward(self, x):
+        r = self.conv_re(x[..., 0]) - self.conv_im(x[..., 1])
+        i = self.conv_re(x[..., 1]) + self.conv_im(x[..., 0])
+        return torch.stack((r, i), -1)
+
+
+class _TCConvT(tnn.Module):
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__()
+        self.tconv_re = tnn.ConvTranspose2d(cin, cout, k, stride, pad)
+        self.tconv_im = tnn.ConvTranspose2d(cin, cout, k, stride, pad)
+
+    def forward(self, x):
+        r = self.tconv_re(x[..., 0]) - self.tconv_im(x[..., 1])
+        i = self.tconv_re(x[..., 1]) + self.tconv_im(x[..., 0])
+        return torch.stack((r, i), -1)
+
+
+class _TCBN(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.bn_re = tnn.BatchNorm2d(c)
+        self.bn_im = tnn.BatchNorm2d(c)
+
+    def forward(self, x):
+        return torch.stack((self.bn_re(x[..., 0]), self.bn_im(x[..., 1])), -1)
+
+
+class _TFrcrnEnc(tnn.Module):
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__()
+        self.conv = _TCConv(cin, cout, k, stride, pad)
+        self.bn = _TCBN(cout)
+
+    def forward(self, x):
+        return tF.leaky_relu(self.bn(self.conv(x)))
+
+
+class _TFrcrnDec(tnn.Module):
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__()
+        self.transconv = _TCConvT(cin, cout, k, stride, pad)
+        self.bn = _TCBN(cout)
+
+    def forward(self, x):
+        return tF.leaky_relu(self.bn(self.transconv(x)))
+
+
+class _TFrcrnUNet(tnn.Module):
+    ENC_K = [(5, 2)] * 6 + [(2, 2)]
+    DEC_K = [(2, 2), (5, 2), (5, 2), (5, 2), (6, 2), (5, 2), (5, 2)]
+    PADS = [(0, 1)] * 7
+
+    def __init__(self):
+        super().__init__()
+        for i in range(7):
+            cin = 1 if i == 0 else 128
+            self.add_module(f"fsmn_enc{i}", _TCFsmnL1())
+            self.add_module(f"encoder{i}",
+                            _TFrcrnEnc(cin, 128, self.ENC_K[i], (2, 1),
+                                       self.PADS[i]))
+            self.add_module(f"se_layer_enc{i}", _TFrcrnSE(128))
+        self.fsmn = _TCFsmn()
+        for i in range(7):
+            cout = 1 if i == 6 else 128
+            self.add_module(f"fsmn_dec{i}", _TCFsmnL1(cout if i == 6 else 128))
+            cin_d = 128 if i == 0 else 256  # dec_channels[0]*2 (frcrn.py:336)
+            self.add_module(f"decoder{i}",
+                            _TFrcrnDec(cin_d, cout, self.DEC_K[i], (2, 1),
+                                       self.PADS[i]))
+            if i < 6:
+                self.add_module(f"se_layer_dec{i}", _TFrcrnSE(128))
+        self.linear = _TCConv(1, 1, 1, 1, 0)  # dec_channels[-1]=1
+
+    def forward(self, x):
+        xs_se = [x]
+        for i in range(7):
+            if i > 0:
+                x = getattr(self, f"fsmn_enc{i}")(x)
+            x = getattr(self, f"encoder{i}")(x)
+            xs_se.append(getattr(self, f"se_layer_enc{i}")(x))
+        x = self.fsmn(x)
+        p = x
+        for i in range(7):
+            p = getattr(self, f"decoder{i}")(p)
+            if i < 6:
+                p = getattr(self, f"fsmn_dec{i}")(p)
+            if i == 6:
+                break
+            if i < 5:
+                p = getattr(self, f"se_layer_dec{i}")(p)
+            p = torch.cat([p, xs_se[6 - i]], dim=1)
+        return self.linear(p)
+
+
+class _TFRCRN(tnn.Module):
+    def __init__(self, win=640, inc=320, fft=640):
+        super().__init__()
+        self.win, self.inc, self.fft = win, inc, fft
+        self.feat_dim = fft // 2 + 1
+        kf, _ = _stft_kernels_sqrt(win, fft)
+        ki, w = _stft_kernels_sqrt(win, fft, invers=True)
+        self.register_buffer("fwd_k", kf)
+        self.register_buffer("inv_k", ki)
+        self.register_buffer("win_buf", w)
+        self.register_buffer("enframe", torch.eye(win)[:, None, :])
+        self.unet = _TFrcrnUNet()
+        self.unet2 = _TFrcrnUNet()
+
+    def _istft(self, spec):
+        out = tF.conv_transpose1d(spec, self.inv_k, stride=self.inc)
+        t = self.win_buf.repeat(1, 1, spec.size(-1)) ** 2
+        coff = tF.conv_transpose1d(t, self.enframe, stride=self.inc)
+        out = out / (coff + 1e-8)
+        pad = self.win - self.inc
+        return out[..., pad:-pad]
+
+    def forward(self, x):
+        pad = self.win - self.inc
+        spec = tF.conv1d(tF.pad(x[:, None], [pad, pad]), self.fwd_k,
+                         stride=self.inc)
+        cs = spec.unsqueeze(1)
+        cs = torch.cat([cs[:, :, :self.feat_dim], cs[:, :, self.feat_dim:]], 1)
+        cs = cs.unsqueeze(4).transpose(1, 4)  # (B, 1, F, T, 2)
+        u1 = self.unet(cs)
+        m1 = torch.tanh(u1)
+        u2 = self.unet2(u1)
+        m2 = torch.tanh(u2) + m1
+
+        def apply(m):
+            er = cs[..., 0] * m[..., 0] - cs[..., 1] * m[..., 1]
+            ei = cs[..., 0] * m[..., 1] + cs[..., 1] * m[..., 0]
+            est = torch.cat([er[:, 0], ei[:, 0]], 1)
+            wav = self._istft(est).squeeze(1)
+            msk = torch.cat([m[:, 0, :, :, 0], m[:, 0, :, :, 1]], 1)
+            return est, wav, msk
+
+        s1 = apply(m1)
+        s2 = apply(m2)
+        return x, [s1[0], s1[1], s1[2], s2[0], s2[1], s2[2]]
+
+
+def test_frcrn_torch_import_parity(rng):
+    from sonicsim_tpu.models import FRCRN
+
+    torch.manual_seed(15)
+    tm = _TFRCRN()
+    with torch.no_grad():
+        tm.train()
+        tm(torch.from_numpy(
+            rng.standard_normal((2, 2240)).astype(np.float32) * 0.3))
+        tm.eval()
+        x = rng.standard_normal((2, 2240)).astype(np.float32) * 0.3
+        _, refs = tm(torch.from_numpy(x))
+        refs = [r.numpy() for r in refs]
+
+    model = FRCRN(torch_compat=True)
+    _, params = import_torch_checkpoint(
+        {"model_name": "FRCRN", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    _, outs = model.apply(params, jnp.asarray(x))
+    for got, ref in zip(outs, refs):
+        g = np.asarray(got)
+        n = min(g.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(g[..., :n], ref[..., :n], atol=2e-3,
+                                   rtol=1e-2)
