@@ -95,8 +95,22 @@ class MemLSTM(nn.Module):
         n_dir = len(hc)
         d_h = n_dir * self.hidden_size
 
+        class MemSingleLSTM(nn.Module):
+            """SingleLSTM (skim.py:15-59): LSTM + projection back to d*H."""
+
+            hidden: int
+            bidir: bool
+            out_dim: int
+
+            @nn.compact
+            def __call__(self, x):
+                y = LSTMLayer(self.hidden, self.bidir)(x)
+                return nn.Dense(self.out_dim, name="proj")(y)
+
         def across_segments(x, name):  # x: (B*S, d*H) stacked as (B, S, dH)
-            y = LSTMLayer(self.hidden_size, self.bidirectional, name=f"{name}_net")(x)
+            y = MemSingleLSTM(
+                self.hidden_size, self.bidirectional, d_h, name=f"{name}_net"
+            )(x)
             return x + self._norm(d_h, f"{name}_norm")(y)
 
         # Gather (c, h) per direction → (B, S, d*H).
@@ -192,10 +206,15 @@ class SkiMNet(BaseModel):
         masks = nn.Conv(
             self.input_dim * self.num_spk, (1,), name="output_fc"
         )(merged)  # (B, T, D*spks)
-        masks = masks.reshape(bsz, -1, self.num_spk, self.input_dim)
+        # torch views the channel axis as (N, num_spk) N-major (skim.py:751)
+        masks = masks.reshape(bsz, -1, self.input_dim, self.num_spk)
+        masks = jnp.swapaxes(masks, 2, 3)
         masks = get_activation(self.nonlinear)(masks)
 
-        masked = enc[:, :, None, :] * masks  # (B, T, spk, D)
+        # Reference quirk (skim.py:886-887): the separator's masked output
+        # (e * mask) is multiplied by the encoder features AGAIN before
+        # decoding — effectively e^2 * mask.
+        masked = (enc * enc)[:, :, None, :] * masks  # (B, T, spk, D)
         masked = jnp.moveaxis(masked, 2, 1).reshape(bsz * self.num_spk, -1, self.input_dim)
         dec = nn.ConvTranspose(
             1, (self.kernel_size,), strides=(self.kernel_size // 2,),
@@ -261,10 +280,14 @@ class SkiMStreamer:
 
         def run(name, vec, carry):
             cell = nn.OptimizedLSTMCell(self.model.unit)
-            cell_params = p[f"{name}_net"]["OptimizedLSTMCell_0"]
+            net = p[f"{name}_net"]
+            cell_params = net["LSTMLayer_0"]["OptimizedLSTMCell_0"]
             new_carry, out = cell.apply(
                 {"params": cell_params}, carry, vec
             )
+            out = nn.Dense(self.model.unit).apply(
+                {"params": net["proj"]}, out
+            )  # SingleLSTM projection (skim.py:47-58)
             from .layers import ChannelLayerNorm
 
             normed = ChannelLayerNorm(self.model.unit).apply(
@@ -338,9 +361,11 @@ class SkiMStreamer:
         )
         b, fr, _ = masks.shape
         masks = get_activation(model.nonlinear)(
-            masks.reshape(b, fr, model.num_spk, model.input_dim)
+            jnp.swapaxes(
+                masks.reshape(b, fr, model.input_dim, model.num_spk), 2, 3
+            )
         )
-        masked = enc[:, :, None, :] * masks
+        masked = (enc * enc)[:, :, None, :] * masks
         masked = jnp.moveaxis(masked, 2, 1).reshape(
             b * model.num_spk, fr, model.input_dim
         )

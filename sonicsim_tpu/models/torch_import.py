@@ -975,3 +975,50 @@ def _convert_frcrn(model, sd) -> dict:
     if not getattr(model, "torch_compat", False):
         raise ValueError("FRCRN torch import requires torch_compat=True")
     return {"unet": _frcrn_unet(sd, "unet"), "unet2": _frcrn_unet(sd, "unet2")}
+
+
+@register_converter("skimnet")
+def _convert_skim(model, sd) -> dict:
+    """Map separation/look2hear/models/skim.py parameter names."""
+    bidir = not model.causal
+    sep = "separation.skim"
+
+    def lstm_pair(key):
+        blk = lstm_cell(sd, key)
+        if bidir:
+            blk["OptimizedLSTMCell_1"] = lstm_cell(sd, key, reverse=True)[
+                "OptimizedLSTMCell_0"
+            ]
+        return blk
+
+    def norm(key):
+        g = np.asarray(sd[f"{key}.gamma"]).reshape(-1)
+        b = np.asarray(sd[f"{key}.beta"]).reshape(-1)
+        if model.causal:  # cLN → ChannelLayerNorm
+            return {"gamma": g, "beta": b}
+        return {"GroupNorm_0": {"scale": g, "bias": b}}
+
+    p: dict = {
+        "encoder": conv1d(sd, "encoder.conv1d"),
+        "out_prelu": prelu(sd, "separation.skim.output_fc.0"),
+        "output_fc": conv1d(sd, "separation.skim.output_fc.1"),
+        "decoder": conv_transpose1d(sd, "decoder"),
+    }
+    for i in range(model.layer):
+        blk = lstm_pair(f"{sep}.seg_lstms.{i}.lstm")
+        blk["proj"] = linear(sd, f"{sep}.seg_lstms.{i}.proj")
+        blk["norm"] = norm(f"{sep}.seg_lstms.{i}.norm")
+        p[f"seg_lstm_{i}"] = blk
+        if model.mem_type and i < model.layer - 1:
+            m = f"{sep}.mem_lstms.{i}"
+            mem: dict = {}
+            for tag in ("h", "c"):
+                if f"{m}.{tag}_net.rnn.weight_ih_l0" not in sd:
+                    continue
+                mem[f"{tag}_net"] = {
+                    "LSTMLayer_0": lstm_pair(f"{m}.{tag}_net.rnn"),
+                    "proj": linear(sd, f"{m}.{tag}_net.proj"),
+                }
+                mem[f"{tag}_norm"] = norm(f"{m}.{tag}_norm")
+            p[f"mem_lstm_{i}"] = mem
+    return p

@@ -2370,3 +2370,182 @@ def test_frcrn_torch_import_parity(rng):
         n = min(g.shape[-1], ref.shape[-1])
         np.testing.assert_allclose(g[..., :n], ref[..., :n], atol=2e-3,
                                    rtol=1e-2)
+
+
+# --- SkiM import parity (skim.py:15-900 naming; non-causal config) -----------
+
+class _TSkGLN(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.ones(1, c, 1))
+        self.beta = tnn.Parameter(torch.zeros(1, c, 1))
+
+    def forward(self, y):  # shape BTD
+        y = y.transpose(1, 2)
+        mu = y.mean(dim=(1, 2), keepdim=True)
+        var = ((y - mu) ** 2).mean(dim=(1, 2), keepdim=True)
+        y = self.gamma * (y - mu) / (var + 1e-8) ** 0.5 + self.beta
+        return y.transpose(1, 2)
+
+
+class _TSingleLSTM(tnn.Module):
+    def __init__(self, input_size, hidden, bidir):
+        super().__init__()
+        self.rnn = tnn.LSTM(input_size, hidden, 1, batch_first=True,
+                            bidirectional=bidir)
+        self.proj = tnn.Linear(hidden * (2 if bidir else 1), input_size)
+
+    def forward(self, x, state=None):
+        o, state = self.rnn(x, state)
+        return self.proj(o), state
+
+
+class _TSegLSTM(tnn.Module):
+    def __init__(self, input_size, hidden, bidir):
+        super().__init__()
+        self.lstm = tnn.LSTM(input_size, hidden, 1, batch_first=True,
+                             bidirectional=bidir)
+        self.proj = tnn.Linear(hidden * (2 if bidir else 1), input_size)
+        self.norm = _TSkGLN(input_size)
+        self.hidden, self.d = hidden, 2 if bidir else 1
+
+    def forward(self, x, hc):
+        B = x.shape[0]
+        if hc is None:
+            h = torch.zeros(self.d, B, self.hidden)
+            c = torch.zeros(self.d, B, self.hidden)
+        else:
+            h, c = hc
+        o, (h, c) = self.lstm(x, (h, c))
+        o = self.proj(o.reshape(-1, o.shape[2])).view(x.shape)
+        return x + self.norm(o), (h, c)
+
+
+class _TMemLSTM(tnn.Module):
+    def __init__(self, hidden, bidir):
+        super().__init__()
+        self.input_size = (2 if bidir else 1) * hidden
+        self.h_net = _TSingleLSTM(self.input_size, hidden, bidir)
+        self.h_norm = _TSkGLN(self.input_size)
+        self.c_net = _TSingleLSTM(self.input_size, hidden, bidir)
+        self.c_norm = _TSkGLN(self.input_size)
+        self.bidir = bidir
+
+    def forward(self, hc, S):
+        h, c = hc
+        d, BS, H = h.shape
+        B = BS // S
+        h = h.transpose(1, 0).reshape(B, S, d * H)
+        c = c.transpose(1, 0).reshape(B, S, d * H)
+        h = h + self.h_norm(self.h_net(h)[0])
+        c = c + self.c_norm(self.c_net(c)[0])
+        h = h.view(B * S, d, H).transpose(1, 0).contiguous()
+        c = c.view(B * S, d, H).transpose(1, 0).contiguous()
+        return (h, c)
+
+
+def _tsplit(x, seg):  # (B, D, T) → (B, D, K, S), rest
+    b, d, t = x.shape
+    stride = seg // 2
+    rest = seg - (stride + t % seg) % seg
+    if rest > 0:
+        x = tF.pad(x, (0, rest))
+    x = tF.pad(x, (stride, stride))
+    s1 = x[:, :, :-stride].reshape(b, d, -1, seg)
+    s2 = x[:, :, stride:].reshape(b, d, -1, seg)
+    segs = torch.cat([s1, s2], 3).view(b, d, -1, seg).transpose(2, 3)
+    return segs.contiguous(), rest
+
+
+def _tmerge(x, rest):  # (B, D, K, S)
+    b, d, seg, _ = x.shape
+    stride = seg // 2
+    x = x.transpose(2, 3).reshape(b, d, -1, seg * 2)
+    x1 = x[:, :, :, :seg].reshape(b, d, -1)[:, :, stride:]
+    x2 = x[:, :, :, seg:].reshape(b, d, -1)[:, :, :-stride]
+    out = x1 + x2
+    return out[:, :, :-rest] if rest > 0 else out
+
+
+class _TSkiMNet(tnn.Module):
+    def __init__(self, D=16, unit=8, layers=2, seg=10, k=8, spk=2):
+        super().__init__()
+        self.D, self.seg, self.layers, self.spk, self.k = D, seg, layers, spk, k
+
+        class _Enc(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.conv1d = tnn.Conv1d(1, D, k, stride=k // 2, bias=False)
+
+            def forward(s, x):
+                return torch.relu(s.conv1d(x)).transpose(2, 1)
+
+        class _SkiM(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.seg_lstms = tnn.ModuleList(
+                    [_TSegLSTM(D, unit, True) for _ in range(layers)])
+                s.mem_lstms = tnn.ModuleList(
+                    [_TMemLSTM(unit, True) for _ in range(layers - 1)])
+                s.output_fc = tnn.Sequential(tnn.PReLU(),
+                                             tnn.Conv1d(D, D * spk, 1))
+
+            def forward(s, x):  # (B, T, D)
+                B, T, Dd = x.shape
+                segs, rest = _tsplit(x.transpose(1, 2), seg)
+                segs = segs.permute(0, 3, 2, 1).contiguous()  # B, S, K, D
+                _, S, K, _ = segs.shape
+                out = segs.view(B * S, K, Dd)
+                hc = None
+                for i in range(layers):
+                    out, hc = s.seg_lstms[i](out, hc)
+                    if i < layers - 1:
+                        hc = s.mem_lstms[i](hc, S)
+                out = out.view(B, S, K, Dd).permute(0, 3, 2, 1)
+                out = _tmerge(out, rest)
+                return s.output_fc(out).transpose(1, 2)
+
+        class _Sep(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.skim = _SkiM()
+
+            def forward(s, e):
+                B, T, N = e.shape
+                proc = s.skim(e).view(B, T, N, spk)
+                masks = torch.relu(proc).unbind(3)
+                return [e * m for m in masks], None
+
+        self.encoder = _Enc()
+        self.separation = _Sep()
+        self.decoder = tnn.ConvTranspose1d(D, 1, k, stride=k // 2, bias=False)
+
+    def forward(self, x):
+        n = x.shape[-1]
+        e = self.encoder(x[:, None])
+        s, _ = self.separation(e)
+        outs = []
+        for i in range(self.spk):
+            o = self.decoder((s[i] * e).transpose(2, 1))[:, 0]
+            outs.append(tF.pad(o, (0, n - o.shape[-1])))
+        return torch.stack(outs, 1)
+
+
+def test_skim_torch_import_parity(rng):
+    from sonicsim_tpu.models import SkiMNet
+
+    torch.manual_seed(16)
+    tm = _TSkiMNet().eval()
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = SkiMNet(input_dim=16, unit=8, layer=2, segment_size=10,
+                    kernel_size=8, num_spk=2, causal=False)
+    _, params = import_torch_checkpoint(
+        {"model_name": "SkiMNet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
