@@ -42,7 +42,7 @@ class BandSplit(nn.Module):
         for i, sub in enumerate(self.subbands):
             band = x[:, :, hz : hz + sub, :]  # (B, T, sub, 2)
             band = band.reshape(band.shape[0], band.shape[1], sub * 2)
-            band = GroupNorm1(name=f"norm_{i}")(band)
+            band = GroupNorm1(eps=1e-5, name=f"norm_{i}")(band)
             outs.append(nn.Conv(self.channels, (1,), name=f"fc_{i}")(band))
             hz += sub
         return jnp.stack(outs, axis=2)  # (B, T, K, N)
@@ -58,7 +58,7 @@ class MaskDecoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         def mlp(band, sub, name):
-            h = GroupNorm1(name=f"{name}_norm")(band)
+            h = GroupNorm1(eps=1e-5, name=f"{name}_norm")(band)
             h = jnp.tanh(nn.Conv(4 * self.channels, (1,), name=f"{name}_c1")(h))
             h = nn.Conv(sub * 4, (1,), name=f"{name}_c2")(h)
             a, g = jnp.split(h, 2, axis=-1)  # GLU over channels
@@ -103,13 +103,13 @@ class BSRNNESPNet(BaseModel):
         skip = z
         for i in range(self.num_layers):
             # time modeling (per band)
-            h = GroupNorm1(name=f"norm_time_{i}")(skip)
+            h = GroupNorm1(eps=1e-5, name=f"norm_time_{i}")(skip)
             h = jnp.swapaxes(h, 1, 2).reshape(b * k, t, n)
             h = LSTMLayer(2 * n, bidirectional=not self.causal, name=f"rnn_time_{i}")(h)
             h = nn.Dense(n, name=f"fc_time_{i}")(h)
             skip = skip + jnp.swapaxes(h.reshape(b, k, t, n), 1, 2)
             # frequency modeling (per frame, across bands)
-            h = GroupNorm1(name=f"norm_freq_{i}")(skip)
+            h = GroupNorm1(eps=1e-5, name=f"norm_freq_{i}")(skip)
             h = h.reshape(b * t, k, n)
             h = LSTMLayer(2 * n, bidirectional=True, name=f"rnn_freq_{i}")(h)
             h = nn.Dense(n, name=f"fc_freq_{i}")(h)

@@ -1022,3 +1022,39 @@ def _convert_skim(model, sd) -> dict:
                 mem[f"{tag}_norm"] = norm(f"{m}.{tag}_norm")
             p[f"mem_lstm_{i}"] = mem
     return p
+
+
+@register_converter("bsrnnespnet")
+def _convert_bsrnn_espnet(model, sd) -> dict:
+    """Map enhancement/look2hear/models/bsrnn_espnet.py parameter names."""
+    from .bsrnn_espnet import subband_layout
+
+    subbands = subband_layout(model.n_fft // 2 + 1, model.target_fs)
+    bs = "separator.bsrnn"
+
+    def gn(key):
+        return {"GroupNorm_0": layernorm(sd, key)}
+
+    band_split: dict = {}
+    mask_decoder: dict = {}
+    for i in range(len(subbands)):
+        band_split[f"norm_{i}"] = gn(f"{bs}.band_split.norm.{i}")
+        band_split[f"fc_{i}"] = conv1d(sd, f"{bs}.band_split.fc.{i}")
+        for tag, tkey in (("mask", "mlp_mask"), ("residual", "mlp_residual")):
+            m = f"{bs}.mask_decoder.{tkey}.{i}"
+            mask_decoder[f"{tag}_{i}_norm"] = gn(f"{m}.0")
+            mask_decoder[f"{tag}_{i}_c1"] = conv1d(sd, f"{m}.1")
+            mask_decoder[f"{tag}_{i}_c2"] = conv1d(sd, f"{m}.3")
+    p: dict = {"band_split": band_split, "mask_decoder": mask_decoder}
+    for i in range(model.num_layers):
+        p[f"norm_time_{i}"] = gn(f"{bs}.norm_time.{i}")
+        p[f"rnn_time_{i}"] = (
+            bidir_lstm(sd, f"{bs}.rnn_time.{i}")
+            if not model.causal
+            else lstm_cell(sd, f"{bs}.rnn_time.{i}")
+        )
+        p[f"fc_time_{i}"] = linear(sd, f"{bs}.fc_time.{i}")
+        p[f"norm_freq_{i}"] = gn(f"{bs}.norm_freq.{i}")
+        p[f"rnn_freq_{i}"] = bidir_lstm(sd, f"{bs}.rnn_freq.{i}")
+        p[f"fc_freq_{i}"] = linear(sd, f"{bs}.fc_freq.{i}")
+    return p

@@ -2549,3 +2549,132 @@ def test_skim_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- BSRNN-ESPnet import parity (bsrnn_espnet.py:517-880 naming) -------------
+
+class _TEBandSplit(tnn.Module):
+    def __init__(self, subbands, ch):
+        super().__init__()
+        self.subbands = subbands
+        self.norm = tnn.ModuleList(
+            [tnn.GroupNorm(1, s * 2) for s in subbands])
+        self.fc = tnn.ModuleList(
+            [tnn.Conv1d(s * 2, ch, 1) for s in subbands])
+
+    def forward(self, x):  # (B, T, F, 2)
+        hz, outs = 0, []
+        for i, s in enumerate(self.subbands):
+            xb = x[:, :, hz:hz + s, :].reshape(x.size(0), x.size(1), -1)
+            outs.append(self.fc[i](self.norm[i](xb.transpose(1, 2))))
+            hz += s
+        return torch.stack(outs, -1)  # (B, N, T, K)
+
+
+class _TEMaskDec(tnn.Module):
+    def __init__(self, subbands, ch):
+        super().__init__()
+        self.subbands = subbands
+        mk = lambda s: tnn.Sequential(
+            tnn.GroupNorm(1, ch), tnn.Conv1d(ch, 4 * ch, 1), tnn.Tanh(),
+            tnn.Conv1d(4 * ch, s * 4, 1), tnn.GLU(dim=1))
+        self.mlp_mask = tnn.ModuleList([mk(s) for s in subbands])
+        self.mlp_residual = tnn.ModuleList([mk(s) for s in subbands])
+
+    def forward(self, x):  # (B, N, T, K)
+        ms, rs = [], []
+        for i, s in enumerate(self.subbands):
+            xb = x[:, :, :, i]
+            m = self.mlp_mask[i](xb).transpose(1, 2)
+            ms.append(m.reshape(m.size(0), m.size(1), -1, 2))
+            r = self.mlp_residual[i](xb).transpose(1, 2)
+            rs.append(r.reshape(r.size(0), r.size(1), -1, 2))
+        return torch.cat(ms, 2), torch.cat(rs, 2)
+
+
+class _TEBSRNN(tnn.Module):
+    def __init__(self, subbands, ch=8, layers=2):
+        super().__init__()
+        self.layers = layers
+        self.band_split = _TEBandSplit(subbands, ch)
+        self.mask_decoder = _TEMaskDec(subbands, ch)
+        h = 2 * ch
+        self.norm_time = tnn.ModuleList(
+            [tnn.GroupNorm(1, ch) for _ in range(layers)])
+        self.rnn_time = tnn.ModuleList(
+            [tnn.LSTM(ch, h, batch_first=True, bidirectional=True)
+             for _ in range(layers)])
+        self.fc_time = tnn.ModuleList(
+            [tnn.Linear(h * 2, ch) for _ in range(layers)])
+        self.norm_freq = tnn.ModuleList(
+            [tnn.GroupNorm(1, ch) for _ in range(layers)])
+        self.rnn_freq = tnn.ModuleList(
+            [tnn.LSTM(ch, h, batch_first=True, bidirectional=True)
+             for _ in range(layers)])
+        self.fc_freq = tnn.ModuleList(
+            [tnn.Linear(4 * ch, ch) for _ in range(layers)])
+
+    def forward(self, x):  # (B, T, F, 2)
+        z = self.band_split(x)
+        B, N, T, K = z.shape
+        skip = z
+        for i in range(self.layers):
+            o = self.norm_time[i](skip).transpose(1, 3).reshape(B * K, T, N)
+            o, _ = self.rnn_time[i](o)
+            o = self.fc_time[i](o).reshape(B, K, T, N).transpose(1, 3)
+            skip = skip + o
+            o = self.norm_freq[i](skip).permute(0, 2, 3, 1).reshape(B * T, K, N)
+            o, _ = self.rnn_freq[i](o)
+            o = self.fc_freq[i](o).reshape(B, T, K, N).permute(0, 3, 1, 2)
+            skip = skip + o
+        m, r = self.mask_decoder(skip)
+        m = torch.view_as_complex(m.contiguous())
+        r = torch.view_as_complex(r.contiguous())
+        xc = torch.view_as_complex(x.contiguous())
+        m, r = m[..., :xc.size(-1)], r[..., :xc.size(-1)]
+        return torch.view_as_real(m * xc + r)
+
+
+class _TEBSRNNNet(tnn.Module):
+    def __init__(self, n_fft=96, hop=48, ch=8, layers=2, subbands=None):
+        super().__init__()
+        self.n_fft, self.hop = n_fft, hop
+        self.separator = tnn.Module()
+        self.separator.bsrnn = _TEBSRNN(subbands, ch, layers)
+
+    def forward(self, x):
+        n = x.shape[-1]
+        s = torch.stft(x, self.n_fft, self.hop, win_length=self.n_fft,
+                       window=torch.hann_window(self.n_fft),
+                       return_complex=True).transpose(1, 2)  # (B, T, F)
+        feat = torch.view_as_real(s)
+        out = self.separator.bsrnn(feat)
+        est = torch.view_as_complex(out.contiguous()).transpose(1, 2)
+        return torch.istft(est, self.n_fft, self.hop, win_length=self.n_fft,
+                           window=torch.hann_window(self.n_fft), length=n)
+
+
+def test_bsrnn_espnet_torch_import_parity(rng, monkeypatch):
+    import sonicsim_tpu.models.bsrnn_espnet as mod
+    from sonicsim_tpu.models import BSRNNESPNet
+
+    # tiny subband layout for n_fft=96 → F=49
+    tiny = tuple([10, 10, 10, 19])
+    monkeypatch.setattr(
+        mod, "subband_layout", lambda d, fs: tiny
+    )
+    import sonicsim_tpu.models.torch_import as ti
+    torch.manual_seed(17)
+    tm = _TEBSRNNNet(subbands=tiny).eval()
+    x = rng.standard_normal((2, 960)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = BSRNNESPNet(n_fft=96, hop_length=48, num_channels=8, num_layers=2)
+    _, params = import_torch_checkpoint(
+        {"model_name": "BSRNNESPNet", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
