@@ -1058,3 +1058,78 @@ def _convert_bsrnn_espnet(model, sd) -> dict:
         p[f"rnn_freq_{i}"] = bidir_lstm(sd, f"{bs}.rnn_freq.{i}")
         p[f"fc_freq_{i}"] = linear(sd, f"{bs}.fc_freq.{i}")
     return p
+
+
+def mha(sd, key, heads):
+    """torch nn.MultiheadAttention → flax MultiHeadDotProductAttention."""
+    w = np.asarray(sd[f"{key}.in_proj_weight"])
+    b = np.asarray(sd[f"{key}.in_proj_bias"])
+    c = w.shape[1]
+    hd = c // heads
+
+    def proj(i):
+        wi = w[i * c : (i + 1) * c]
+        bi = b[i * c : (i + 1) * c]
+        return {
+            "kernel": np.ascontiguousarray(wi.T.reshape(c, heads, hd)),
+            "bias": bi.reshape(heads, hd),
+        }
+
+    ow = np.asarray(sd[f"{key}.out_proj.weight"])
+    return {
+        "query": proj(0),
+        "key": proj(1),
+        "value": proj(2),
+        "out": {
+            "kernel": np.ascontiguousarray(ow.T.reshape(heads, hd, c)),
+            "bias": np.asarray(sd[f"{key}.out_proj.bias"]),
+        },
+    }
+
+
+@register_converter("dptnetmodel")
+def _convert_dptnet(model, sd) -> dict:
+    """Map separation/look2hear/models/dptnet.py parameter names."""
+    def itl(key, bidir):
+        blk = {
+            "self_attn": mha(sd, f"{key}.self_attn", model.att_heads),
+            "norm_attn": {
+                "GroupNorm_0": {
+                    "scale": np.asarray(sd[f"{key}.norm_attn.gamma"]).reshape(-1),
+                    "bias": np.asarray(sd[f"{key}.norm_attn.beta"]).reshape(-1),
+                }
+            },
+            "rnn": bidir_lstm(sd, f"{key}.rnn") if bidir
+            else lstm_cell(sd, f"{key}.rnn"),
+            "ff_linear": linear(sd, f"{key}.feed_forward.2"),
+            "norm_ff": {
+                "GroupNorm_0": {
+                    "scale": np.asarray(sd[f"{key}.norm_ff.gamma"]).reshape(-1),
+                    "bias": np.asarray(sd[f"{key}.norm_ff.beta"]).reshape(-1),
+                }
+            },
+        }
+        return blk
+
+    p: dict = {
+        "encoder": conv1d(sd, "encoder.conv1d"),
+        "enc_LN": {
+            "GroupNorm_0": {
+                "scale": np.asarray(sd["separator.enc_LN.gamma"]).reshape(-1),
+                "bias": np.asarray(sd["separator.enc_LN.beta"]).reshape(-1),
+            }
+        },
+        "out_prelu": prelu(sd, "separator.dptnet.output.0"),
+        "out_conv": conv2d(sd, "separator.dptnet.output.1"),
+        "output": conv1d(sd, "separator.output.0"),
+        "output_gate": conv1d(sd, "separator.output_gate.0"),
+        "decoder": conv_transpose1d(sd, "decoder.convtrans1d"),
+    }
+    for i in range(model.layer):
+        p[f"row_transformer_{i}"] = itl(
+            f"separator.dptnet.row_transformer.{i}", True
+        )
+        p[f"col_transformer_{i}"] = itl(
+            f"separator.dptnet.col_transformer.{i}", model.bidirectional
+        )
+    return p

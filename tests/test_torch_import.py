@@ -2678,3 +2678,150 @@ def test_bsrnn_espnet_torch_import_parity(rng, monkeypatch):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- DPTNet import parity (dptnet.py:323-735 naming) -------------------------
+
+class _TDPGLN(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.ones(1, c, 1))
+        self.beta = tnn.Parameter(torch.zeros(1, c, 1))
+
+    def forward(self, y):  # (B, C, T)
+        mu = y.mean(dim=(1, 2), keepdim=True)
+        var = ((y - mu) ** 2).mean(dim=(1, 2), keepdim=True)
+        eps = torch.finfo(torch.float32).eps
+        return self.gamma * (y - mu) / (var + eps) ** 0.5 + self.beta
+
+
+class _TITL(tnn.Module):
+    def __init__(self, c, heads, hidden, bidir):
+        super().__init__()
+        self.self_attn = tnn.MultiheadAttention(c, heads)
+        self.norm_attn = _TDPGLN(c)
+        self.rnn = tnn.LSTM(c, hidden, 1, batch_first=True,
+                            bidirectional=bidir)
+        hdim = hidden * (2 if bidir else 1)
+        self.feed_forward = tnn.Sequential(tnn.ReLU(), tnn.Dropout(0.0),
+                                           tnn.Linear(hdim, c))
+        self.norm_ff = _TDPGLN(c)
+
+    def forward(self, x):  # (B, S, C)
+        src = x.permute(1, 0, 2)
+        out = self.self_attn(src, src, src)[0].permute(1, 0, 2) + x
+        out = self.norm_attn(out.transpose(-1, -2)).transpose(-1, -2)
+        out2 = self.feed_forward(self.rnn(out)[0]) + out
+        return self.norm_ff(out2.transpose(-1, -2)).transpose(-1, -2)
+
+
+class _TDPTNet(tnn.Module):
+    def __init__(self, c=16, k=8, stride=4, layers=2, unit=8, heads=2,
+                 seg=10, spk=2):
+        super().__init__()
+        self.c, self.seg, self.spk, self.layers = c, seg, spk, layers
+
+        class _Enc(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.conv1d = tnn.Conv1d(1, c, k, stride, bias=False)
+
+            def forward(s, x):
+                return torch.relu(s.conv1d(x[:, None])).transpose(1, 2)
+
+        class _Core(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.row_transformer = tnn.ModuleList(
+                    [_TITL(c, heads, unit, True) for _ in range(layers)])
+                s.col_transformer = tnn.ModuleList(
+                    [_TITL(c, heads, unit, True) for _ in range(layers)])
+                s.output = tnn.Sequential(tnn.PReLU(),
+                                          tnn.Conv2d(c, c * spk, 1))
+
+            def forward(s, x):  # (B, N, L, K)
+                for i in range(layers):
+                    b, n, l, kk = x.shape
+                    h = x.transpose(1, -1).reshape(b * kk, l, n)
+                    h = s.row_transformer[i](h)
+                    x = h.reshape(b, kk, l, n).permute(0, 3, 2, 1)
+                    b, n, l, kk = x.shape
+                    h = x.permute(0, 2, 3, 1).reshape(b * l, kk, n)
+                    h = s.col_transformer[i](h)
+                    x = h.reshape(b, l, kk, n).permute(0, 3, 1, 2)
+                return s.output(x)
+
+        class _Sep(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.enc_LN = _TDPGLN(c)
+                s.dptnet = _Core()
+                s.output = tnn.Sequential(tnn.Conv1d(c, c, 1), tnn.Tanh())
+                s.output_gate = tnn.Sequential(tnn.Conv1d(c, c, 1),
+                                               tnn.Sigmoid())
+
+            def forward(s, feat):  # (B, T, N)
+                B, T, N = feat.shape
+                x = torch.relu(feat)
+                x = s.enc_LN(x.transpose(1, 2))  # (B, N, T)
+                unf = tF.unfold(x.unsqueeze(-1).transpose(2, 3)
+                                if False else x.unsqueeze(-1),
+                                kernel_size=(seg, 1), padding=(seg, 0),
+                                stride=(seg // 2, 1))
+                segd = unf.reshape(B, N, seg, -1)
+                proc = s.dptnet(segd)  # (B, N*spk, L, K)
+                proc = proc.reshape(B * spk, N, seg, -1)
+                L = proc.shape[2]
+                nchunks = proc.shape[3]
+                seqs = proc.reshape(B * spk, N * L, nchunks)
+                folded = tF.fold(seqs, output_size=(1, T),
+                                 kernel_size=(1, L), padding=(0, L),
+                                 stride=(1, seg // 2))
+                ones = tF.fold(torch.ones_like(seqs), output_size=(1, T),
+                               kernel_size=(1, L), padding=(0, L),
+                               stride=(1, seg // 2))
+                proc = (folded / ones).reshape(B * spk, N, T)
+                m = s.output(proc) * s.output_gate(proc)
+                masks = torch.relu(
+                    m.reshape(B, spk, N, T).transpose(-1, -2)).unbind(1)
+                return [feat * mm for mm in masks]
+
+        class _Dec(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.convtrans1d = tnn.ConvTranspose1d(c, 1, k, stride,
+                                                    bias=False)
+
+            def forward(s, x, length):
+                o = s.convtrans1d(x.transpose(1, 2))[:, 0]
+                return tF.pad(o, (0, length - o.shape[-1]))
+
+        self.encoder = _Enc()
+        self.separator = _Sep()
+        self.decoder = _Dec()
+
+    def forward(self, x):
+        n = x.shape[-1]
+        feat = self.encoder(x)
+        masked = self.separator(feat)
+        return torch.stack([self.decoder(m, n) for m in masked], 1)
+
+
+def test_dptnet_torch_import_parity(rng):
+    from sonicsim_tpu.models import DPTNetModel
+
+    torch.manual_seed(18)
+    tm = _TDPTNet().eval()
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = DPTNetModel(channel=16, kernel_size=8, stride=4, layer=2, unit=8,
+                        att_heads=2, segment_size=10, num_spk=2)
+    _, params = import_torch_checkpoint(
+        {"model_name": "DPTNetModel", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
