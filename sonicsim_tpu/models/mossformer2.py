@@ -102,6 +102,8 @@ class GatedFSMNBlock(nn.Module):
 class MossFormer2(MossFormer):
     """Same interface/config keys as MossFormer (mossformer2.yaml)."""
 
+    fsmn_inner: int = 256  # GatedFSMNBlockDilated inner_channels
+
     def _blocks(self, x):
         for i in range(self.num_blocks):
             x = FlashBlock(
@@ -111,5 +113,5 @@ class MossFormer2(MossFormer):
                 self.expansion_factor,
                 name=f"flash_{i}",
             )(x)
-            x = GatedFSMNBlock(self.d_model, name=f"fsmn_{i}")(x)
+            x = GatedFSMNBlock(self.d_model, self.fsmn_inner, name=f"fsmn_{i}")(x)
         return x

@@ -1133,3 +1133,107 @@ def _convert_dptnet(model, sd) -> dict:
             f"separator.dptnet.col_transformer.{i}", model.bidirectional
         )
     return p
+
+
+def _ffconvm(sd, key, norm_type="scalenorm"):
+    """FFConvM (mossformer_block.py:89-103): norm→linear→SiLU→ConvModule."""
+    norm = (
+        {"g": np.asarray(sd[f"{key}.mdl.0.g"]).reshape(-1)}
+        if norm_type == "scalenorm"
+        else layernorm(sd, f"{key}.mdl.0")
+    )
+    return {
+        "norm": norm,
+        "linear": linear(sd, f"{key}.mdl.1"),
+        "conv": {"dwconv": conv1d(sd, f"{key}.mdl.3.sequential.1.conv")},
+    }
+
+
+def _flash_block(sd, key, norm_type="scalenorm"):
+    return {
+        "to_hidden": _ffconvm(sd, f"{key}.to_hidden", norm_type),
+        "to_qk": _ffconvm(sd, f"{key}.to_qk", norm_type),
+        "qk_gamma": np.asarray(sd[f"{key}.qk_offset_scale.gamma"]),
+        "qk_beta": np.asarray(sd[f"{key}.qk_offset_scale.beta"]),
+        "to_out": _ffconvm(sd, f"{key}.to_out", norm_type),
+    }
+
+
+@register_converter("mossformer")
+def _convert_mossformer(model, sd) -> dict:
+    """Map separation/look2hear/models/mossformer.py parameter names."""
+    mn = "mask_net"
+    p: dict = {
+        "encoder": conv1d(sd, "encoder.conv1d"),
+        "masknet_norm": {"GroupNorm_0": layernorm(sd, f"{mn}.norm")},
+        "conv1d_encoder": conv1d(sd, f"{mn}.conv1d_encoder"),
+        "pos_enc": {"scale": np.asarray(sd[f"{mn}.pos_enc.scale"])},
+        "att_final_norm": layernorm(sd, f"{mn}.mdl.att_mdl.norm.norm"),
+        "att_norm": {"GroupNorm_0": layernorm(sd, f"{mn}.mdl.att_norm")},
+        "prelu": prelu(sd, f"{mn}.prelu"),
+        "conv1d_out": conv1d(sd, f"{mn}.conv1d_out"),
+        "output": conv1d(sd, f"{mn}.output.0"),
+        "output_gate": conv1d(sd, f"{mn}.output_gate.0"),
+        "conv1_decoder": conv1d(sd, f"{mn}.conv1_decoder"),
+        "decoder": conv_transpose1d(sd, "decoder"),
+    }
+    for i in range(model.num_blocks):
+        p[f"flash_{i}"] = _flash_block(
+            sd, f"{mn}.mdl.att_mdl.mossformerM.layers.{i}"
+        )
+    return p
+
+
+def _dilated_fsmn(sd, key, depth=2):
+    """UniDeepFsmnDilated + DilatedDenseNet (fsmn.py:76-143)."""
+    blk: dict = {
+        "linear": linear(sd, f"{key}.linear"),
+        "project": linear(sd, f"{key}.project"),
+    }
+    conv: dict = {}
+    for i in range(depth):
+        w = np.asarray(sd[f"{key}.conv.conv{i + 1}.weight"])[..., 0]
+        conv[f"conv_{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 1, 0))
+        }
+        conv[f"in_gamma_{i}"] = np.asarray(
+            sd[f"{key}.conv.norm{i + 1}.weight"]
+        )
+        conv[f"in_beta_{i}"] = np.asarray(sd[f"{key}.conv.norm{i + 1}.bias"])
+        conv[f"prelu_{i}"] = np.asarray(
+            sd[f"{key}.conv.prelu{i + 1}.weight"]
+        )
+    blk["conv"] = conv
+    return blk
+
+
+def _gated_fsmn_block(sd, key):
+    """GatedFSMNBlockDilated (mossformer_block.py:391-426)."""
+    return {
+        "conv1": conv1d(sd, f"{key}.conv1.0"),
+        "conv1_prelu": prelu(sd, f"{key}.conv1.1"),
+        "norm1": {
+            "gamma": np.asarray(sd[f"{key}.norm1.weight"]),
+            "beta": np.asarray(sd[f"{key}.norm1.bias"]),
+        },
+        "to_u": _ffconvm(sd, f"{key}.gated_fsmn.to_u", "layernorm"),
+        "to_v": _ffconvm(sd, f"{key}.gated_fsmn.to_v", "layernorm"),
+        "fsmn": _dilated_fsmn(sd, f"{key}.gated_fsmn.fsmn"),
+        "norm2": {
+            "gamma": np.asarray(sd[f"{key}.norm2.weight"]),
+            "beta": np.asarray(sd[f"{key}.norm2.bias"]),
+        },
+        "conv2": conv1d(sd, f"{key}.conv2"),
+    }
+
+
+@register_converter("mossformer2")
+def _convert_mossformer2(model, sd) -> dict:
+    """Map separation/look2hear/models/mossformer2.py parameter names
+    (MossFormer mask-net + GatedFSMNBlockDilated after each FLASH block)."""
+    p = _convert_mossformer(model, sd)
+    for i in range(model.num_blocks):
+        p[f"fsmn_{i}"] = _gated_fsmn_block(
+            sd, f"mask_net.mdl.att_mdl.mossformerM.fsmn.{i}"
+        )
+    return p

@@ -2825,3 +2825,387 @@ def test_dptnet_torch_import_parity(rng):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- MossFormer import parity (mossformer.py + mossformer_block.py) ----------
+
+class _TScaleNorm(tnn.Module):
+    def __init__(self, dim, eps=1e-5):
+        super().__init__()
+        self.scale = dim ** -0.5
+        self.eps = eps
+        self.g = tnn.Parameter(torch.ones(1))
+
+    def forward(self, x):
+        n = torch.norm(x, dim=-1, keepdim=True) * self.scale
+        return x / n.clamp(min=self.eps) * self.g
+
+
+class _TConvModule(tnn.Module):
+    def __init__(self, c, k=17):
+        super().__init__()
+
+        class _DW(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.conv = tnn.Conv1d(c, c, k, padding=(k - 1) // 2, groups=c,
+                                    bias=False)
+
+            def forward(s, x):
+                return s.conv(x)
+
+        class _Tr(tnn.Module):
+            def forward(s, x):
+                return x.transpose(1, 2)
+
+        self.sequential = tnn.Sequential(_Tr(), _DW())
+
+    def forward(self, x):
+        return x + self.sequential(x).transpose(1, 2)
+
+
+class _TFFConvM(tnn.Module):
+    def __init__(self, din, dout):
+        super().__init__()
+        self.mdl = tnn.Sequential(_TScaleNorm(din), tnn.Linear(din, dout),
+                                  tnn.SiLU(), _TConvModule(dout),
+                                  tnn.Dropout(0.0))
+
+    def forward(self, x):
+        return self.mdl(x)
+
+
+def _trotary(t, rot_dim):
+    n = t.shape[-2]
+    inv = 1.0 / (10000 ** (torch.arange(0, rot_dim, 2).float() / rot_dim))
+    ang = torch.arange(n).float()[:, None] * inv[None, :]
+    cos = ang.cos().repeat_interleave(2, -1)
+    sin = ang.sin().repeat_interleave(2, -1)
+    tr = t[..., :rot_dim]
+    x1, x2 = tr[..., 0::2], tr[..., 1::2]
+    rh = torch.stack((-x2, x1), dim=-1).reshape(tr.shape)
+    return torch.cat([tr * cos + rh * sin, t[..., rot_dim:]], dim=-1)
+
+
+class _TFlash(tnn.Module):
+    def __init__(self, dim, group, qk_dim, exp=4.0):
+        super().__init__()
+        hidden = int(dim * exp)
+        self.group, self.qk_dim = group, qk_dim
+        self.to_hidden = _TFFConvM(dim, hidden)
+        self.to_qk = _TFFConvM(dim, qk_dim)
+
+        class _OS(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.gamma = tnn.Parameter(torch.ones(4, qk_dim))
+                s.beta = tnn.Parameter(torch.zeros(4, qk_dim))
+
+        self.qk_offset_scale = _OS()
+        self.to_out = _TFFConvM(dim * 2, dim)
+
+    def forward(self, x):
+        b, n, _ = x.shape
+        x_shift, x_pass = x.chunk(2, dim=-1)
+        x_shift = tF.pad(x_shift, (0, 0, 1, -1))
+        normed = torch.cat((x_shift, x_pass), dim=-1)
+        v, u = self.to_hidden(normed).chunk(2, dim=-1)
+        qk = self.to_qk(normed)
+        heads = (qk.unsqueeze(-2) * self.qk_offset_scale.gamma
+                 + self.qk_offset_scale.beta)
+        qq, lq, qkk, lk = heads.unbind(dim=-2)
+        rot = min(32, self.qk_dim)
+        qq, lq, qkk, lk = (_trotary(t, rot) for t in (qq, lq, qkk, lk))
+        g = self.group
+        pad = (-n) % g
+        if pad:
+            qq, qkk, lq, lk, vp, up = (
+                tF.pad(t, (0, 0, 0, pad)) for t in (qq, qkk, lq, lk, v, u))
+        else:
+            vp, up = v, u
+        ng = (n + pad) // g
+        shp = lambda t: t.reshape(b, ng, g, t.shape[-1])
+        qq, qkk, lq, lk, vg, ug = map(shp, (qq, qkk, lq, lk, vp, up))
+        sim = torch.einsum("bgid,bgjd->bgij", qq, qkk) / g
+        attn = torch.relu(sim) ** 2
+        quad_v = torch.einsum("bgij,bgjd->bgid", attn, vg)
+        quad_u = torch.einsum("bgij,bgjd->bgid", attn, ug)
+        lin_kv = torch.einsum("bgnd,bgne->bde", lk, vg) / n
+        lin_v = torch.einsum("bgnd,bde->bgne", lq, lin_kv)
+        lin_ku = torch.einsum("bgnd,bgne->bde", lk, ug) / n
+        lin_u = torch.einsum("bgnd,bde->bgne", lq, lin_ku)
+        att_v = (quad_v + lin_v).reshape(b, n + pad, -1)[:, :n]
+        att_u = (quad_u + lin_u).reshape(b, n + pad, -1)[:, :n]
+        out = (att_u * v) * torch.sigmoid(att_v * u)
+        return x + self.to_out(out)
+
+
+class _TMossFormer(tnn.Module):
+    def __init__(self, N=16, k=16, stride=8, blocks=2, qk=8, group=10, spk=2):
+        super().__init__()
+        self.spk, self.k, self.stride = spk, k, stride
+
+        class _Enc(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.conv1d = tnn.Conv1d(1, N, k, stride, bias=False)
+
+            def forward(s, x):
+                return torch.relu(s.conv1d(x[:, None]))
+
+        class _SbLN(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.norm = tnn.LayerNorm(N, eps=1e-6)
+
+            def forward(s, x):
+                return s.norm(x)
+
+        class _AttMdl(tnn.Module):
+            def __init__(s):
+                super().__init__()
+
+                class _Core(tnn.Module):
+                    def __init__(ss):
+                        super().__init__()
+                        ss.layers = tnn.ModuleList(
+                            [_TFlash(N, group, qk) for _ in range(blocks)])
+
+                    def forward(ss, x):
+                        for f in ss.layers:
+                            x = f(x)
+                        return x
+
+                s.mossformerM = _Core()
+                s.norm = _SbLN()
+
+            def forward(s, x):
+                return s.norm(s.mossformerM(x))
+
+        class _Mdl(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.att_mdl = _AttMdl()
+                s.att_norm = tnn.GroupNorm(1, N, eps=1e-8)
+
+            def forward(s, x):  # (B, N, S)
+                a = s.att_mdl(x.permute(0, 2, 1)).permute(0, 2, 1)
+                return s.att_norm(a) + x
+
+        class _MaskNet(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.norm = tnn.GroupNorm(1, N, eps=1e-8)
+                s.conv1d_encoder = tnn.Conv1d(N, N, 1, bias=False)
+
+                class _Pos(tnn.Module):
+                    def __init__(ss):
+                        super().__init__()
+                        ss.scale = tnn.Parameter(torch.ones(1))
+                        ss.register_buffer(
+                            "inv_freq",
+                            1.0 / (10000 ** (torch.arange(0, N, 2).float() / N)))
+
+                    def forward(ss, x):
+                        t = torch.arange(x.shape[1]).float()
+                        sinu = torch.einsum("i,j->ij", t, ss.inv_freq)
+                        return torch.cat((sinu.sin(), sinu.cos()), -1) * ss.scale
+
+                s.pos_enc = _Pos()
+                s.mdl = _Mdl()
+                s.conv1d_out = tnn.Conv1d(N, N * spk, 1)
+                s.conv1_decoder = tnn.Conv1d(N, N, 1, bias=False)
+                s.prelu = tnn.PReLU()
+                s.output = tnn.Sequential(tnn.Conv1d(N, N, 1), tnn.Tanh())
+                s.output_gate = tnn.Sequential(tnn.Conv1d(N, N, 1),
+                                               tnn.Sigmoid())
+
+            def forward(s, x):  # (B, N, S)
+                x = s.norm(x)
+                x = s.conv1d_encoder(x)
+                emb = s.pos_enc(x.transpose(1, -1)).t()
+                x = x + emb
+                x = s.mdl(x)
+                x = s.prelu(x)
+                x = s.conv1d_out(x)
+                b, _, ss_ = x.shape
+                x = x.view(b * spk, -1, ss_)
+                x = s.output(x) * s.output_gate(x)
+                x = s.conv1_decoder(x)
+                _, n_, L = x.shape
+                x = torch.relu(x.view(b, spk, n_, L))
+                return x.transpose(0, 1)
+
+        self.encoder = _Enc()
+        self.mask_net = _MaskNet()
+        self.decoder = tnn.ConvTranspose1d(N, 1, k, stride, bias=False)
+
+    def forward(self, x):
+        n = x.shape[-1]
+        w = self.encoder(x)
+        m = self.mask_net(w)
+        sep = torch.stack([w] * self.spk) * m
+        outs = [self.decoder(sep[i]).squeeze(1) for i in range(self.spk)]
+        est = torch.stack(outs, -1)
+        est = tF.pad(est, (0, 0, 0, n - est.shape[1]))
+        return est.permute(0, 2, 1)
+
+
+def test_mossformer_torch_import_parity(rng):
+    from sonicsim_tpu.models import MossFormer
+
+    torch.manual_seed(19)
+    tm = _TMossFormer().eval()
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = MossFormer(kernel_size=16, stride=8, out_channels=16,
+                       in_channels=16, num_blocks=2, d_model=16,
+                       query_key_dim=8, group_size=10, num_spks=2)
+    _, params = import_torch_checkpoint(
+        {"model_name": "MossFormer", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
+
+
+# --- MossFormer2 import parity (adds gated dilated-FSMN blocks) --------------
+
+class _TDilatedDense(tnn.Module):
+    def __init__(self, depth, lorder, c):
+        super().__init__()
+        self.depth = depth
+        tw = lorder * 2 - 1
+        for i in range(depth):
+            dil = 2 ** i
+            pl = lorder + (dil - 1) * (lorder - 1) - 1
+            setattr(self, f"pad{i + 1}", tnn.ConstantPad2d((0, 0, pl, pl), 0.0))
+            setattr(self, f"conv{i + 1}",
+                    tnn.Conv2d(c * (i + 1), c, (tw, 1), dilation=(dil, 1),
+                               groups=c, bias=False))
+            setattr(self, f"norm{i + 1}", tnn.InstanceNorm2d(c, affine=True))
+            setattr(self, f"prelu{i + 1}", tnn.PReLU(c))
+
+    def forward(self, x):  # (B, C, T, 1)
+        skip = x
+        for i in range(self.depth):
+            out = getattr(self, f"pad{i + 1}")(skip)
+            out = getattr(self, f"conv{i + 1}")(out)
+            out = getattr(self, f"norm{i + 1}")(out)
+            out = getattr(self, f"prelu{i + 1}")(out)
+            skip = torch.cat([out, skip], dim=1)
+        return out
+
+
+class _TUniFsmnDil(tnn.Module):
+    def __init__(self, c, hidden, lorder=20, depth=2):
+        super().__init__()
+        self.linear = tnn.Linear(c, hidden)
+        self.project = tnn.Linear(hidden, c, bias=False)
+        self.conv = _TDilatedDense(depth, lorder, c)
+
+    def forward(self, x):  # (B, T, C)
+        p1 = self.project(torch.relu(self.linear(x)))
+        xp = p1.unsqueeze(1).permute(0, 3, 2, 1)  # (B, C, T, 1)
+        out = self.conv(xp).permute(0, 3, 2, 1)
+        return x + out[:, 0]
+
+
+class _TCLN(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.ln = tnn.LayerNorm(c)
+
+    def forward(self, x):  # (B, C, T)
+        return self.ln(x.transpose(1, 2)).transpose(1, 2)
+
+    def state_dict(self, *a, **kw):
+        # match reference CLayerNorm (subclass of LayerNorm: weight/bias)
+        sd = super().state_dict(*a, **kw)
+        return {k.replace("ln.", ""): v for k, v in sd.items()}
+
+
+class _TGatedFSMNBlk(tnn.Module):
+    def __init__(self, dim, inner=16):
+        super().__init__()
+        self.conv1 = tnn.Sequential(tnn.Conv1d(dim, inner, 1), tnn.PReLU())
+        self.norm1 = tnn.LayerNorm(inner)
+
+        class _Gated(tnn.Module):
+            def __init__(s):
+                super().__init__()
+
+                class _FF(tnn.Module):
+                    def __init__(ss):
+                        super().__init__()
+                        ss.mdl = tnn.Sequential(
+                            tnn.LayerNorm(inner), tnn.Linear(inner, inner),
+                            tnn.SiLU(), _TConvModule(inner), tnn.Dropout(0.0))
+
+                    def forward(ss, x):
+                        return ss.mdl(x)
+
+                s.to_u = _FF()
+                s.to_v = _FF()
+                s.fsmn = _TUniFsmnDil(inner, inner)
+
+            def forward(s, x):
+                return s.to_v(x) * s.fsmn(s.to_u(x)) + x
+
+        self.gated_fsmn = _Gated()
+        self.norm2 = tnn.LayerNorm(inner)
+        self.conv2 = tnn.Conv1d(inner, dim, 1)
+
+    def forward(self, x):  # (B, T, C)
+        h = self.conv1(x.transpose(2, 1))
+        h = self.norm1(h.transpose(1, 2)).transpose(1, 2)  # CLayerNorm
+        h = self.gated_fsmn(h.transpose(2, 1))
+        h = self.norm2(h).transpose(2, 1)
+        return self.conv2(h).transpose(2, 1) + x
+
+
+class _TMossFormer2(_TMossFormer):
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        N = 16
+
+        class _Core2(tnn.Module):
+            def __init__(s, layers, fsmn):
+                super().__init__()
+                s.layers = layers
+                s.fsmn = fsmn
+
+            def forward(s, x):
+                for f, m in zip(s.layers, s.fsmn):
+                    x = f(x)
+                    x = m(x)
+                return x
+
+        old = self.mask_net.mdl.att_mdl.mossformerM
+        fsmn = tnn.ModuleList([_TGatedFSMNBlk(N) for _ in old.layers])
+        self.mask_net.mdl.att_mdl.mossformerM = _Core2(old.layers, fsmn)
+
+
+def test_mossformer2_torch_import_parity(rng):
+    from sonicsim_tpu.models import MossFormer2
+
+    torch.manual_seed(20)
+    tm = _TMossFormer2().eval()
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    model = MossFormer2(kernel_size=16, stride=8, out_channels=16,
+                        in_channels=16, num_blocks=2, d_model=16,
+                        query_key_dim=8, group_size=10, num_spks=2,
+                        fsmn_inner=16)
+    _, params = import_torch_checkpoint(
+        {"model_name": "MossFormer2", "model_args": {},
+         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+        model=model)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-2)
