@@ -144,6 +144,11 @@ def main() -> None:
     dt = _timeit(fwd16, params, batch)
     results.append(("ConvTasNet inference (bf16)", 4 * 4 / dt))
 
+    # Serving configuration: larger batch amortizes dispatch latency.
+    batch16 = jnp.asarray(rng.standard_normal((16, 4 * sr)).astype(np.float32))
+    dt = _timeit(fwd16, params, batch16)
+    results.append(("ConvTasNet serving (B=16, bf16)", 16 * 4 / dt))
+
     for name, value in results:
         print(
             json.dumps(
