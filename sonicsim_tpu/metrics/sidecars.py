@@ -30,23 +30,31 @@ def make_pesq(mode: str = "wb"):
     return _fn
 
 
-def make_dnsmos(model_dir: str | Path):
-    """DNSMOS P.835 predictor over the published ONNX weights.
+def make_dnsmos(model_dir: str | Path, key: str = "OVRL"):
+    """DNSMOS MOS predictor as a tracker extra-metric.
 
-    The reference commits the .onnx files (separation/DNSMOS/*.onnx) and runs
-    them with onnxruntime (dnsmos.py:24-25). Provide a sidecar with
-    onnxruntime installed; weights are NOT bundled here.
+    Runs the published .onnx weights NATIVELY through the built-in
+    ONNX→JAX executor (metrics/dnsmos.py; no onnxruntime needed) —
+    ``model_dir`` must hold model_v8.onnx and sig_bak_ovr.onnx, the files
+    the reference commits at separation/DNSMOS/. ``key`` selects which MOS
+    axis the tracker records (OVRL | SIG | BAK | P808_MOS).
+
+    Usage:
+        tracker = MetricsTracker(csv, extra_metrics={
+            "dnsmos": make_dnsmos("DNSMOS/")})
     """
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "DNSMOS requires onnxruntime (CPU) plus the published "
-            "DNSMOS .onnx weights. Run scoring in a sidecar environment."
-        ) from e
-    raise NotImplementedError(
-        "wire onnxruntime InferenceSession over sig_bak_ovr.onnx here"
-    )
+    from .dnsmos import DNSMOS
+
+    scorer = DNSMOS(model_dir)
+
+    def metric(est, ref, rate=16000):
+        import numpy as np
+
+        return float(np.mean([
+            scorer(np.asarray(e), rate)[key] for e in np.atleast_2d(est)
+        ]))
+
+    return metric
 
 
 def make_sigmos(model_path: str | Path):
