@@ -108,6 +108,21 @@ def main() -> None:
         dt = _timeit(f, a1, r_mc)
         results.append((f"moving source ({name})", 60 / dt))
 
+    # --- 3b. batched multi-mixture render (generation at scale) -----------
+    a12 = jnp.asarray(rng.standard_normal((12, t)).astype(np.float32) * 0.1)
+    r12 = jnp.asarray(
+        rng.standard_normal((12, p, c, sr)).astype(np.float32) * 0.02
+    )
+    batched = jax.jit(
+        jax.vmap(
+            lambda a, r: convolve_moving_segmented(
+                a, r, w_j, off_j, len_j, mx, use_pallas=True
+            )
+        )
+    )
+    dt = _timeit(batched, a12, r12, iters=3)
+    results.append(("moving render, batched 12 sources", 12 * 60 / dt))
+
     # --- 4. mixture pipeline step: 3 moving + 2 static + LUFS -------------
     a3 = jnp.asarray(rng.standard_normal((3, t)).astype(np.float32) * 0.1)
     r3 = jnp.asarray(rng.standard_normal((3, p, c, sr)).astype(np.float32) * 0.02)
