@@ -1,0 +1,118 @@
+"""End-to-end CLI smoke tests for the scripts/ drivers.
+
+Each script runs in a subprocess forced onto the CPU backend (the platform
+must be set via jax.config before backend init — env vars are overridden by
+site configuration on some hosts, see tests/conftest.py).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run_script(script: str, argv: list[str]) -> str:
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, runpy\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        f"sys.argv = [{script!r}] + {argv!r}\n"
+        f"runpy.run_path({str(REPO / script)!r}, run_name='__main__')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=REPO, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def eval_fixture(tmp_path_factory):
+    import jax
+
+    from sonicsim_tpu.models import ConvTasNet
+    from sonicsim_tpu.models.base import save_model
+    from sonicsim_tpu.utils.wavio import write_wav
+
+    root = tmp_path_factory.mktemp("cli_fixture")
+    rng = np.random.default_rng(0)
+    sr, t = 16000, 2 * 16000
+    for samp in ("sampA", "sampB"):
+        d = root / "test" / samp
+        d.mkdir(parents=True)
+        s1 = (rng.standard_normal(t) * 0.1).astype(np.float32)
+        s2 = (rng.standard_normal(t) * 0.1).astype(np.float32)
+        write_wav(d / "s1.wav", s1, sr)
+        write_wav(d / "s2.wav", s2, sr)
+        write_wav(d / "mix.wav", s1 + s2, sr)
+    with open(root / "test" / "sampA" / "json_data.json", "w") as f:
+        json.dump({"source1": {"start_end_points": [[0, 16000]]}}, f)
+
+    m = ConvTasNet(N=16, L=16, B=8, H=16, X=1, R=1)
+    p = m.init_params(jax.random.PRNGKey(0), example_len=t)
+    exp = root / "exp" / "Tiny"
+    exp.mkdir(parents=True)
+    save_model(m, p, exp / "best_model.pkl")
+    with open(root / "conf.yaml", "w") as f:
+        f.write(
+            f"exp:\n  dir: {root / 'exp'}\n  name: Tiny\n"
+            f"datas:\n  test_dir: {root / 'test'}\n"
+            "  sample_rate: 16000\n  num_spks: 2\n"
+        )
+    return root
+
+
+def test_cli_eval_driver(eval_fixture):
+    out = _run_script(
+        "scripts/test.py", ["--conf_dir", str(eval_fixture / "conf.yaml")]
+    )
+    assert "final:" in out
+    csv = eval_fixture / "exp" / "Tiny" / "results" / "metrics.csv"
+    lines = csv.read_text().strip().splitlines()
+    assert lines[-2].startswith("avg,") and lines[-1].startswith("std,")
+
+
+def test_cli_inference(eval_fixture, tmp_path):
+    out = _run_script(
+        "scripts/inference.py",
+        ["--model_path", str(eval_fixture / "exp" / "Tiny" / "best_model.pkl"),
+         "--mix", str(eval_fixture / "test" / "sampA" / "mix.wav"),
+         "--out_dir", str(tmp_path), "--segment_seconds", "1.0"],
+    )
+    assert "wrote 2 tracks" in out
+    assert (tmp_path / "s1_est.wav").exists()
+    assert (tmp_path / "s2_est.wav").exists()
+
+
+def test_cli_import_checkpoint(eval_fixture, tmp_path):
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, str(REPO / "tests"))
+    import test_torch_import as tt
+
+    torch.manual_seed(0)
+    tm = tt.TorchConvTasNet().eval()
+    pack = {
+        "model_name": "ConvTasNet",
+        "model_args": {"N": tt.N, "L": tt.L, "B": tt.B, "H": tt.H,
+                       "P": tt.P, "X": tt.X, "R": tt.R, "num_spks": tt.SPKS},
+        "state_dict": tm.state_dict(),
+    }
+    torch.save(pack, tmp_path / "ref.pth")
+    out = _run_script(
+        "scripts/import_checkpoint.py",
+        ["--in", str(tmp_path / "ref.pth"),
+         "--out", str(tmp_path / "imported.pkl")],
+    )
+    assert "imported ConvTasNet" in out
+
+    from sonicsim_tpu.models import from_pretrain
+
+    m, p = from_pretrain(tmp_path / "imported.pkl")
+    est = m.apply(p, np.zeros((1, 1600), np.float32) + 0.1)
+    assert np.asarray(est).shape == (1, 2, 1600)
