@@ -14,6 +14,7 @@ from .gagnet import GaGNetEval, GaGNetLoss, gagnet_wav
 from .taylorsenet import TaylorSENetEval, TaylorSENetLoss, taylor_wav
 from .mixit import MixITLossWrapper
 from .pit import PITLossWrapper, find_best_perm, reorder_sources
+from .sisnri import SISNRi
 from .sdr import (
     EPS,
     FreqMAE,
@@ -27,6 +28,7 @@ from .sdr import (
 )
 
 __all__ = [
+    "SISNRi",
     "DCCRNEval",
     "DCCRNLoss",
     "EPS",

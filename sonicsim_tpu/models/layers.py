@@ -68,6 +68,11 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+def get_layer(name: str) -> Callable[[jax.Array], jax.Array]:
+    """String → activation lookup (reference utils get_layer)."""
+    return get_activation(name)
+
+
 def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
     table = {
         "relu": jax.nn.relu,

@@ -3,6 +3,8 @@ from .config import import_target, instantiate, load_config, save_config
 from .registry import Registry
 from .audio import (
     all_pairs,
+    make_pad_mask,
+    pad_x_to_y,
     clip_all,
     clip_two,
     normalize,
@@ -12,6 +14,8 @@ from .wavio import read_wav, resample, write_wav
 
 __all__ = [
     "all_pairs",
+    "make_pad_mask",
+    "pad_x_to_y",
     "clip_all",
     "clip_two",
     "normalize",

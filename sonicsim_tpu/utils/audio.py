@@ -48,6 +48,23 @@ def sum_arrays_with_different_length(arrays: Sequence[np.ndarray]) -> np.ndarray
     return out
 
 
+def pad_x_to_y(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Pad or crop x's last axis to y's length (torch_utils.py pad_x_to_y)."""
+    diff = y.shape[-1] - x.shape[-1]
+    if diff > 0:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, diff)]
+        return np.pad(x, pad)
+    return x[..., : y.shape[-1]]
+
+
+def make_pad_mask(lengths, max_len: int | None = None) -> np.ndarray:
+    """(B,) lengths → (B, T) bool mask, True at PADDED positions
+    (espnet nets_utils.make_pad_mask semantics)."""
+    lengths = np.asarray(lengths)
+    t = int(max_len if max_len is not None else lengths.max())
+    return np.arange(t)[None, :] >= lengths[:, None]
+
+
 def all_pairs(list1: Sequence[Any], list2: Sequence[Any]) -> tuple[list, list]:
     """Cartesian product as two aligned lists (SonicSim_audio.py:88-109)."""
     pairs = list(product(list1, list2))

@@ -126,3 +126,54 @@ def test_mixit_recovers_assignment(rng):
     # Random ests score far worse.
     bad = jnp.asarray(rng.standard_normal((3, 4, 500)).astype(np.float32))
     assert float(mixit(bad, jnp.asarray(mixes))) > -5
+
+
+def test_sisnri_loss_matches_torch_reference_math():
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from sonicsim_tpu.losses import SISNRi
+
+    rng = np.random.default_rng(7)
+    refs = rng.standard_normal((3, 2, 1600)).astype(np.float32)
+    ests = refs + 0.3 * rng.standard_normal((3, 2, 1600)).astype(np.float32)
+    mix = refs.sum(axis=1)
+
+    got = float(SISNRi()(jnp.asarray(mix), jnp.asarray(ests), jnp.asarray(refs)))
+
+    def tsisnr(m, e, r, eps=1e-8):
+        e = e - e.mean(-1, keepdim=True)
+        r = r - r.mean(-1, keepdim=True)
+        m = m - m.mean(-1, keepdim=True)
+        ep = (torch.sum(e * r, -1, keepdim=True) * r) / torch.sum(r * r, -1, keepdim=True)
+        ev = e - ep
+        mp = (torch.sum(m * r, -1, keepdim=True) * r) / torch.sum(r * r, -1, keepdim=True)
+        mv = m - mp
+        a = 10 * torch.log10((torch.sum(ep * ep, -1) + eps) / (torch.sum(ev * ev, -1) + eps))
+        b = 10 * torch.log10((torch.sum(mp * mp, -1) + eps) / (torch.sum(mv * mv, -1) + eps))
+        return a - b
+
+    from itertools import permutations
+    tm, te, tr = map(torch.from_numpy, (mix, ests, refs))
+    mats = []
+    for perm in permutations(range(2)):
+        mats.append(torch.stack(
+            [tsisnr(tm, te[:, s], tr[:, t]) for s, t in enumerate(perm)]
+        ).mean(0))
+    ref_val = float(-torch.max(torch.stack(mats), dim=0)[0].mean())
+    np.testing.assert_allclose(got, ref_val, atol=1e-4)
+
+
+def test_pad_mask_and_pad_x_to_y():
+    import numpy as np
+
+    from sonicsim_tpu.utils import make_pad_mask, pad_x_to_y
+
+    m = make_pad_mask([2, 4], max_len=5)
+    assert m.tolist() == [[False, False, True, True, True],
+                          [False, False, False, False, True]]
+    x = np.ones((2, 3))
+    y = np.zeros((2, 5))
+    assert pad_x_to_y(x, y).shape == (2, 5)
+    assert pad_x_to_y(y, x).shape == (2, 3)
