@@ -272,3 +272,29 @@ def generate_xy_grid_points(
                 continue
             out.append(snapped)
     return np.stack(out) if out else np.zeros((0, 3))
+
+
+def interpolate_receiver_poses(
+    positions: np.ndarray, rotations, video_len: int
+) -> list[tuple[np.ndarray, float]]:
+    """Per-video-frame (position, rotation) pose interpolation
+    (interpolate_rgb_images, SonicSim_moving.py:146-189).
+
+    The reference renders a habitat RGB frame at each interpolated pose;
+    there is no visual sensor in this build, so this returns the pose list —
+    feed it to any renderer (e.g. NavGrid rasters + maps.save_trace_gif).
+    """
+    from ..ops.interp import dynamic_interp_plan
+
+    positions = np.asarray(positions, np.float64)
+    rotations = np.asarray(rotations, np.float64)
+    idx, w = dynamic_interp_plan(positions, video_len)
+    poses = []
+    for t in range(video_len):
+        i = int(idx[t])
+        alpha = float(w[t])
+        # weight ramps 0→1 toward the NEXT waypoint (SonicSim_moving.py:44)
+        pos = (1.0 - alpha) * positions[i] + alpha * positions[i + 1]
+        rot = (1.0 - alpha) * rotations[i] + alpha * rotations[i + 1]
+        poses.append((pos, rot))
+    return poses

@@ -300,3 +300,20 @@ def test_render_custom_arrayir():
     assert np.isfinite(ir).all() and np.abs(ir).max() > 0
     # mic offsets change arrival: channels must differ
     assert not np.allclose(ir[0], ir[1])
+
+
+def test_interpolate_receiver_poses():
+    import numpy as np
+
+    from sonicsim_tpu.sim.geometry import interpolate_receiver_poses
+
+    pos = np.stack([np.zeros(3), np.ones(3) * 4.0])
+    rot = [0.0, 40.0]
+    poses = interpolate_receiver_poses(pos, rot, 8)
+    assert len(poses) == 8
+    np.testing.assert_allclose(poses[0][0], np.zeros(3))  # starts at waypoint 0
+    assert poses[0][1] == 0.0
+    # monotone progress toward the next waypoint
+    d = [np.linalg.norm(p) for p, _ in poses]
+    assert all(b >= a for a, b in zip(d, d[1:]))
+    assert poses[-1][1] < 40.0  # endpoint excluded (linspace endpoint=False)
