@@ -74,9 +74,19 @@ def from_pretrain(path_or_pack: str | Path | dict) -> tuple[BaseModel, Any]:
     """
     if isinstance(path_or_pack, (str, Path)):
         with open(path_or_pack, "rb") as f:
+            head = f.read(2)
+        if head == b"PK":  # torch zip serialization → reference .pth
+            from .torch_import import import_torch_checkpoint
+
+            return import_torch_checkpoint(path_or_pack)
+        with open(path_or_pack, "rb") as f:
             pack = pickle.load(f)
     else:
         pack = path_or_pack
+    if pack.get("framework") != "sonicsim_tpu":
+        from .torch_import import import_torch_checkpoint
+
+        return import_torch_checkpoint(pack)
     cls = MODELS.get(pack["model_name"])
     model = cls(**pack["model_args"])
     params = jax.tree.map(jnp.asarray, pack["state_dict"])
