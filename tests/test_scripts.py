@@ -116,3 +116,75 @@ def test_cli_import_checkpoint(eval_fixture, tmp_path):
     m, p = from_pretrain(tmp_path / "imported.pkl")
     est = m.apply(p, np.zeros((1, 1600), np.float32) + 0.1)
     assert np.asarray(est).shape == (1, 2, 1600)
+
+
+def test_cli_train_driver(tmp_path):
+    import jax
+
+    from sonicsim_tpu.utils.wavio import write_wav
+
+    rng = np.random.default_rng(1)
+    sr, t = 16000, 3 * 16000
+    for split in ("train", "val"):
+        for samp in ("a", "b"):
+            d = tmp_path / split / samp
+            d.mkdir(parents=True)
+            if split == "train":
+                for i in (1, 2, 3):
+                    write_wav(d / f"moving_audio_{i}.wav",
+                              (rng.standard_normal(t) * 0.1).astype(np.float32), sr)
+                write_wav(d / "noise_audio.wav",
+                          (rng.standard_normal(t) * 0.05).astype(np.float32), sr)
+            else:
+                s1 = (rng.standard_normal(t) * 0.1).astype(np.float32)
+                s2 = (rng.standard_normal(t) * 0.1).astype(np.float32)
+                write_wav(d / "s1.wav", s1, sr)
+                write_wav(d / "s2.wav", s2, sr)
+                write_wav(d / "mix.wav", s1 + s2, sr)
+
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(f"""
+exp:
+  dir: {tmp_path / 'Exps'}
+  name: tiny
+
+datas:
+  _target_: sonicsim_tpu.dataset.MovingDataModule
+  train_dir: {tmp_path / 'train'}
+  val_dir: {tmp_path / 'val'}
+  test_dir: {tmp_path / 'val'}
+  sample_rate: 16000
+  duration: 1.0
+  num_samples: 4
+  num_spks: 2
+  batch_size: 2
+
+model:
+  _target_: sonicsim_tpu.models.ConvTasNet
+  N: 16
+  L: 16
+  B: 8
+  H: 16
+  X: 1
+  R: 1
+
+loss:
+  _target_: sonicsim_tpu.losses.PITLossWrapper
+  loss_func:
+    _target_: sonicsim_tpu.losses.PairwiseNegSDR
+    sdr_type: sisdr
+  pit_from: pw_mtx
+
+optimizer:
+  lr: 0.001
+
+trainer:
+  max_epochs: 1
+""")
+    out = _run_script("scripts/train.py", ["--conf_dir", str(conf)])
+    assert "training done" in out
+    exp = tmp_path / "Exps" / "tiny"
+    assert (exp / "best_model.pkl").exists()
+    assert (exp / "config.yaml").exists()
+    assert (exp / "metrics.jsonl").exists()
+    assert (exp / "best_k_models.json").exists()
