@@ -136,7 +136,11 @@ def import_torch_checkpoint(path_or_pack, model=None):
         sd = pack["state_dict"]
     if model is None:
         cls = MODELS.get(model_name)
-        kwargs = {k: v for k, v in model_args.items() if k != "n_src"}
+        # Reference get_model_args() emits bookkeeping keys ("n_src",
+        # "n_sample_rate") that aren't constructor fields — keep only known
+        # dataclass fields.
+        fields = set(getattr(cls, "__dataclass_fields__", {}))
+        kwargs = {k: v for k, v in model_args.items() if k in fields}
         if model_name.lower() in ("tdanet", "dccrn", "frcrn"):
             kwargs["torch_compat"] = True  # reference-quirk compat modes
         model = cls(**kwargs)
@@ -146,7 +150,16 @@ def import_torch_checkpoint(path_or_pack, model=None):
             f"no torch converter registered for {type(model).__name__}; "
             f"available: {sorted(_CONVERTERS)}"
         )
-    return model, {"params": conv(model, sd)}
+    try:
+        return model, {"params": conv(model, sd)}
+    except KeyError as e:
+        raise KeyError(
+            f"{e.args[0]!r} missing while converting {type(model).__name__}: "
+            "the checkpoint's model_args are likely incomplete (the reference "
+            "serializes only bookkeeping keys for some models). Construct the "
+            "model explicitly and pass it via model=, or use "
+            "scripts/import_checkpoint.py --arg overrides."
+        ) from e
 
 
 @register_converter("dprnntasnet")
