@@ -145,6 +145,28 @@ def main() -> None:
     dt = _timeit(mixture_step, a3, r3, bg, rbg)
     results.append(("full mixture step (5 tracks)", 5 * 60 / dt))
 
+    # --- 4b. RIR bank rendering (3 speakers x 40 waypoints, binaural) -----
+    # Replaces the reference's mp.Pool-of-habitat-sims design point
+    # (SonicSim_rir.py:751-791). Host+device wall-clock, audio-seconds of
+    # rendered IR per second.
+    from sonicsim_tpu.sim.channels import ChannelModel
+    from sonicsim_tpu.sim.image_source import ShoeboxRoom
+    from sonicsim_tpu.sim.oracle import SyntheticRirOracle, render_rir_bank
+
+    room = ShoeboxRoom((8.0, 3.0, 6.0), absorption=0.3)
+    oracle = SyntheticRirOracle(room, n_bands=32, max_order=4)
+    bank_ch = ChannelModel("Binaural")
+    waypoints = [rng.uniform([1, 1, 1], [7, 2.5, 5]) for _ in range(40)]
+    mic = [np.array([4.0, 1.5, 3.0])]
+    render_rir_bank(oracle, waypoints[:2], mic, bank_ch)  # warmup/compile
+    t0 = time.perf_counter()
+    ir_sec = 0.0
+    for _ in range(3):  # 3 speakers' banks
+        bank = render_rir_bank(oracle, waypoints, mic, bank_ch)
+        ir_sec += bank.shape[0] * bank.shape[1] * bank.shape[2] * bank.shape[3] / sr
+    dt_bank = time.perf_counter() - t0
+    results.append(("RIR bank render (3x40 pairs, binaural)", ir_sec / dt_bank))
+
     # --- 5. harness inference: ConvTasNet on 4 s batches ------------------
     model = ConvTasNet()
     params = model.init_params(jax.random.PRNGKey(0), example_len=4 * sr)

@@ -180,7 +180,22 @@ def render_rir_bank(
     """All-pairs bank (S, R, C, L), clipped to the common min length and
     peak-normalized over the whole bank — parity with
     generate_rir_combination (SonicSim_audio.py:342-400: clip_all + stack +
-    /= abs().max()) and render_rir_parallel's fan-out semantics."""
+    /= abs().max()) and render_rir_parallel's fan-out semantics.
+
+    Synthetic multiband oracles take the batched fast path (one threaded
+    native geometry call + one jitted assembly over all items,
+    sim/bank_render.py) — numerically equivalent to the serial loop."""
+    if isinstance(oracle, SyntheticRirOracle) and oracle.n_bands > 0:
+        from .bank_render import render_bank_batched
+
+        return render_bank_batched(
+            oracle,
+            source_positions,
+            receiver_positions,
+            channel,
+            receiver_rotations,
+            peak_normalize,
+        )
     rotations = receiver_rotations or [90.0] * len(receiver_positions)
     rirs: list[list[np.ndarray]] = []
     for src in source_positions:
