@@ -120,6 +120,13 @@ def segment_plan(interp_index: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]
     return offsets, lengths, int(lengths.max())
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def convolve_moving_segmented(
     source_audio: jax.Array,
     rirs: jax.Array,
@@ -128,6 +135,7 @@ def convolve_moving_segmented(
     lengths: jax.Array,
     max_seg: int,
     use_pallas: bool = False,
+    use_mxu_fft: bool | None = None,
 ) -> jax.Array:
     """Moving-source reverb, segmented strategy.
 
@@ -141,6 +149,9 @@ def convolve_moving_segmented(
       interp_weight: (T,)
       offsets/lengths: (P-1,) int32 from ``segment_plan`` (static-shape arrays)
       max_seg: static max segment length.
+      use_mxu_fft: run the FFTs as matmuls on the systolic array
+        (ops/mxu_fft.py) — ~2.5x faster than XLA's VPU FFT on TPU; default
+        auto-enables on TPU backends and stays off on CPU.
 
     Returns (C, T), numerically ≈ the dense strategy (same math, different
     FFT partitioning).
@@ -167,12 +178,29 @@ def convolve_moving_segmented(
     # serves as both an end (segment p-1) and a start (segment p) kernel, so
     # FFT every RIR exactly once and gather the adjacent pairs in frequency
     # domain — ~2x fewer kernel FFTs than FFTing stacked pairs.
-    n_full = win + l - 1
-    nfft = next_fast_len(n_full)
-    sf = jnp.fft.rfft(windows, nfft)  # (n_seg, F)
-    kf = jnp.fft.rfft(rirs.astype(jnp.float32), nfft)  # (P, C, F)
-    prod = sf[:, None, None, :] * jnp.stack([kf[:-1], kf[1:]], axis=1)
-    conv = jnp.fft.irfft(prod, nfft)  # (n_seg, 2, C, nfft)
+    #
+    # Overlap-save: only outputs [l-1, l-1+max_seg) of each window's
+    # convolution are consumed, and circular convolution at nfft >= win is
+    # EXACT there (wraparound only corrupts samples < l-1) — so nfft needs
+    # to cover the window, not the full linear length win+l-1. This halves
+    # the padding waste of every rfft/product/irfft in the hot loop.
+    if use_mxu_fft is None:
+        use_mxu_fft = _on_tpu()
+    if use_mxu_fft:
+        from .mxu_fft import irfft_grid, pick_split, rfft_grid
+
+        n1, n2 = pick_split(win)
+        nfft = n1 * n2
+        sf = rfft_grid(windows, n1, n2)  # (n_seg, h, n2)
+        kf = rfft_grid(rirs.astype(jnp.float32), n1, n2)  # (P, C, h, n2)
+        prod = sf[:, None, None] * jnp.stack([kf[:-1], kf[1:]], axis=1)
+        conv = irfft_grid(prod, n1, n2)  # (n_seg, 2, C, nfft)
+    else:
+        nfft = next_fast_len(win)
+        sf = jnp.fft.rfft(windows, nfft)  # (n_seg, F)
+        kf = jnp.fft.rfft(rirs.astype(jnp.float32), nfft)  # (P, C, F)
+        prod = sf[:, None, None, :] * jnp.stack([kf[:-1], kf[1:]], axis=1)
+        conv = jnp.fft.irfft(prod, nfft)  # (n_seg, 2, C, nfft)
     # Sample s of segment p sits at position (L-1) + s of the full conv.
     conv = conv[..., l - 1 : l - 1 + max_seg]  # (n_seg, 2, C, max_seg)
 
