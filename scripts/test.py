@@ -64,6 +64,17 @@ def main() -> None:
         help="segment with the energy VAD (the reference's pyannote role) "
         "instead of json_data.json metadata spans",
     )
+    ap.add_argument("--dnsmos_dir", default=None,
+                    help="dir with model_v8.onnx + sig_bak_ovr.onnx → "
+                    "adds a dnsmos column (native ONNX executor)")
+    ap.add_argument("--sigmos_path", default=None,
+                    help="SigMOS .onnx weights → adds the 7 MOS_* columns "
+                    "(native ONNX executor)")
+    ap.add_argument("--pesq", action="store_true",
+                    help="add a pesq column (requires the pesq package)")
+    ap.add_argument("--whisper", default=None, metavar="MODEL_SIZE",
+                    help="transcribe estimates with faster-whisper → adds "
+                    "an asr transcript column (e.g. medium.en)")
     args = ap.parse_args()
 
     cfg = load_config(args.conf_dir)
@@ -77,7 +88,28 @@ def main() -> None:
         num_spks=int(cfg["datas"].get("num_spks", 2)),
         return_path=True,
     )
-    tracker = MetricsTracker(exp_dir / "results" / "metrics.csv")
+    extra_metrics, extra_text = {}, {}
+    if args.dnsmos_dir:
+        from sonicsim_tpu.metrics import make_dnsmos
+
+        extra_metrics["dnsmos"] = make_dnsmos(args.dnsmos_dir)
+    if args.sigmos_path:
+        from sonicsim_tpu.metrics import make_sigmos_all
+
+        extra_metrics.update(make_sigmos_all(args.sigmos_path))
+    if args.pesq:
+        from sonicsim_tpu.metrics import make_pesq
+
+        extra_metrics["pesq"] = make_pesq()
+    if args.whisper:
+        from sonicsim_tpu.metrics import make_whisper_asr
+
+        extra_text["asr"] = make_whisper_asr(args.whisper)
+    tracker = MetricsTracker(
+        exp_dir / "results" / "metrics.csv",
+        extra_metrics=extra_metrics or None,
+        extra_text=extra_text or None,
+    )
     # Postprocessing is fused into the jitted forward: enhancement models
     # return spectra/tuples whose eager materialization is both slow and,
     # on some backends, unsupported op-by-op.

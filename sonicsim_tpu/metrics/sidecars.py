@@ -1,11 +1,14 @@
-"""Optional native metric sidecars: PESQ, DNSMOS/SigMOS (ONNX), Whisper ASR.
+"""Optional metric sidecars: PESQ, DNSMOS/SigMOS (ONNX), Whisper ASR.
 
 The reference relies on compiled externals for these
 (separation/look2hear/metrics/wrapper.py:7-21: pesq, onnxruntime sessions
-dnsmos.py:22-95 / sigmos.py:17-84, faster-whisper asr.py:3-12). None are
-installable here, so each factory probes for its dependency and raises a
-clear error otherwise; the MetricsTracker accepts them as extra_metrics
-callables ``fn(ref, est, sample_rate) -> float``.
+dnsmos.py:22-95 / sigmos.py:17-84, faster-whisper asr.py:3-12). The ONNX
+MOS predictors run NATIVELY here through metrics/onnx_jax.py — only the
+model weights are required. PESQ (compiled ITU C code) and Whisper
+(CTranslate2) remain dependency-gated factories; the MetricsTracker accepts
+numeric sidecars as ``extra_metrics`` callables ``fn(ref, est, sr) -> float``
+and text sidecars (ASR transcripts, wrapper.py:113/125) as ``extra_text``
+callables ``fn(est, sr) -> str``.
 """
 
 from __future__ import annotations
@@ -57,22 +60,110 @@ def make_dnsmos(model_dir: str | Path, key: str = "OVRL"):
     return metric
 
 
-def make_sigmos(model_path: str | Path):
-    """SigMOS (P.804) ONNX predictor — same sidecar contract as DNSMOS."""
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError as e:
-        raise ImportError("SigMOS requires onnxruntime (CPU sidecar).") from e
-    raise NotImplementedError
+def make_sigmos(model_path: str | Path, key: str = "MOS_OVRL"):
+    """SigMOS (P.804) predictor — same native-executor contract as DNSMOS.
+
+    The P.804 feature frontend (48 kHz resample, 960-pt √Hann STFT,
+    compressed mag+complex features — sigmos/sigmos.py:17-84) is pure DSP
+    in metrics/sigmos.py; the graph runs through the built-in ONNX→JAX
+    executor, so only the weights file is needed (not committed in the
+    reference either). ``key`` picks one of the 7 MOS axes for the tracker
+    column (MOS_COL | MOS_DISC | MOS_LOUD | MOS_NOISE | MOS_REVERB |
+    MOS_SIG | MOS_OVRL).
+    """
+    from .sigmos import SigMOS
+
+    if key not in SigMOS.AXES:
+        raise ValueError(f"key must be one of {SigMOS.AXES}, got {key!r}")
+    scorer = SigMOS(model_path)
+
+    def metric(ref, est, sample_rate=16000):
+        import numpy as np
+
+        return float(np.mean([
+            scorer(np.asarray(e), sample_rate)[key] for e in np.atleast_2d(est)
+        ]))
+
+    return metric
 
 
-def make_whisper_asr(model_size: str = "medium.en"):
-    """Whisper transcription for WER-proxy eval (metrics/asr.py:3-12)."""
+def make_sigmos_all(model_path: str | Path):
+    """All 7 SigMOS axes as separate tracker columns.
+
+    Returns a dict suitable for ``extra_metrics={**make_sigmos_all(p)}``,
+    mirroring the reference's 7 MOS_* CSV columns (wrapper.py:48).
+    Shares one SigMOS instance (one weights load) across the columns.
+    """
+    from .sigmos import SigMOS
+
+    scorer = SigMOS(model_path)
+
+    def _axis(key):
+        def metric(ref, est, sample_rate=16000):
+            import numpy as np
+
+            return float(np.mean([
+                scorer(np.asarray(e), sample_rate)[key]
+                for e in np.atleast_2d(est)
+            ]))
+
+        return metric
+
+    return {key: _axis(key) for key in SigMOS.AXES}
+
+
+def make_whisper_asr(model_size: str = "medium.en", device: str = "cpu",
+                     download_root: str | None = None):
+    """Whisper transcription sidecar (metrics/asr.py:3-12 contract).
+
+    Returns a text callable ``fn(audio, sample_rate) -> str`` for the
+    tracker's ``extra_text`` slot — the reference records the raw estimate
+    transcript per segment (wrapper.py:113,125); WER against a reference
+    transcript is computed downstream with :func:`wer`.
+    """
     try:
-        from faster_whisper import WhisperModel  # noqa: F401
+        from faster_whisper import WhisperModel
     except ImportError as e:
         raise ImportError(
             "ASR metrics require faster-whisper (CTranslate2); run in a "
             "sidecar environment."
         ) from e
-    raise NotImplementedError
+
+    model = WhisperModel(model_size, device=device,
+                         download_root=download_root)
+
+    def transcribe(audio, sample_rate=16000) -> str:
+        import numpy as np
+
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if sample_rate != 16000:
+            from ..utils.wavio import resample
+
+            audio = resample(audio, sample_rate, 16000)
+        segments, _ = model.transcribe(audio, language="en", vad_filter=True)
+        return " ".join(seg.text for seg in segments).strip()
+
+    return transcribe
+
+
+def wer(reference: str, hypothesis: str) -> float:
+    """Word error rate: edit distance over reference words.
+
+    The WER utility downstream of the ASR sidecar (the reference stores raw
+    transcripts in the CSV and computes WER offline; this closes the loop
+    natively). Returns (S+D+I)/N; empty reference → 0.0 if hypothesis is
+    also empty else inf.
+    """
+    ref_words = reference.split()
+    hyp_words = hypothesis.split()
+    if not ref_words:
+        return 0.0 if not hyp_words else float("inf")
+    # Levenshtein over words, two-row DP.
+    prev = list(range(len(hyp_words) + 1))
+    for i, rw in enumerate(ref_words, 1):
+        cur = [i] + [0] * len(hyp_words)
+        for j, hw in enumerate(hyp_words, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (rw != hw))
+        prev = cur
+    return prev[-1] / len(ref_words)

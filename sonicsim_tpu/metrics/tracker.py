@@ -11,8 +11,11 @@ so the tracker degrades gracefully when they are absent.
 from __future__ import annotations
 
 import csv
+import logging
 from pathlib import Path
 from typing import Callable
+
+logger = logging.getLogger(__name__)
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,12 +34,22 @@ class MetricsTracker:
         save_file: str | Path,
         sample_rate: int = 16000,
         extra_metrics: dict[str, Callable] | None = None,
+        extra_text: dict[str, Callable] | None = None,
     ):
+        """extra_metrics: name -> fn(ref, est, sr) -> float (averaged rows).
+
+        extra_text: name -> fn(est, sr) -> str — recorded verbatim per
+        segment and excluded from the avg/std footer; the reference's ASR
+        transcript column (wrapper.py:113,125) plugs in here.
+        """
         self.save_file = Path(save_file)
         self.sample_rate = sample_rate
         self.extra = extra_metrics or {}
+        self.extra_text = extra_text or {}
         self.rows: list[dict] = []
-        self.columns = self.COLUMNS + sorted(self.extra)
+        self.columns = (
+            self.COLUMNS + sorted(self.extra) + sorted(self.extra_text)
+        )
 
     def __call__(
         self, mix: np.ndarray, clean: np.ndarray, estimate: np.ndarray, key: str
@@ -80,10 +93,30 @@ class MetricsTracker:
                                  for i in range(len(clean))])
                     )
                 except Exception:
+                    # The reference logs per-metric exceptions
+                    # (wrapper.py:69-103); a quietly-NaN column hides a
+                    # systematically broken sidecar.
+                    logger.warning(
+                        "extra metric %r failed on segment %r", name, key,
+                        exc_info=True,
+                    )
                     row[name] = float("nan")
+            for name, fn in self.extra_text.items():
+                try:
+                    row[name] = " | ".join(
+                        str(fn(est[i], self.sample_rate))
+                        for i in range(len(est))
+                    )
+                except Exception:
+                    logger.warning(
+                        "text metric %r failed on segment %r", name, key,
+                        exc_info=True,
+                    )
+                    row[name] = ""
             self.rows.append(row)
         except Exception:
             # Per-segment isolation (wrapper.py:69-103).
+            logger.warning("metrics failed on segment %r", key, exc_info=True)
             return
 
     def update(self) -> dict:
@@ -93,7 +126,7 @@ class MetricsTracker:
         return {
             c: float(np.nanmean([r.get(c, np.nan) for r in self.rows]))
             for c in self.columns
-            if c != "snt_id"
+            if c != "snt_id" and c not in self.extra_text
         }
 
     def final(self) -> dict:
@@ -102,7 +135,7 @@ class MetricsTracker:
         avg = {"snt_id": "avg"}
         std = {"snt_id": "std"}
         for c in self.columns:
-            if c == "snt_id":
+            if c == "snt_id" or c in self.extra_text:
                 continue
             vals = np.array([r.get(c, np.nan) for r in self.rows], np.float64)
             avg[c] = float(np.nanmean(vals)) if len(vals) else float("nan")
@@ -112,4 +145,8 @@ class MetricsTracker:
             writer.writeheader()
             for r in self.rows + [avg, std]:
                 writer.writerow({c: r.get(c, "") for c in self.columns})
-        return {c: avg[c] for c in self.columns if c != "snt_id"}
+        return {
+            c: avg[c]
+            for c in self.columns
+            if c != "snt_id" and c not in self.extra_text
+        }

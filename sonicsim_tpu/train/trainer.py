@@ -11,6 +11,7 @@ early stopping, top-k checkpointing and CSV logging.
 from __future__ import annotations
 
 import json
+import logging
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -24,6 +25,8 @@ import optax
 from ..models.base import BaseModel, save_model
 from ..parallel.mesh import batch_sharding, make_mesh, replicate, replicated_sharding
 from .schedulers import EarlyStopping, ReduceLROnPlateau
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -202,12 +205,22 @@ class Trainer:
         best_k: list[tuple[float, str]] = []
         state = TrainState(params, opt_state)
 
+        dropped_train = dropped_val = 0
         for epoch in range(self.max_epochs):
             t0 = time.time()
             losses = []
             for i, (mix, targets) in enumerate(train_batches(epoch)):
                 if len(mix) % self._batch_divisor:
-                    continue  # drop ragged trailing batch
+                    # drop_last semantics, but never silently: with a small
+                    # fixed eval set whole batches can vanish otherwise.
+                    dropped_train += 1
+                    if dropped_train <= 3 or epoch == 0:
+                        logger.warning(
+                            "dropping ragged train batch of %d (not divisible "
+                            "by %d devices), epoch %d",
+                            len(mix), self._batch_divisor, epoch,
+                        )
+                    continue
                 state.params, state.opt_state, loss = train_step(
                     state.params, state.opt_state, jnp.asarray(mix), jnp.asarray(targets)
                 )
@@ -217,11 +230,20 @@ class Trainer:
 
             val_loss = train_loss
             if val_batches is not None:
-                vals = [
-                    eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
-                    for m, t in val_batches()
-                    if len(m) % self._batch_divisor == 0
-                ]
+                vals = []
+                for m, t in val_batches():
+                    if len(m) % self._batch_divisor:
+                        dropped_val += 1
+                        if dropped_val <= 3 or epoch == 0:
+                            logger.warning(
+                                "dropping ragged val batch of %d (not "
+                                "divisible by %d devices), epoch %d",
+                                len(m), self._batch_divisor, epoch,
+                            )
+                        continue
+                    vals.append(
+                        eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
+                    )
                 val_loss = float(jnp.mean(jnp.stack(vals))) if vals else train_loss
 
             new_lr = plateau.step(val_loss)
