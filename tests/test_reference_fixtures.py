@@ -181,3 +181,31 @@ def test_fixture_stoi_clean_is_one():
     s1, sr = read_wav(SEP_DIR / "s1.wav")
     x = s1[0, SLICE]
     assert stoi(x, x, sr) == pytest.approx(1.0, abs=1e-6)
+
+
+@needs_fixtures
+def test_energy_vad_calibration_vs_reference_spans():
+    """Span IoU of the energy VAD against the generation-time ground-truth
+    voice spans committed with the enhancement fixture (the neural-VAD
+    validation VERDICT asked for; the separation segment JSON named in
+    separation/test.py:98 comments is not committed upstream, so the
+    enhancement fixture's json_data.json is the available ground truth)."""
+    from sonicsim_tpu.infer.vad import energy_vad
+
+    mix, sr = read_wav(ENH_DIR / "mix.wav")
+    mix = mix[0]
+    meta = json.load(open(ENH_DIR / "json_data.json"))
+    truth = np.zeros(len(mix), bool)
+    for k, v in meta.items():
+        if k.startswith("source"):
+            for s, e in v["start_end_points"]:
+                truth[s : min(e, len(mix))] = True
+
+    pred = np.zeros(len(mix), bool)
+    for s, e in energy_vad(mix, sr):
+        pred[s:e] = True
+    inter = (truth & pred).sum()
+    union = (truth | pred).sum()
+    recall = inter / truth.sum()
+    assert inter / union >= 0.85  # measured 0.938
+    assert recall >= 0.95  # measured 0.991 — missed speech hurts eval most
