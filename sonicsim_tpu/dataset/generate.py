@@ -19,6 +19,9 @@ from pathlib import Path
 
 import numpy as np
 
+from ..ops.fftconv import segment_plan
+from ..ops.interp import dynamic_interp_plan
+from ..parallel.pipeline import pad_moving_plans, render_mixture_sources
 from ..sim.maps import save_trace_image
 from ..sim.oracle import save_rir_bank
 from ..sim.scene import Scene
@@ -100,9 +103,13 @@ def render_mixture(
     transcripts: dict[str, str] | None = None,
     save_bank: bool = True,
     save_trace: bool = True,
+    mesh=None,
 ) -> dict:
     """Execute a MixturePlan → WAVs + metadata on disk
-    (SonicSet_train.py:50-138 execution half)."""
+    (SonicSet_train.py:50-138 execution half).
+
+    ``mesh``: optional jax.sharding.Mesh — shards the per-source render
+    across devices (parallel/pipeline.py); identical output either way."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     sr = plan.sample_rate
@@ -127,24 +134,67 @@ def render_mixture(
             sample_rate=sr,
         )
 
-    # Speech tracks → moving reverb → LUFS.
-    moving = []
-    for i, (sp, traj, bank) in enumerate(
-        zip(plan.speech_plans, plan.trajectories, banks)
-    ):
-        dry = assemble_long_audio(sp)
-        wet = render_moving_source(dry, bank, np.asarray(traj), rng)
-        wet, _ = loudness_normalize_to(wet, sr, plan.lufs_speech[i])
-        moving.append(wet)
-        write_wav(out / f"moving_audio_{i + 1}.wav", wet, sr)
-
-    # Static noise / music.
+    # All sources render in ONE jitted, mesh-shardable device computation
+    # (moving conv + static conv + LUFS — parallel/pipeline.py); the host
+    # only assembles dry tracks (I/O) and computes trajectory plans. The
+    # rng is consumed in the reference's per-speaker order so seeded
+    # outputs match the previous sequential path exactly.
     rir_noise = scene.render_ir(np.asarray(plan.noise_point), mic)
     rir_music = scene.render_ir(np.asarray(plan.music_point), mic)
-    noise = render_static_source(assemble_long_audio(plan.noise_plan), rir_noise)
-    music = render_static_source(assemble_long_audio(plan.music_plan), rir_music)
-    noise, _ = loudness_normalize_to(noise, sr, plan.lufs_noise)
-    music, _ = loudness_normalize_to(music, sr, plan.lufs_music)
+    if all(b.shape[0] >= 2 for b in banks):
+        dry, weights, offs, lens = [], [], [], []
+        for sp, traj in zip(plan.speech_plans, plan.trajectories):
+            audio = assemble_long_audio(sp)[0]
+            idx, w = dynamic_interp_plan(
+                np.asarray(traj), audio.shape[-1], rng=rng
+            )
+            o, le, _ = segment_plan(idx)
+            dry.append(audio)
+            weights.append(w)
+            offs.append(o)
+            lens.append(le)
+        banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
+            banks, weights, offs, lens
+        )
+        l_stat = max(rir_noise.shape[-1], rir_music.shape[-1])
+        static_rirs = np.stack([
+            np.pad(r, [(0, 0), (0, l_stat - r.shape[-1])])
+            for r in (rir_noise, rir_music)
+        ]).astype(np.float32)
+        static_audio = np.stack([
+            assemble_long_audio(plan.noise_plan)[0],
+            assemble_long_audio(plan.music_plan)[0],
+        ]).astype(np.float32)
+        moving_t, static_t = render_mixture_sources(
+            np.stack(dry).astype(np.float32), banks_p, w_p, off_p, len_p,
+            max_seg, static_audio, static_rirs,
+            np.asarray(plan.lufs_speech, np.float32),
+            np.asarray([plan.lufs_noise, plan.lufs_music], np.float32),
+            sr, mesh=mesh,
+        )
+        moving = [np.asarray(m) for m in moving_t]
+        noise, music = (np.asarray(s) for s in static_t)
+    else:
+        # Degenerate single-waypoint trajectories: per-source host loop.
+        moving = []
+        for i, (sp, traj, bank) in enumerate(
+            zip(plan.speech_plans, plan.trajectories, banks)
+        ):
+            wet = render_moving_source(
+                assemble_long_audio(sp), bank, np.asarray(traj), rng
+            )
+            wet, _ = loudness_normalize_to(wet, sr, plan.lufs_speech[i])
+            moving.append(wet)
+        noise = render_static_source(
+            assemble_long_audio(plan.noise_plan), rir_noise
+        )
+        music = render_static_source(
+            assemble_long_audio(plan.music_plan), rir_music
+        )
+        noise, _ = loudness_normalize_to(noise, sr, plan.lufs_noise)
+        music, _ = loudness_normalize_to(music, sr, plan.lufs_music)
+    for i, wet in enumerate(moving):
+        write_wav(out / f"moving_audio_{i + 1}.wav", wet, sr)
     write_wav(out / "noise_audio.wav", noise, sr)
     write_wav(out / "music_audio.wav", music, sr)
 

@@ -1,0 +1,159 @@
+"""Mesh-sharded mixture rendering: the generation pipeline's device path.
+
+The reference parallelizes dataset generation with a host process pool
+(SonicSim-SonicSet/SonicSim_rir.py:751-791 mp.Pool over RIR batches; one
+mixture per worker in SonicSet_train.py). Here the WHOLE per-mixture DSP —
+every speaker's moving-source convolution, the static noise/music reverbs,
+and all the BS.1770 loudness normalizations — is one jitted computation
+batched over sources, so a `jax.sharding.Mesh` spreads the source axis
+across chips and XLA overlaps the FFT work; no process pool.
+
+Per-source trajectory plans have ragged shapes (different waypoint counts
+P_i and segment layouts), so :func:`pad_moving_plans` pads them to a common
+static shape first: extra bank entries repeat the last RIR and extra plan
+segments get offset=T/length=0, which own no output samples in the
+segmented conv's searchsorted combine (ops/fftconv.py:218-223) — padding is
+mathematically inert, verified by tests/test_pipeline_mesh.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..ops.fftconv import convolve_fixed_receiver, convolve_moving_segmented
+from ..ops.loudness import lufs_norm
+from .mesh import batch_sharding
+
+
+def pad_moving_plans(
+    banks: list[np.ndarray],
+    weights: list[np.ndarray],
+    offsets: list[np.ndarray],
+    lengths: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Stack ragged per-source moving plans into common static shapes.
+
+    banks[i]: (P_i, C, L); weights[i]: (T,); offsets/lengths[i]: (P_i-1,).
+    Returns (banks (S,P,C,L), weights (S,T), offsets (S,P-1),
+    lengths (S,P-1), max_seg) with P = max_i P_i.
+    """
+    t = int(weights[0].shape[-1])
+    p = max(b.shape[0] for b in banks)
+    banks_p, off_p, len_p = [], [], []
+    for b, o, le in zip(banks, offsets, lengths):
+        extra = p - b.shape[0]
+        banks_p.append(
+            np.concatenate([b, np.repeat(b[-1:], extra, axis=0)])
+            if extra
+            else np.asarray(b)
+        )
+        pad = p - 1 - o.shape[0]
+        off_p.append(np.concatenate([o, np.full(pad, t, o.dtype)]))
+        len_p.append(np.concatenate([le, np.zeros(pad, le.dtype)]))
+    max_seg = int(max(int(le.max()) for le in lengths))
+    return (
+        np.stack(banks_p).astype(np.float32),
+        np.stack(weights).astype(np.float32),
+        np.stack(off_p).astype(np.int32),
+        np.stack(len_p).astype(np.int32),
+        max_seg,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_seg", "sample_rate", "use_pallas", "use_mxu_fft"),
+)
+def _render_all(
+    speech,  # (S, T)
+    banks,  # (S, P, C, L)
+    weights,  # (S, T)
+    offsets,  # (S, P-1)
+    lengths,  # (S, P-1)
+    static_audio,  # (K, T)
+    static_rirs,  # (K, C, L)
+    speech_lufs,  # (S,)
+    static_lufs,  # (K,)
+    *,
+    max_seg: int,
+    sample_rate: int,
+    use_pallas: bool = False,
+    use_mxu_fft: bool | None = None,
+):
+    moving = jax.vmap(
+        lambda a, r, w, o, le: convolve_moving_segmented(
+            a, r, w, o, le, max_seg,
+            use_pallas=use_pallas, use_mxu_fft=use_mxu_fft,
+        )
+    )(speech, banks, weights, offsets, lengths)  # (S, C, T)
+    moving = jax.vmap(
+        lambda x, tgt: lufs_norm(x, sample_rate, tgt)[0]
+    )(moving, speech_lufs)
+
+    static = jax.vmap(convolve_fixed_receiver)(static_audio, static_rirs)
+    static = jax.vmap(
+        lambda x, tgt: lufs_norm(x, sample_rate, tgt)[0]
+    )(static, static_lufs)
+    return moving, static
+
+
+def render_mixture_sources(
+    speech: np.ndarray,
+    banks: np.ndarray,
+    weights: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    max_seg: int,
+    static_audio: np.ndarray,
+    static_rirs: np.ndarray,
+    speech_lufs: np.ndarray,
+    static_lufs: np.ndarray,
+    sample_rate: int,
+    mesh=None,
+    use_pallas: bool = False,
+    use_mxu_fft: bool | None = None,
+):
+    """All of a mixture's sources → reverberant, LUFS-normalized tracks.
+
+    One jitted computation (moving conv + static conv + loudness gating for
+    every source). With ``mesh``, the source axes are sharded over the mesh's
+    'data' axis and params/plans travel with them — the multi-chip layout of
+    the generation pipeline. Returns (moving (S,C,T), static (K,C,T)).
+    """
+    s, k = speech.shape[0], static_audio.shape[0]
+    moving_args = (speech, banks, weights, offsets, lengths, speech_lufs)
+    static_args = (static_audio, static_rirs, static_lufs)
+    if mesh is not None:
+        # GSPMD shardings need axis-0 divisible by the mesh; pad with zero
+        # sources (they render to silence on otherwise-idle devices, then
+        # get sliced off — no wall-clock cost).
+        n = int(np.prod(list(mesh.shape.values())))
+
+        def pad_to(arrs, count):
+            target = -(-count // n) * n
+            return tuple(
+                np.pad(np.asarray(a), [(0, target - count)] + [(0, 0)] * (a.ndim - 1))
+                for a in arrs
+            )
+
+        shard = batch_sharding(mesh)
+        moving_args = tuple(
+            jax.device_put(a, shard) for a in pad_to(moving_args, s)
+        )
+        static_args = tuple(
+            jax.device_put(a, shard) for a in pad_to(static_args, k)
+        )
+    moving, static = _render_all(
+        *moving_args[:5],
+        *static_args[:2],
+        moving_args[5],
+        static_args[2],
+        max_seg=max_seg,
+        sample_rate=sample_rate,
+        use_pallas=use_pallas,
+        use_mxu_fft=use_mxu_fft,
+    )
+    return moving[:s], static[:k]
