@@ -24,6 +24,12 @@ from .image_source import (
 from .entities import Receiver, Source
 from .grid_cache import grid_cache_path, load_room_grid, save_xy_grid_points
 from .maps import points_to_pixels, save_trace_image, topdown_map
+from .visual import (
+    habitat_render_fn,
+    interpolate_rgb_images,
+    render_envmap,
+    topdown_render_fn,
+)
 from .materials import (
     DEFAULT_MATERIALS,
     Material,
@@ -53,6 +59,10 @@ __all__ = [
     "DEFAULT_MATERIALS",
     "HabitatRirOracle",
     "LINEAR_4CH_ARRAY",
+    "habitat_render_fn",
+    "interpolate_rgb_images",
+    "render_envmap",
+    "topdown_render_fn",
     "Material",
     "NavGrid",
     "RirOracle",
