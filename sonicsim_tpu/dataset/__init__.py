@@ -17,6 +17,7 @@ from .plan import (
     MixturePlan,
     Placement,
     load_length_manifest,
+    load_split_manifest,
     plan_background_audio,
     plan_long_audio,
     scan_audio_lengths,
@@ -48,6 +49,7 @@ __all__ = [
     "find_bottom_directories",
     "generate_split",
     "load_length_manifest",
+    "load_split_manifest",
     "loudness_normalize_to",
     "overlap_audio",
     "plan_background_audio",

@@ -72,6 +72,42 @@ def load_length_manifest(json_path: str | Path) -> dict[str, int]:
         return {k: int(v) for k, v in json.load(f).items()}
 
 
+def load_split_manifest(
+    manifest_path: str | Path,
+    split: str,
+    speech_root: str | Path = "",
+    noise_root: str | Path = "",
+    music_root: str | Path = "",
+) -> dict:
+    """Load one split from the framework manifest (data/sonicset_splits.json,
+    written by scripts/import_split_manifests.py — the committed form of the
+    reference's data/{split}_{scene,speech}.txt + *_{noise,music}.json).
+
+    Corpus-relative paths are re-rooted onto the caller's corpus locations.
+    Returns {"scenes": [id...], "speech": [dir...],
+    "noise"/"music": {path: num_samples}}.
+    """
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    try:
+        sp = manifest["splits"][split]
+    except KeyError as e:
+        raise KeyError(
+            f"split {split!r} not in manifest (has "
+            f"{sorted(manifest.get('splits', {}))})"
+        ) from e
+
+    def reroot(rel: str, root) -> str:
+        return str(Path(root) / rel) if root else rel
+
+    return {
+        "scenes": list(sp["scenes"]),
+        "speech": [reroot(p, speech_root) for p in sp["speech"]],
+        "noise": {reroot(k, noise_root): int(v) for k, v in sp["noise"].items()},
+        "music": {reroot(k, music_root): int(v) for k, v in sp["music"].items()},
+    }
+
+
 def select_files_to_fill(
     lengths: dict[str, int],
     target_samples: int,

@@ -239,3 +239,28 @@ def test_remix_dataset_and_manifest(tmp_path, rng):
     assert mix.shape == (2 * SR,) and tgt.shape == (2 * SR,)
     mix2, _ = ds[0]
     np.testing.assert_array_equal(mix, mix2)  # deterministic
+
+
+def test_load_split_manifest_committed():
+    """The committed split manifest carries the full SonicSet split spec
+    (scene ids, speaker dirs, corpus length maps) and re-roots paths."""
+    from sonicsim_tpu.dataset import load_split_manifest, select_files_to_fill
+
+    path = Path(__file__).parents[1] / "data" / "sonicset_splits.json"
+    train = load_split_manifest(path, "train", speech_root="/c", noise_root="/n")
+    val = load_split_manifest(path, "val")
+    test = load_split_manifest(path, "test")
+    assert len(train["scenes"]) >= 60 and len(val["scenes"]) == 19
+    assert len(test["scenes"]) == 9
+    assert len(train["noise"]) == 4509 and len(train["music"]) == 3405
+    assert all(p.startswith("/c/") for p in train["speech"])
+    assert all(p.startswith("/n/") for p in train["noise"])
+    assert all(v > 0 for v in train["noise"].values())
+    # The length map drives utterance selection directly (manifest lengths
+    # are 44.1 kHz samples; pick a target longer than one file).
+    rng = np.random.default_rng(0)
+    picks = select_files_to_fill(train["noise"], 44100 * 120, rng)
+    assert picks
+
+    with pytest.raises(KeyError, match="bogus"):
+        load_split_manifest(path, "bogus")
