@@ -259,8 +259,10 @@ def test_load_split_manifest_committed():
     # The length map drives utterance selection directly (manifest lengths
     # are 44.1 kHz samples; pick a target longer than one file).
     rng = np.random.default_rng(0)
-    picks = select_files_to_fill(train["noise"], 44100 * 120, rng)
-    assert picks
+    picks = select_files_to_fill(
+        train["noise"], 44100 * 120, rng, stop_on_overflow=False
+    )
+    assert picks and all(p in train["noise"] for p in picks)
 
     with pytest.raises(KeyError, match="bogus"):
         load_split_manifest(path, "bogus")
