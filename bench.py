@@ -34,7 +34,11 @@ def main() -> None:
     sr = 16000
     duration = 60.0
     t = int(sr * duration)
-    n_src = 3  # one SonicSet mixture = 3 moving speakers
+    # 4 SonicSet mixtures x 3 moving speakers batched per dispatch: the
+    # generation driver renders mixtures in batches (parallel/pipeline.py),
+    # so chip throughput — not single-source latency — is the production
+    # number. Per-source workload is unchanged from the reference hot loop.
+    n_src = 12
     p, c, l = 40, 2, sr  # 40 trajectory RIRs, binaural, 1 s tails
 
     rng = np.random.default_rng(0)
