@@ -46,11 +46,13 @@ def make_dnsmos(model_dir: str | Path, key: str = "OVRL"):
         tracker = MetricsTracker(csv, extra_metrics={
             "dnsmos": make_dnsmos("DNSMOS/")})
     """
-    from .dnsmos import DNSMOS
+    from . import dnsmos as _dnsmos
 
-    scorer = DNSMOS(model_dir)
+    scorer = _dnsmos.DNSMOS(model_dir)
 
-    def metric(est, ref, rate=16000):
+    # Tracker extra-metric convention is fn(ref, est, rate); DNSMOS is
+    # reference-free and must score the ESTIMATE (wrapper.py:105-111).
+    def metric(ref, est, rate=16000):
         import numpy as np
 
         return float(np.mean([

@@ -167,3 +167,53 @@ def test_sigmos_end_to_end_if_weights_present(rng):
     out = scorer(rng.standard_normal(48000).astype(np.float32))
     assert set(out) == set(sig.SigMOS.AXES)
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_make_dnsmos_scores_the_estimate(tmp_path, monkeypatch):
+    """Tracker convention is fn(ref, est, sr); DNSMOS is reference-free and
+    must score the ESTIMATE (regression: it used to score the reference)."""
+    scored = []
+
+    class FakeDNSMOS:
+        def __init__(self, model_dir):
+            pass
+
+        def __call__(self, audio, rate):
+            scored.append(np.asarray(audio).copy())
+            return {"OVRL": 3.0, "SIG": 3.0, "BAK": 3.0, "P808_MOS": 3.0}
+
+    import sonicsim_tpu.metrics.dnsmos as dnsmos_mod
+
+    monkeypatch.setattr(dnsmos_mod, "DNSMOS", FakeDNSMOS)
+    from sonicsim_tpu.metrics import make_dnsmos
+
+    metric = make_dnsmos(tmp_path)
+    ref = np.zeros(1000, np.float32)
+    est = np.ones(1000, np.float32)
+    metric(ref, est, 16000)
+    assert len(scored) == 1
+    np.testing.assert_array_equal(scored[0], est)
+
+
+def test_make_sigmos_scores_the_estimate(tmp_path, monkeypatch):
+    scored = []
+
+    class FakeModel:
+        def __init__(self, path):
+            pass
+
+        def __call__(self, feats):
+            scored.append(np.asarray(feats).copy())
+            return [np.zeros((1, 7), np.float32)]
+
+    import sonicsim_tpu.metrics.onnx_jax as onnx_jax
+
+    monkeypatch.setattr(onnx_jax, "OnnxJaxModel", FakeModel)
+    weights = tmp_path / "w.onnx"
+    weights.write_bytes(b"\x00")
+    metric = make_sigmos(weights)
+    ref = np.zeros(16000, np.float32)
+    est = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    metric(ref, est, 16000)
+    # Features of silence are ~0; the estimate's are not.
+    assert len(scored) == 1 and np.abs(scored[0]).max() > 1e-3
