@@ -38,7 +38,7 @@ from .image_source import (
     image_sources,
 )
 
-_CHUNK = 8  # items per jitted vmap call: bounds the (chunk, cap, taps) kern
+_CHUNK = 32  # items per jitted vmap call: bounds the (chunk, cap, taps) kern
 
 
 @partial(
@@ -50,7 +50,7 @@ def _assemble_items(
     hits,  # (P, N) int32 total wall reflections
     g,  # (P, N) float32 directional_gain / (4 pi d), 0 beyond count
     valid,  # (P, N) bool
-    noise,  # (P, n_bands, ir_len) float32 unit-variance tail noise
+    noise_keys,  # (P,) typed PRNG keys — tail noise generated ON DEVICE
     beta,  # (n_bands,) float32 per-band wall reflection coefficient
     masks,  # (n_bands, nfft//2+1) float32 filterbank partition
     rt60_bands,  # (n_bands,) float32 Eyring RT60 per band
@@ -65,7 +65,10 @@ def _assemble_items(
     # (n_bands, n_classes): band profile of each total-hit-count class.
     band_profile = beta[:, None] ** jnp.arange(n_classes, dtype=jnp.float32)[None, :]
 
-    def one(delays_si, hits_i, g_i, valid_i, noise_i):
+    n_bands = beta.shape[0]
+
+    def one(delays_si, hits_i, g_i, valid_i, key_i):
+        noise_i = jax.random.normal(key_i, (n_bands, ir_len), jnp.float32)
         delays = delays_si * sample_rate  # float samples
         base = jnp.floor(delays)
         frac = delays - base
@@ -124,7 +127,7 @@ def _assemble_items(
         tail = jnp.fft.irfft(tail_spec.sum(axis=0), nfft)[:ir_len]
         return early + tail
 
-    return jax.vmap(one)(delays_s, hits, g, valid, noise)
+    return jax.vmap(one)(delays_s, hits, g, valid, noise_keys)
 
 
 def _enumerate_fallback(room, srcs, recvs, max_order, max_delay_s):
@@ -229,11 +232,15 @@ def render_bank_batched(
         inv = 1.0 / (4.0 * np.pi * delays * SPEED_OF_SOUND)
     g = np.where(valid, g * np.where(valid, inv, 0.0), 0.0).astype(np.float32)
 
-    noise = np.empty((n_items, n_bands, ir_len), np.float32)
+    # Tail-noise keys: same (pair seed, channel) streams as
+    # SyntheticRirOracle.render (image_source.tail_noise) — the noise itself
+    # is generated on device inside _assemble_items, so nothing crosses the
+    # (slow, remote-tunnel) host->device link.
+    seeds = np.empty(n_items, np.int64)
+    chans = np.empty(n_items, np.int32)
     item = 0
     for s in range(n_src):
         for r in range(n_recv):
-            # Same per-pair seed + draw order as SyntheticRirOracle.render.
             pair = np.concatenate(
                 [
                     np.ravel(source_positions[s]),
@@ -244,12 +251,15 @@ def render_bank_batched(
                 np.uint32(oracle.seed)
                 + np.uint32(abs(hash(tuple(np.round(pair, 4).tolist()))) % (2**31))
             )
-            rng = np.random.default_rng(seed)
             for c in range(n_ch):
-                noise[item] = rng.standard_normal((n_bands, ir_len)).astype(
-                    np.float32
-                )
+                seeds[item] = seed
+                chans[item] = c
                 item += 1
+    from .image_source import tail_noise_key
+
+    noise_keys = jax.vmap(tail_noise_key)(
+        jnp.asarray(seeds, jnp.uint32), jnp.asarray(chans)
+    )
 
     # ---- device side: chunked jitted assembly ------------------------------
     masks = jnp.asarray(band_masks(n_bands, nfft, sample_rate))
@@ -267,12 +277,17 @@ def render_bank_batched(
                 x = np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
             return jnp.asarray(x)
 
+        keys_chunk = noise_keys[sl]
+        if padn:  # pad with repeats; padded outputs are discarded below
+            keys_chunk = jnp.concatenate(
+                [keys_chunk, jnp.repeat(noise_keys[:1], padn, axis=0)]
+            )
         chunk = _assemble_items(
             padded(delays.astype(np.float32)),
             padded(hits.astype(np.int32)),
             padded(g),
             padded(valid),
-            padded(noise),
+            keys_chunk,
             beta_j,
             masks,
             rt60_j,

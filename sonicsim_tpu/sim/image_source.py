@@ -134,6 +134,22 @@ def band_masks(n_bands: int, nfft: int, sample_rate: int) -> np.ndarray:
     return (masks / np.maximum(total, 1e-9)).astype(np.float32)
 
 
+def tail_noise_key(seed: int, channel_index) -> jax.Array:
+    """Typed PRNG key for one (pair, channel) tail-noise stream."""
+    return jax.random.fold_in(jax.random.PRNGKey(seed), channel_index)
+
+
+def tail_noise(seed: int, channel_index: int, n_bands: int, ir_len: int):
+    """Unit-variance tail noise (n_bands, ir_len) for one (pair, channel).
+
+    The single definition shared by the serial multiband renderer and the
+    batched bank renderer — identical streams by construction.
+    """
+    return jax.random.normal(
+        tail_noise_key(seed, channel_index), (n_bands, ir_len), jnp.float32
+    )
+
+
 def render_shoebox_rir_multiband(
     room: "ShoeboxRoom",
     source_position: np.ndarray,
@@ -174,7 +190,6 @@ def render_shoebox_rir_multiband(
     nfft = int(2 ** np.ceil(np.log2(ir_len + 2 * SINC_HALF + 2)))
     masks = band_masks(n_bands, nfft, sample_rate)
 
-    rng = np.random.default_rng(seed)
     t_axis = np.arange(ir_len) / sample_rate
 
     for c_idx in range(n_ch):
@@ -213,8 +228,12 @@ def render_shoebox_rir_multiband(
         early = np.asarray(jnp.fft.irfft(spec.sum(axis=0), nfft)[:ir_len])
 
         # Per-band Eyring tails, decorrelated noise filtered per band.
+        # Device-side threefry keyed on (pair seed, channel): the batched
+        # bank renderer generates the identical stream on device, avoiding
+        # host Gaussian generation AND the host->device noise upload (the
+        # remote-tunnel H2D path measures ~10 MB/s).
         t_direct = float(delays.min()) if len(delays) else 0.0
-        noise = rng.standard_normal((n_bands, ir_len)).astype(np.float32)
+        noise = np.asarray(tail_noise(seed, c_idx, n_bands, ir_len))
         decay = np.exp(
             -6.908 * np.maximum(t_axis[None, :] - t_direct, 0.0) / rt60_bands[:, None]
         )
@@ -295,7 +314,7 @@ def render_shoebox_rir(
     )
     level = np.sqrt(np.mean(amps[near] ** 2)) if near.any() else np.abs(amps).max() * 0.05
     tail = (
-        rng.standard_normal((channel.count, ir_len)).astype(np.float32)
+        rng.standard_normal((channel.count, ir_len), dtype=np.float32)
         * (level * decay * ramp)[None, :].astype(np.float32)
     )
 
