@@ -30,7 +30,17 @@ def main() -> None:
     ap.add_argument("--segment_seconds", type=float, default=10.0)
     ap.add_argument("--bf16", action="store_true",
                     help="run the model core in bfloat16 (MXU-native)")
+    ap.add_argument("--ecapa", default=None, metavar="CKPT",
+                    help="speechbrain embedding_model.ckpt — re-track "
+                    "speakers with the native ECAPA-TDNN embedder instead "
+                    "of the spectral-envelope default")
     args = ap.parse_args()
+
+    embed_fn = None
+    if args.ecapa:
+        from sonicsim_tpu.models.ecapa import make_ecapa_embedder
+
+        embed_fn = make_ecapa_embedder(args.ecapa)
 
     model, params = from_pretrain(args.model_path)
     mix, sr = read_wav(args.mix)
@@ -51,7 +61,9 @@ def main() -> None:
             chunk = np.pad(chunk, (0, pad))
         est = np.asarray(fwd(params, chunk[None, :]))[0]
         segments.append(est[..., : seg_len - pad])
-    tracks = concatenate_tracks(stitch_segments(segments, sr))
+    tracks = concatenate_tracks(
+        stitch_segments(segments, sr, embed_fn=embed_fn)
+    )
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -13,6 +13,7 @@ from .bsrnn_espnet import BSRNNESPNet
 from .conv_tasnet import ConvTasNet
 from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
+from .ecapa import EcapaTdnn, ecapa_fbank, make_ecapa_embedder
 from .enc_dec import FreeDecoder, FreeEncoder, make_enc_dec
 from .dptnet import DPTNetModel
 from .fullsubnet import Fullband, FullSubnet
@@ -36,6 +37,9 @@ __all__ = [
     "MODELS",
     "BaseModel",
     "ConvTasNet",
+    "EcapaTdnn",
+    "ecapa_fbank",
+    "make_ecapa_embedder",
     "DCCRN",
     "DPRNNTasNet",
     "DPTNetModel",
