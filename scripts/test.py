@@ -75,6 +75,9 @@ def main() -> None:
     ap.add_argument("--whisper", default=None, metavar="MODEL_SIZE",
                     help="transcribe estimates with faster-whisper → adds "
                     "an asr transcript column (e.g. medium.en)")
+    ap.add_argument("--vad_ckpt", default=None, metavar="CKPT",
+                    help="PyanNet checkpoint — with --use_vad, segment with "
+                    "the native neural VAD instead of the energy VAD")
     args = ap.parse_args()
 
     cfg = load_config(args.conf_dir)
@@ -123,10 +126,15 @@ def main() -> None:
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
     from sonicsim_tpu.infer import segment_mixture
 
+    vad_fn = None
+    if args.vad_ckpt:
+        from sonicsim_tpu.models.pyannet import make_neural_vad
+
+        vad_fn = make_neural_vad(args.vad_ckpt)
     for i in range(n):
         mix, targets, folder = ds[i]
         spans = (
-            segment_mixture(mix, ds.sample_rate)
+            segment_mixture(mix, ds.sample_rate, vad_fn=vad_fn)
             if args.use_vad
             else metadata_segments(folder, mix.shape[-1])
         )

@@ -14,6 +14,7 @@ from .conv_tasnet import ConvTasNet
 from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
 from .ecapa import EcapaTdnn, ecapa_fbank, make_ecapa_embedder
+from .pyannet import PyanNet, binarize_activations, make_neural_vad
 from .enc_dec import FreeDecoder, FreeEncoder, make_enc_dec
 from .dptnet import DPTNetModel
 from .fullsubnet import Fullband, FullSubnet
@@ -40,6 +41,9 @@ __all__ = [
     "EcapaTdnn",
     "ecapa_fbank",
     "make_ecapa_embedder",
+    "PyanNet",
+    "binarize_activations",
+    "make_neural_vad",
     "DCCRN",
     "DPRNNTasNet",
     "DPTNetModel",
