@@ -21,6 +21,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--conf_dir", required=True, help="path to the YAML config")
     ap.add_argument("--max_epochs", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from <exp>/checkpoints/last (full state: "
+                    "params, optimizer, schedulers, top-k)")
     args = ap.parse_args()
 
     cfg = load_config(args.conf_dir)
@@ -57,6 +60,7 @@ def main() -> None:
         datamodule.train_batches,
         lambda: datamodule.val_batches(crop=crop),
         example_len=crop,
+        resume=args.resume,
     )
     print(f"training done; best model at {exp_dir / 'best_model.pkl'}")
 

@@ -151,13 +151,72 @@ class Trainer:
         except ImportError:
             return None
 
+    # ---- full-state checkpointing (orbax): params + optimizer + loop ----
+    def _save_last(self, exp_dir: Path, state, epoch: int, plateau, stopper,
+                   best_k) -> None:
+        """Crash-safe resume point: the FULL TrainState (params AND optimizer
+        state via orbax, sharded-array aware) + loop state (schedulers,
+        early-stop counters, top-k table, history) — the Lightning
+        `last.ckpt` role the portable pickle export does not cover."""
+        import orbax.checkpoint as ocp
+
+        last = exp_dir / "checkpoints" / "last"
+        last.mkdir(parents=True, exist_ok=True)
+        ocp.PyTreeCheckpointer().save(
+            str((last / "state").resolve()),
+            {"params": state.params, "opt_state": state.opt_state},
+            force=True,
+        )
+        def scalars(obj):
+            return {k: v for k, v in obj.__dict__.items()
+                    if isinstance(v, (int, float, str, bool))}
+
+        with open(last / "meta.json", "w") as f:
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "step": state.step,
+                    "plateau": scalars(plateau),
+                    "stopper": scalars(stopper),
+                    "best_k": best_k,
+                    "history": self.history,
+                },
+                f,
+            )
+
+    def _restore_last(self, exp_dir: Path, template_params, template_opt,
+                      plateau, stopper):
+        """→ (params, opt_state, next_epoch, best_k) or None."""
+        import orbax.checkpoint as ocp
+
+        last = exp_dir / "checkpoints" / "last"
+        if not (last / "meta.json").exists():
+            return None
+        restored = ocp.PyTreeCheckpointer().restore(
+            str((last / "state").resolve()),
+            item={"params": template_params, "opt_state": template_opt},
+        )
+        with open(last / "meta.json") as f:
+            meta = json.load(f)
+        plateau.__dict__.update(meta["plateau"])
+        stopper.__dict__.update(meta["stopper"])
+        self.history = meta["history"]
+        best_k = [(float(v), p) for v, p in meta["best_k"]]
+        logger.info("resuming from epoch %d", meta["epoch"] + 1)
+        return (restored["params"], restored["opt_state"],
+                int(meta["epoch"]) + 1, int(meta["step"]), best_k)
+
     def fit(
         self,
         train_batches: Callable[[int], Iterable],
         val_batches: Callable[[], Iterable] | None = None,
         rng: jax.Array | None = None,
         example_len: int = 32000,
+        resume: bool = False,
     ) -> TrainState:
+        """``resume=True`` continues from <exp_dir>/checkpoints/last
+        (params, optimizer state, LR-plateau/early-stop counters, top-k
+        table) when present; silently starts fresh otherwise."""
         exp_dir = Path(self.exp_dir)
         (exp_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
 
@@ -204,9 +263,26 @@ class Trainer:
         stopper = EarlyStopping(self.patience_stop)
         best_k: list[tuple[float, str]] = []
         state = TrainState(params, opt_state)
+        start_epoch = 0
+        if resume:
+            hit = self._restore_last(
+                exp_dir, jax.device_get(params), jax.device_get(opt_state),
+                plateau, stopper,
+            )
+            if hit is not None:
+                r_params, r_opt, start_epoch, step, best_k = hit
+                state = TrainState(
+                    replicate(r_params, mesh),
+                    jax.tree.map(
+                        lambda a: jax.device_put(a, rep)
+                        if hasattr(a, "shape") else a,
+                        r_opt,
+                    ),
+                )
+                state.step = step
 
         dropped_train = dropped_val = 0
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             losses = []
             for i, (mix, targets) in enumerate(train_batches(epoch)):
@@ -272,7 +348,9 @@ class Trainer:
                 with open(exp_dir / "best_k_models.json", "w") as f:
                     json.dump({p: v for v, p in best_k}, f, indent=2)
 
-            if stopper.step(val_loss):
+            should_stop = stopper.step(val_loss)
+            self._save_last(exp_dir, state, epoch, plateau, stopper, best_k)
+            if should_stop:
                 break
 
         # Export portable best model (train.py:100-105 equivalent).

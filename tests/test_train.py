@@ -1,5 +1,7 @@
 """Tests: data-parallel train step over the 8-device CPU mesh; trainer loop."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,3 +118,55 @@ def test_trainer_fit_smoke(tmp_path, rng):
     assert (tmp_path / "best_k_models.json").exists()
     assert len(trainer.history) == 2
     assert trainer.history[1]["val_loss"] <= trainer.history[0]["val_loss"] + 1.0
+
+
+def test_trainer_full_state_resume(tmp_path, rng):
+    """fit → crash → fit(resume=True) continues at the next epoch with the
+    saved optimizer/scheduler state (the Lightning last.ckpt role)."""
+    from sonicsim_tpu.losses import PairwiseNegSDR, PITLossWrapper
+    from sonicsim_tpu.models import ConvTasNet
+    from sonicsim_tpu.train import Trainer
+
+    t = 800
+    mix = rng.standard_normal((4, t)).astype(np.float32)
+    tgt = rng.standard_normal((4, 2, t)).astype(np.float32)
+
+    def batches(epoch=0):
+        return [(mix, tgt)]
+
+    def make(max_epochs):
+        return Trainer(
+            model=ConvTasNet(N=16, L=16, B=8, H=16, P=3, X=1, R=1,
+                             num_spks=2),
+            loss_fn=PITLossWrapper(PairwiseNegSDR("snr"),
+                                   threshold_byloss=False),
+            lr=1e-3, max_epochs=max_epochs, save_top_k=1,
+            exp_dir=tmp_path / "exp", n_devices=2,
+        )
+
+    state1 = make(2).fit(batches, batches, example_len=t)
+    meta = json.loads(
+        (tmp_path / "exp" / "checkpoints" / "last" / "meta.json").read_text()
+    )
+    assert meta["epoch"] == 1 and meta["step"] == 2
+
+    tr2 = make(4)
+    state2 = tr2.fit(batches, batches, example_len=t, resume=True)
+    # Continued: epochs 2 and 3 ran on top of the restored state.
+    assert [r["epoch"] for r in tr2.history] == [0, 1, 2, 3]
+    assert state2.step == 4
+    # Resumed params kept training (differ from the epoch-1 snapshot).
+    flat1 = jax.tree.leaves(jax.device_get(state1.params))
+    flat2 = jax.tree.leaves(jax.device_get(state2.params))
+    assert any(
+        not np.allclose(a, b) for a, b in zip(flat1, flat2)
+    )
+    # resume=True with no checkpoint silently starts fresh.
+    tr3 = Trainer(
+        model=ConvTasNet(N=16, L=16, B=8, H=16, P=3, X=1, R=1, num_spks=2),
+        loss_fn=PITLossWrapper(PairwiseNegSDR("snr"), threshold_byloss=False),
+        lr=1e-3, max_epochs=1, save_top_k=1,
+        exp_dir=tmp_path / "fresh", n_devices=2,
+    )
+    tr3.fit(batches, None, example_len=t, resume=True)
+    assert [r["epoch"] for r in tr3.history] == [0]
