@@ -70,8 +70,10 @@ def main() -> None:
     ap.add_argument("--sigmos_path", default=None,
                     help="SigMOS .onnx weights → adds the 7 MOS_* columns "
                     "(native ONNX executor)")
-    ap.add_argument("--pesq", action="store_true",
-                    help="add a pesq column (requires the pesq package)")
+    ap.add_argument("--no_pesq", action="store_true",
+                    help="drop the default pesq_nb/pesq_wb columns "
+                    "(reference wrapper.py:48; native P.862 pipeline, "
+                    "compiled ITU binding preferred when importable)")
     ap.add_argument("--whisper", default=None, metavar="MODEL_SIZE",
                     help="transcribe estimates with faster-whisper → adds "
                     "an asr transcript column (e.g. medium.en)")
@@ -100,10 +102,11 @@ def main() -> None:
         from sonicsim_tpu.metrics import make_sigmos_all
 
         extra_metrics.update(make_sigmos_all(args.sigmos_path))
-    if args.pesq:
+    if not args.no_pesq:
         from sonicsim_tpu.metrics import make_pesq
 
-        extra_metrics["pesq"] = make_pesq()
+        extra_metrics["pesq_nb"] = make_pesq("nb")
+        extra_metrics["pesq_wb"] = make_pesq("wb")
     if args.whisper:
         from sonicsim_tpu.metrics import make_whisper_asr
 

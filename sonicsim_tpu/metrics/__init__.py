@@ -17,6 +17,7 @@ from .sisdr import (
     si_sdr_improvement,
     snr,
 )
+from .pesq import pesq
 from .stoi import stoi
 from .tracker import MetricsTracker
 from .variants import MetricsTrackerNoASR, SplitMetricsTracker
@@ -49,5 +50,6 @@ __all__ = [
     "si_sdr",
     "si_sdr_improvement",
     "snr",
+    "pesq",
     "stoi",
 ]

@@ -4,8 +4,9 @@ The reference relies on compiled externals for these
 (separation/look2hear/metrics/wrapper.py:7-21: pesq, onnxruntime sessions
 dnsmos.py:22-95 / sigmos.py:17-84, faster-whisper asr.py:3-12). The ONNX
 MOS predictors run NATIVELY here through metrics/onnx_jax.py — only the
-model weights are required. PESQ (compiled ITU C code) and Whisper
-(CTranslate2) remain dependency-gated factories; the MetricsTracker accepts
+model weights are required — and PESQ runs NATIVELY through metrics/pesq.py
+(the compiled ITU binding is preferred when importable). Only Whisper
+(CTranslate2) remains a dependency-gated factory; the MetricsTracker accepts
 numeric sidecars as ``extra_metrics`` callables ``fn(ref, est, sr) -> float``
 and text sidecars (ASR transcripts, wrapper.py:113/125) as ``extra_text``
 callables ``fn(est, sr) -> str``.
@@ -16,19 +17,44 @@ from __future__ import annotations
 from pathlib import Path
 
 
-def make_pesq(mode: str = "wb"):
-    """PESQ via the `pesq` package (ITU-T P.862 reference C code)."""
-    try:
-        from pesq import pesq as _pesq
-    except ImportError as e:
-        raise ImportError(
-            "PESQ requires the `pesq` package (compiled ITU reference). "
-            "Install it in a sidecar environment, or drop 'pesq' from the "
-            "metric list."
-        ) from e
+def make_pesq(mode: str = "wb", native: bool | None = None):
+    """PESQ tracker extra-metric (ITU-T P.862 / P.862.2).
+
+    Prefers the compiled ITU reference (the `pesq` package) when it is
+    importable; otherwise falls back to the native NumPy implementation
+    of the P.862 pipeline (metrics/pesq.py — P.862-structured, not
+    bit-exact with the ITU binary). ``native=True`` forces the native
+    path, ``native=False`` requires the compiled package.
+    """
+    if native is not True:
+        try:
+            from pesq import pesq as _pesq
+
+            def _fn(ref, est, sample_rate):
+                import numpy as np
+
+                return float(np.mean([
+                    _pesq(sample_rate, r, e, mode)
+                    for r, e in zip(np.atleast_2d(ref), np.atleast_2d(est))
+                ]))
+
+            return _fn
+        except ImportError:
+            if native is False:
+                raise ImportError(
+                    "make_pesq(native=False) requires the compiled `pesq` "
+                    "package; omit native to use the built-in P.862 pipeline."
+                ) from None
+
+    from .pesq import pesq as _native_pesq
 
     def _fn(ref, est, sample_rate):
-        return float(_pesq(sample_rate, ref, est, mode))
+        import numpy as np
+
+        return float(np.mean([
+            _native_pesq(r, e, sample_rate, mode)
+            for r, e in zip(np.atleast_2d(ref), np.atleast_2d(est))
+        ]))
 
     return _fn
 
