@@ -7,12 +7,14 @@ with the TPU-native split:
 * geometry: ONE threaded native call enumerates image sources for every
   (pair, channel) item (``native.image_sources_batch``), padded to a static
   cap so shapes are XLA-friendly;
-* assembly: ONE jitted computation over the flattened item axis. With
-  uniform per-wall absorption the per-band amplitude factorizes as
-  ``amp[n, b] = g_n * beta_b ** hits_n`` — so windowed-sinc taps are
-  scattered once into *hit-class* accumulators and the per-band expansion
-  becomes a small ``(bands, classes) @ (classes, time)`` matmul (MXU work,
-  ~n_bands× less scatter traffic than per-band impulse trains).
+* assembly: ONE jitted dispatch over the flattened item axis
+  (``lax.map`` per item inside). With uniform per-wall absorption the
+  per-band amplitude factorizes as ``amp[n, b] = g_n * beta_b ** hits_n``
+  — so windowed-sinc taps are scattered once into *hit-class*
+  accumulators (one 25-wide row payload per image: TPU scatter cost is
+  per index row) and the per-band expansion becomes a small
+  ``(bands, classes) @ (classes, time)`` matmul (MXU work, ~n_bands×
+  less scatter traffic than per-band impulse trains).
 
 Output is numerically equivalent to looping ``SyntheticRirOracle.render``
 over pairs (same native geometry, same per-pair tail RNG streams), verified
@@ -38,7 +40,7 @@ from .image_source import (
     image_sources,
 )
 
-_CHUNK = 32  # items per jitted vmap call: bounds the (chunk, cap, taps) kern
+_CHUNK = 32  # item-axis padding quantum: bounds distinct compiled shapes
 
 
 @partial(
@@ -59,75 +61,110 @@ def _assemble_items(
     nfft: int,
     n_classes: int,
 ):
-    """(P items) → (P, ir_len) float32 RIRs. See module docstring."""
+    """(P items) → (P, ir_len) float32 RIRs. See module docstring.
+
+    TPU scatter cost is per index ROW, so the sinc taps are scattered as
+    one 25-wide row payload per image into a (classes, pad, taps)
+    accumulator — 25× fewer scatter rows than per-(tap, image) scalars —
+    and recombined with static shifted slices (fused adds, no extra
+    scatter). Items run sequentially under ``lax.map``: the per-item
+    scatter does not vectorize profitably and the map keeps the live
+    accumulator at one item (~18 MB) instead of the whole batch.
+    """
     taps = jnp.arange(-SINC_HALF, SINC_HALF + 1, dtype=jnp.float32)
+    n_taps = 2 * SINC_HALF + 1
     pad = ir_len + 2 * SINC_HALF + 2
     # (n_bands, n_classes): band profile of each total-hit-count class.
     band_profile = beta[:, None] ** jnp.arange(n_classes, dtype=jnp.float32)[None, :]
 
     n_bands = beta.shape[0]
 
-    def one(delays_si, hits_i, g_i, valid_i, key_i):
-        noise_i = jax.random.normal(key_i, (n_bands, ir_len), jnp.float32)
+    def scatter_one(args):
+        """Impulse-train accumulation for ONE item → (n_classes, ir_len)."""
+        delays_si, hits_i, g_i = args
         delays = delays_si * sample_rate  # float samples
         base = jnp.floor(delays)
         frac = delays - base
         t = taps[None, :] - frac[:, None]  # (N, taps)
         window = 0.5 + 0.5 * jnp.cos(jnp.pi * t / (SINC_HALF + 1))
         kern = jnp.sinc(t) * window * g_i[:, None]  # (N, taps)
-        idx = base[:, None].astype(jnp.int32) + taps[None, :].astype(jnp.int32)
-        idx = jnp.clip(idx + SINC_HALF, 0, pad - 1)
-        # Scatter into hit-class accumulators: one scatter for ALL bands.
+        # Row-payload scatter: image n's 25 taps land in
+        # acc3[cls_n, base_n + SINC_HALF, :]; tap slot t belongs at time
+        # sample (base_n + t - SINC_HALF), recovered by the shifted
+        # static slices below. base + SINC_HALF < pad by construction
+        # (native enumeration filters delays to <= ir_seconds).
         cls = jnp.clip(hits_i, 0, n_classes - 1)
-        acc = jnp.zeros((n_classes, pad), jnp.float32)
-        acc = acc.at[
-            jnp.broadcast_to(cls[:, None], idx.shape), idx
-        ].add(kern)
-        trains = band_profile @ acc[:, SINC_HALF : SINC_HALF + ir_len]
-        spec = jnp.fft.rfft(trains, nfft) * masks
-        early = jnp.fft.irfft(spec.sum(axis=0), nfft)[:ir_len]
+        row = base.astype(jnp.int32) + SINC_HALF
+        acc3 = jnp.zeros((n_classes, pad, n_taps), jnp.float32)
+        acc3 = acc3.at[cls, row, :].add(kern)
+        acc = acc3[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len, 0]
+        for tap in range(1, n_taps):
+            acc = acc + acc3[
+                :, 2 * SINC_HALF - tap : 2 * SINC_HALF - tap + ir_len, tap
+            ]
+        return acc
 
-        # Late tail: per-band Eyring decay, level matched to the mixing-zone
-        # image energy (parity with render_shoebox_rir_multiband).
-        big = jnp.float32(1e30)
-        t_direct = jnp.min(jnp.where(valid_i, delays_si, big))
-        t_direct = jnp.where(jnp.any(valid_i), t_direct, 0.0)
-        mix_sel = (
-            valid_i
-            & (delays_si > t_direct + 0.03)
-            & (delays_si < t_direct + 0.08)
-        )
-        g2 = g_i * g_i
-        cls_sum = jax.ops.segment_sum(
-            jnp.where(mix_sel, g2, 0.0), cls, num_segments=n_classes
-        )  # (n_classes,)
-        k = jnp.sum(mix_sel)
-        level_sel = jnp.sqrt(
-            (band_profile**2) @ cls_sum / jnp.maximum(k, 1)
-        )  # (n_bands,)
-        # segment_max yields -inf for empty classes; |g| >= 0 so clamp to 0.
-        cls_max = jnp.maximum(
-            jax.ops.segment_max(
-                jnp.where(valid_i, jnp.abs(g_i), 0.0), cls, num_segments=n_classes
-            ),
-            0.0,
-        )
-        level_fb = jnp.max(band_profile * cls_max[None, :], axis=1) * 0.05
-        level = jnp.where(k > 0, level_sel, level_fb)
+    # Sequential scatters (one live ~18 MB accumulator at a time), then
+    # everything downstream batched over the whole item axis so the FFTs
+    # amortize (per-item FFT batches are far below TPU efficiency).
+    accs = jax.lax.map(scatter_one, (delays_s, hits, g))  # (P, C, ir_len)
+    trains = jnp.einsum("bc,pct->pbt", band_profile, accs)
+    spec = jnp.fft.rfft(trains, nfft, axis=-1) * masks[None]
+    early = jnp.fft.irfft(spec.sum(axis=1), nfft, axis=-1)[:, :ir_len]
 
-        t_axis = jnp.arange(ir_len, dtype=jnp.float32) / sample_rate
-        decay = jnp.exp(
-            -6.908
-            * jnp.maximum(t_axis[None, :] - t_direct, 0.0)
-            / rt60_bands[:, None]
+    # Late tail: per-band Eyring decay, level matched to the mixing-zone
+    # image energy (parity with render_shoebox_rir_multiband).
+    cls_b = jnp.clip(hits, 0, n_classes - 1)  # (P, N)
+    big = jnp.float32(1e30)
+    t_direct = jnp.min(jnp.where(valid, delays_s, big), axis=1)
+    t_direct = jnp.where(jnp.any(valid, axis=1), t_direct, 0.0)  # (P,)
+    mix_sel = (
+        valid
+        & (delays_s > t_direct[:, None] + 0.03)
+        & (delays_s < t_direct[:, None] + 0.08)
+    )
+    cls_sum = jax.vmap(
+        lambda sel, g_i, c: jax.ops.segment_sum(
+            jnp.where(sel, g_i * g_i, 0.0), c, num_segments=n_classes
         )
-        ramp = jnp.clip((t_axis - t_direct) / 0.02, 0.0, 1.0) ** 2
-        shaped = noise_i * (level[:, None] * decay * ramp[None, :])
-        tail_spec = jnp.fft.rfft(shaped, nfft) * masks
-        tail = jnp.fft.irfft(tail_spec.sum(axis=0), nfft)[:ir_len]
-        return early + tail
+    )(mix_sel, g, cls_b)  # (P, n_classes)
+    k = jnp.sum(mix_sel, axis=1)  # (P,)
+    level_sel = jnp.sqrt(
+        cls_sum @ (band_profile**2).T / jnp.maximum(k, 1)[:, None]
+    )  # (P, n_bands)
+    # segment_max yields -inf for empty classes; |g| >= 0 so clamp to 0.
+    cls_max = jnp.maximum(
+        jax.vmap(
+            lambda v, g_i, c: jax.ops.segment_max(
+                jnp.where(v, jnp.abs(g_i), 0.0), c, num_segments=n_classes
+            )
+        )(valid, g, cls_b),
+        0.0,
+    )  # (P, n_classes)
+    level_fb = (
+        jnp.max(band_profile[None] * cls_max[:, None, :], axis=2) * 0.05
+    )  # (P, n_bands)
+    level = jnp.where((k > 0)[:, None], level_sel, level_fb)
 
-    return jax.vmap(one)(delays_s, hits, g, valid, noise_keys)
+    noise = jax.vmap(
+        lambda key: jax.random.normal(key, (n_bands, ir_len), jnp.float32)
+    )(noise_keys)  # (P, n_bands, ir_len)
+    t_axis = jnp.arange(ir_len, dtype=jnp.float32) / sample_rate
+    decay = jnp.exp(
+        -6.908
+        * jnp.maximum(t_axis[None, None, :] - t_direct[:, None, None], 0.0)
+        / rt60_bands[None, :, None]
+    )
+    ramp = (
+        jnp.clip(
+            (t_axis[None, :] - t_direct[:, None]) / 0.02, 0.0, 1.0
+        )
+        ** 2
+    )  # (P, ir_len)
+    shaped = noise * (level[:, :, None] * decay * ramp[:, None, :])
+    tail_spec = jnp.fft.rfft(shaped, nfft, axis=-1) * masks[None]
+    tail = jnp.fft.irfft(tail_spec.sum(axis=1), nfft, axis=-1)[:, :ir_len]
+    return early + tail
 
 
 def _enumerate_fallback(room, srcs, recvs, max_order, max_delay_s):
@@ -261,44 +298,39 @@ def render_bank_batched(
         jnp.asarray(seeds, jnp.uint32), jnp.asarray(chans)
     )
 
-    # ---- device side: chunked jitted assembly ------------------------------
+    # ---- device side: ONE jitted dispatch over the padded item axis --------
+    # (items padded to a _CHUNK multiple so distinct bank sizes reuse a
+    # small set of compiled shapes; padded outputs are discarded below)
     masks = jnp.asarray(band_masks(n_bands, nfft, sample_rate))
     beta_j = jnp.asarray(beta, jnp.float32)
     rt60_j = jnp.asarray(rt60_bands, jnp.float32)
-    out = np.empty((n_items, ir_len), np.float32)
-    for lo in range(0, n_items, _CHUNK):
-        hi = min(lo + _CHUNK, n_items)
-        padn = _CHUNK - (hi - lo)
-        sl = slice(lo, hi)
+    padn = (-n_items) % _CHUNK
 
-        def padded(a):
-            x = a[sl]
-            if padn:
-                x = np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
-            return jnp.asarray(x)
+    def padded(a):
+        if padn:
+            a = np.concatenate([a, np.zeros((padn,) + a.shape[1:], a.dtype)])
+        return jnp.asarray(a)
 
-        keys_chunk = noise_keys[sl]
-        if padn:  # pad with repeats; padded outputs are discarded below
-            keys_chunk = jnp.concatenate(
-                [keys_chunk, jnp.repeat(noise_keys[:1], padn, axis=0)]
-            )
-        chunk = _assemble_items(
-            padded(delays.astype(np.float32)),
-            padded(hits.astype(np.int32)),
-            padded(g),
-            padded(valid),
-            keys_chunk,
-            beta_j,
-            masks,
-            rt60_j,
-            sample_rate,
-            ir_len,
-            nfft,
-            n_classes,
+    keys_all = noise_keys
+    if padn:  # pad with repeats; padded outputs are discarded below
+        keys_all = jnp.concatenate(
+            [keys_all, jnp.repeat(noise_keys[:1], padn, axis=0)]
         )
-        out[sl] = np.asarray(chunk)[: hi - lo]
-
-    bank = out.reshape(n_src, n_recv, n_ch, ir_len)
+    out = _assemble_items(
+        padded(delays.astype(np.float32)),
+        padded(hits.astype(np.int32)),
+        padded(g),
+        padded(valid),
+        keys_all,
+        beta_j,
+        masks,
+        rt60_j,
+        sample_rate,
+        ir_len,
+        nfft,
+        n_classes,
+    )
+    bank = np.asarray(out)[:n_items].reshape(n_src, n_recv, n_ch, ir_len)
     if peak_normalize:
         peak = np.abs(bank).max()
         if peak > 0:
