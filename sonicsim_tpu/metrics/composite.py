@@ -166,15 +166,26 @@ def _trim_mos(v: float) -> float:
 def composite_measures(
     ref: np.ndarray, deg: np.ndarray, srate: int = 16000, pesq_value: float | None = None
 ) -> dict:
-    """CSIG/CBAK/COVL (+ raw SSNR/LLR/WSS). ``pesq_value`` from the PESQ
-    sidecar; composites are NaN without it (wrapper_vctk.py:44-120)."""
+    """CSIG/CBAK/COVL (+ raw SSNR/LLR/WSS), wrapper_vctk.py:44-120.
+
+    ``pesq_value`` overrides the PESQ term (e.g. from the compiled ITU
+    binding); by default it is computed with the native wideband P.862
+    pipeline (metrics/pesq.py), matching the reference's use of
+    pesq(..., 'wb') inside its VCTK composites."""
     wss_dist = wss(ref, deg, srate)
     llr_mean = llr(ref, deg, srate)
     _, seg_snr = ssnr(ref, deg, srate)
     out = {"ssnr": seg_snr, "llr": llr_mean, "wss": wss_dist}
     if pesq_value is None:
-        out.update({"csig": float("nan"), "cbak": float("nan"), "covl": float("nan")})
-        return out
+        from .pesq import pesq as _pesq
+
+        try:
+            pesq_value = _pesq(ref, deg, srate, "wb")
+        except ValueError:  # too-short segment
+            out.update(
+                {"csig": float("nan"), "cbak": float("nan"), "covl": float("nan")}
+            )
+            return out
     p = pesq_value
     out["csig"] = _trim_mos(3.093 - 1.029 * llr_mean + 0.603 * p - 0.009 * wss_dist)
     out["cbak"] = _trim_mos(1.634 + 0.478 * p - 0.007 * wss_dist + 0.063 * seg_snr)
