@@ -158,7 +158,10 @@ def main() -> None:
     bank_ch = ChannelModel("Binaural")
     waypoints = [rng.uniform([1, 1, 1], [7, 2.5, 5]) for _ in range(40)]
     mic = [np.array([4.0, 1.5, 3.0])]
-    render_rir_bank(oracle, waypoints[:2], mic, bank_ch)  # warmup/compile
+    # warmup/compile on the SAME item count: the renderer is one jitted
+    # dispatch specialized on the padded item axis, so a smaller warmup
+    # bank would leave the timed shape uncompiled
+    render_rir_bank(oracle, waypoints, mic, bank_ch)
     t0 = time.perf_counter()
     ir_sec = 0.0
     for _ in range(3):  # 3 speakers' banks

@@ -131,6 +131,12 @@ def main() -> None:
 
     vad_fn = None
     if args.vad_ckpt:
+        if not args.use_vad:
+            # --vad_ckpt without --use_vad would silently fall back to
+            # metadata segments after paying the model load; the flag
+            # states the intent, so honor it
+            print("--vad_ckpt given: enabling --use_vad")
+            args.use_vad = True
         from sonicsim_tpu.models.pyannet import make_neural_vad
 
         vad_fn = make_neural_vad(args.vad_ckpt)

@@ -26,33 +26,28 @@ def make_pesq(mode: str = "wb", native: bool | None = None):
     bit-exact with the ITU binary). ``native=True`` forces the native
     path, ``native=False`` requires the compiled package.
     """
+    scorer = None
     if native is not True:
         try:
             from pesq import pesq as _pesq
 
-            def _fn(ref, est, sample_rate):
-                import numpy as np
-
-                return float(np.mean([
-                    _pesq(sample_rate, r, e, mode)
-                    for r, e in zip(np.atleast_2d(ref), np.atleast_2d(est))
-                ]))
-
-            return _fn
+            scorer = lambda r, e, sr: _pesq(sr, r, e, mode)  # noqa: E731
         except ImportError:
             if native is False:
                 raise ImportError(
                     "make_pesq(native=False) requires the compiled `pesq` "
                     "package; omit native to use the built-in P.862 pipeline."
                 ) from None
+    if scorer is None:
+        from .pesq import pesq as _native_pesq
 
-    from .pesq import pesq as _native_pesq
+        scorer = lambda r, e, sr: _native_pesq(r, e, sr, mode)  # noqa: E731
 
     def _fn(ref, est, sample_rate):
         import numpy as np
 
         return float(np.mean([
-            _native_pesq(r, e, sample_rate, mode)
+            scorer(r, e, sample_rate)
             for r, e in zip(np.atleast_2d(ref), np.atleast_2d(est))
         ]))
 

@@ -292,9 +292,16 @@ def make_ecapa_embedder(checkpoint_path):
     fwd = jax.jit(lambda f: model.apply(params, f))
 
     def embed(wav, sample_rate=16000):
+        wav = np.asarray(wav, np.float32)
+        if sample_rate != 16000:
+            # the pretrained weights expect 25 ms / 10 ms frames at 16 kHz;
+            # n_fft/hop are in samples, so resample instead of rescaling
+            # the filterbank only
+            from ..utils.wavio import resample
+
+            wav = resample(wav, sample_rate, 16000)
         feats = ecapa_fbank(
-            jnp.asarray(np.asarray(wav, np.float32)), sample_rate,
-            n_mels=model.n_feats,
+            jnp.asarray(wav), 16000, n_mels=model.n_feats,
         )
         out = np.asarray(fwd(feats))[0]
         return out / (np.linalg.norm(out) + 1e-9)

@@ -135,14 +135,19 @@ class PyanNet(nn.Module):
 
     def frame_times(self, n_samples: int) -> np.ndarray:
         """Center time (seconds) of each output frame (receptive-field math
-        of the three conv/pool stages at the given stride)."""
+        of the three conv/pool stages at the given stride).
+
+        Every stage maps an arithmetic sequence of centers to another
+        arithmetic sequence (the mean of k consecutive terms is the middle
+        term), so the whole cascade reduces to closed-form (offset, step,
+        length) bookkeeping — no per-frame work."""
         # stage: (kernel, stride) in input samples
-        t = n_samples
-        pos = np.arange(t, dtype=np.float64)
+        offset, step, length = 0.0, 1.0, n_samples
         for k, s in ((251, 10), (3, 3), (5, 1), (3, 3), (5, 1), (3, 3)):
-            n = (len(pos) - k) // s + 1
-            idx = np.arange(n) * s
-            pos = np.array([pos[i : i + k].mean() for i in idx])
+            offset += step * (k - 1) / 2.0
+            length = (length - k) // s + 1
+            step *= s
+        pos = offset + step * np.arange(max(length, 0), dtype=np.float64)
         return pos / self.sample_rate
 
 

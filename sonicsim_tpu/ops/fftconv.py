@@ -121,8 +121,12 @@ def segment_plan(interp_index: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]
 
 
 def _on_tpu() -> bool:
+    """True only on TPU-like backends: the matmul-FFT trades O(N log N)
+    for MXU-friendly dense work, a win on the systolic array but a large
+    loss vs cuFFT on GPU — so GPU (and any other backend) stays on the
+    native FFT path."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

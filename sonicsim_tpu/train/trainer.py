@@ -186,7 +186,7 @@ class Trainer:
 
     def _restore_last(self, exp_dir: Path, template_params, template_opt,
                       plateau, stopper):
-        """→ (params, opt_state, next_epoch, best_k) or None."""
+        """→ (params, opt_state, next_epoch, step, best_k) or None."""
         import orbax.checkpoint as ocp
 
         last = exp_dir / "checkpoints" / "last"
