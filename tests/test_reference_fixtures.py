@@ -209,3 +209,22 @@ def test_energy_vad_calibration_vs_reference_spans():
     recall = inter / truth.sum()
     assert inter / union >= 0.85  # measured 0.938
     assert recall >= 0.95  # measured 0.991 — missed speech hurts eval most
+
+
+@needs_fixtures
+def test_separation_fixture_native_pesq_ordering():
+    """Native PESQ on real fixture speech: clean-vs-clean hits the P.862.2
+    cap, the mixture scores clearly lower against either source, and the
+    wrong source scores no better than the mixture's own reference."""
+    from sonicsim_tpu.metrics.pesq import pesq
+
+    mix, sr = read_wav(SEP_DIR / "mix.wav")
+    s1, _ = read_wav(SEP_DIR / "s1.wav")
+    mix, s1 = mix[0][SLICE], s1[0][SLICE]
+
+    identity = pesq(s1, s1, sr, "wb")
+    degraded = pesq(s1, mix, sr, "wb")
+    assert identity == pytest.approx(4.644, abs=5e-3)
+    # the mixture adds a competing speaker + noise at comparable level
+    assert degraded < identity - 1.0
+    assert pesq(s1, mix, sr, "nb") < pesq(s1, s1, sr, "nb") - 1.0
