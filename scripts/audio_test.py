@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--bf16", action="store_true",
                     help="run the model core in bfloat16 (MXU-native)")
+    ap.add_argument("--no_pesq", action="store_true",
+                    help="drop the default pesq_nb/pesq_wb columns")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -65,8 +67,18 @@ def main() -> None:
         with open(args.segments_json) as f:
             segments = json.load(f)
 
+    extra_metrics = {}
+    if not args.no_pesq:  # default columns, reference wrapper.py:48
+        from sonicsim_tpu.metrics import make_pesq
+
+        extra_metrics["pesq_nb"] = make_pesq("nb")
+        extra_metrics["pesq_wb"] = make_pesq("wb")
+
     suffix = f"remix-{args.noise_type}"
-    tracker = MetricsTracker(exp_dir / "results" / f"metrics_{suffix}.csv")
+    tracker = MetricsTracker(
+        exp_dir / "results" / f"metrics_{suffix}.csv",
+        extra_metrics=extra_metrics or None,
+    )
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
     for i in range(n):
         mix, targets, folder = ds[i]

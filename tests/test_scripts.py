@@ -78,6 +78,42 @@ def test_cli_eval_driver(eval_fixture):
     assert lines[-2].startswith("avg,") and lines[-1].startswith("std,")
 
 
+def test_cli_audio_test_remix_driver(eval_fixture):
+    """scripts/audio_test.py over an on-the-fly remix tree
+    (separation/audio_test.py role: moving_audio_{i}.wav + noise_audio.wav
+    leaves, precomputed segment spans instead of a VAD run)."""
+    from sonicsim_tpu.utils.wavio import write_wav
+
+    rng = np.random.default_rng(3)
+    sr, t = 16000, 2 * 16000
+    remix = eval_fixture / "remix" / "sampR"
+    remix.mkdir(parents=True, exist_ok=True)
+    for name in ("moving_audio_1", "moving_audio_2", "moving_audio_3",
+                 "noise_audio"):
+        write_wav(remix / f"{name}.wav",
+                  (rng.standard_normal(t) * 0.1).astype(np.float32), sr)
+    segments = {"sampR": [[0, 16000]]}
+    seg_path = eval_fixture / "segments.json"
+    with open(seg_path, "w") as f:
+        json.dump(segments, f)
+    conf = eval_fixture / "conf_remix.yaml"
+    with open(conf, "w") as f:
+        f.write(
+            f"exp:\n  dir: {eval_fixture / 'exp'}\n  name: Tiny\n"
+            f"datas:\n  test_dir: {eval_fixture / 'remix'}\n"
+            "  sample_rate: 16000\n  num_spks: 2\n"
+        )
+    out = _run_script(
+        "scripts/audio_test.py",
+        ["--conf_dir", str(conf), "--segments_json", str(seg_path),
+         "--no_pesq"],
+    )
+    assert "final:" in out
+    csv = eval_fixture / "exp" / "Tiny" / "results" / "metrics_remix-noise.csv"
+    lines = csv.read_text().strip().splitlines()
+    assert lines[-2].startswith("avg,") and lines[-1].startswith("std,")
+
+
 def test_cli_inference(eval_fixture, tmp_path):
     out = _run_script(
         "scripts/inference.py",
