@@ -80,6 +80,12 @@ def main() -> None:
     ap.add_argument("--vad_ckpt", default=None, metavar="CKPT",
                     help="PyanNet checkpoint — with --use_vad, segment with "
                     "the native neural VAD instead of the energy VAD")
+    ap.add_argument("--bucket", type=int, default=0, metavar="SAMPLES",
+                    help="zero-pad segments up to multiples of SAMPLES "
+                    "before the forward and slice the estimate back, "
+                    "bounding XLA recompiles across variable-length VAD "
+                    "spans (default 0 = exact lengths, reference parity; "
+                    "padding shifts global-norm statistics slightly)")
     args = ap.parse_args()
 
     cfg = load_config(args.conf_dir)
@@ -149,7 +155,11 @@ def main() -> None:
         )
         for s, e in spans:
             seg_mix = mix[s:e]
-            est = np.asarray(fwd(params, seg_mix[None, :]))[0]
+            run_mix = seg_mix
+            if args.bucket:
+                padded = -((s - e) // args.bucket) * args.bucket
+                run_mix = np.pad(seg_mix, (0, padded - (e - s)))
+            est = np.asarray(fwd(params, run_mix[None, :]))[0][..., : e - s]
             tracker(seg_mix, targets[:, s:e], est, f"{Path(folder).name}:{s}")
         print(f"[{i + 1}/{n}] {Path(folder).name} running={tracker.update()}")
     print("final:", tracker.final())
