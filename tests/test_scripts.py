@@ -78,6 +78,27 @@ def test_cli_eval_driver(eval_fixture):
     assert lines[-2].startswith("avg,") and lines[-1].startswith("std,")
 
 
+def test_cli_eval_driver_bucketed(eval_fixture):
+    """--bucket pads segments to a bucket multiple (bounding per-length
+    recompiles) and slices the estimate back; results stay close to exact."""
+    import re
+
+    def sdr_of(extra):
+        out = _run_script(
+            "scripts/test.py",
+            ["--conf_dir", str(eval_fixture / "conf.yaml"), "--no_pesq",
+             "--limit", "1", *extra],
+        )
+        assert "final:" in out
+        m = re.search(r"'sdr': (-?\d+\.\d+)", out)
+        assert m
+        return float(m.group(1))
+
+    exact = sdr_of([])
+    bucketed = sdr_of(["--bucket", "7000"])  # 16000-sample span -> pad to 21000
+    assert abs(bucketed - exact) < 0.5  # padding shifts global norms slightly
+
+
 def test_cli_audio_test_remix_driver(eval_fixture):
     """scripts/audio_test.py over an on-the-fly remix tree
     (separation/audio_test.py role: moving_audio_{i}.wav + noise_audio.wav
