@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from sonicsim_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: ~8x faster cold starts
+
 import jax
 
 from sonicsim_tpu.dataset.sampler import MovingTestEvalDataset

@@ -13,6 +13,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from sonicsim_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: ~8x faster cold starts
+
 from sonicsim_tpu.train.trainer import Trainer
 from sonicsim_tpu.utils import instantiate, load_config, save_config
 

@@ -15,6 +15,8 @@ outputs are reproducible from (seed, scene, triple).
 from __future__ import annotations
 
 import json
+import logging
+import time
 from pathlib import Path
 
 import numpy as np
@@ -23,6 +25,9 @@ from ..ops.fftconv import segment_plan
 from ..ops.interp import dynamic_interp_plan
 from ..parallel.pipeline import pad_moving_plans, render_mixture_sources
 from ..sim.maps import save_trace_image
+from ..utils.seeding import stable_seed
+
+logger = logging.getLogger(__name__)
 from ..sim.oracle import save_rir_bank
 from ..sim.scene import Scene
 from ..utils.wavio import write_wav
@@ -288,8 +293,12 @@ def generate_split(
             out_dir = scene_root / name
             if (out_dir / "json_data.json").exists():
                 continue
-            seed = abs(hash((base_seed, scene_name, name))) % (2**31)
+            # stable_seed, NOT hash(): str hashing is randomized per process,
+            # which would make the same (scene, triple) non-reproducible
+            # across runs/resumes
+            seed = stable_seed(base_seed, scene_name, name)
             rng = np.random.default_rng(seed)
+            t0 = time.perf_counter()
             plan = plan_mixture(
                 scene,
                 [scan_audio_lengths(c) for c in chosen],
@@ -301,6 +310,11 @@ def generate_split(
             )
             render_mixture(scene, plan, out_dir, transcripts)
             produced.append(out_dir)
+            # per-mixture elapsed log (SonicSet_train.py:215 parity)
+            logger.info(
+                "%s/%s: %.1f s elapsed (%d generated)",
+                scene_name, name, time.perf_counter() - t0, len(produced),
+            )
             if max_mixtures is not None and len(produced) >= max_mixtures:
                 return produced
     return produced

@@ -10,6 +10,7 @@ from .audio import (
     normalize,
     sum_arrays_with_different_length,
 )
+from .seeding import stable_seed
 from .wavio import read_wav, resample, write_wav
 
 __all__ = [
@@ -30,5 +31,6 @@ __all__ = [
     "read_wav",
     "resample",
     "save_config",
+    "stable_seed",
     "write_wav",
 ]
