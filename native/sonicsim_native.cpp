@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <queue>
 #include <thread>
@@ -256,6 +257,151 @@ int simplify_path(const uint8_t* occ, int nx, int nz, int* path, int n) {
   }
   std::memcpy(path, buf.data(), buf.size() * sizeof(int));
   return static_cast<int>(out.size());
+}
+
+// ---------------------------------------------------------------------------
+// Native WAV decode (the data-loader hot path; the reference leans on torch
+// DataLoader's C++ workers — separation/look2hear/datas/movingdatamodule.py
+// via torchaudio.load). Plain-C ABI; ctypes releases the GIL around these
+// calls, so a Python thread pool gets true parallel decode.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WavHeader {
+  int format = 0;      // 1 = PCM, 3 = IEEE float
+  int n_ch = 0;
+  int sample_rate = 0;
+  int bits = 0;
+  long long data_off = 0;  // byte offset of sample data in file
+  long long data_len = 0;  // bytes of sample data
+};
+
+// Parses the RIFF chunk list (same walk as utils/wavio.py read_wav).
+static int parse_wav_header(FILE* f, WavHeader* h) {
+  unsigned char head[12];
+  if (std::fread(head, 1, 12, f) != 12) return -1;
+  if (std::memcmp(head, "RIFF", 4) != 0 || std::memcmp(head + 8, "WAVE", 4) != 0)
+    return -2;
+  long long pos = 12;
+  bool have_fmt = false, have_data = false;
+  while (!(have_fmt && have_data)) {
+    unsigned char ch[8];
+    if (std::fseek(f, static_cast<long>(pos), SEEK_SET) != 0) break;
+    if (std::fread(ch, 1, 8, f) != 8) break;
+    unsigned int size = ch[4] | (ch[5] << 8) | (ch[6] << 16)
+        | (static_cast<unsigned int>(ch[7]) << 24);
+    if (std::memcmp(ch, "fmt ", 4) == 0) {
+      unsigned char fmt[40];
+      size_t want = size < sizeof(fmt) ? size : sizeof(fmt);
+      if (std::fread(fmt, 1, want, f) != want) return -3;
+      h->format = fmt[0] | (fmt[1] << 8);
+      h->n_ch = fmt[2] | (fmt[3] << 8);
+      h->sample_rate = fmt[4] | (fmt[5] << 8) | (fmt[6] << 16) | (fmt[7] << 24);
+      h->bits = fmt[14] | (fmt[15] << 8);
+      if (h->format == 0xFFFE && want >= 26)  // WAVE_FORMAT_EXTENSIBLE
+        h->format = fmt[24] | (fmt[25] << 8);
+      have_fmt = true;
+    } else if (std::memcmp(ch, "data", 4) == 0) {
+      h->data_off = pos + 8;
+      h->data_len = size;
+      have_data = true;
+    }
+    pos += 8 + size + (size & 1);
+  }
+  if (!have_fmt || !have_data) return -4;
+  return 0;
+}
+
+}  // namespace
+
+// File metadata: frames/channels/sample-rate without decoding.
+// Returns 0, or a negative parse error.
+int wav_info(const char* path, long long* n_frames, int* n_ch, int* sr) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -10;
+  WavHeader h;
+  int rc = parse_wav_header(f, &h);
+  std::fclose(f);
+  if (rc != 0) return rc;
+  if (h.n_ch <= 0 || h.bits <= 0) return -5;
+  *n_frames = h.data_len / (static_cast<long long>(h.n_ch) * (h.bits / 8));
+  *n_ch = h.n_ch;
+  *sr = h.sample_rate;
+  return 0;
+}
+
+// Decode to float32. mono=1 averages channels into (frames,); otherwise the
+// output is channel-major (n_ch, frames) — the (C, T) layout of
+// utils/wavio.py. Returns frames decoded, or a negative error.
+long long wav_read_f32(const char* path, int mono, float* out,
+                       long long cap_frames) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -10;
+  WavHeader h;
+  int rc = parse_wav_header(f, &h);
+  if (rc != 0) { std::fclose(f); return rc; }
+  int bytes = h.bits / 8;
+  if (h.n_ch <= 0 || bytes <= 0) { std::fclose(f); return -5; }
+  long long frames = h.data_len / (static_cast<long long>(h.n_ch) * bytes);
+  if (frames > cap_frames) frames = cap_frames;
+  std::vector<unsigned char> raw(static_cast<size_t>(frames) * h.n_ch * bytes);
+  if (std::fseek(f, static_cast<long>(h.data_off), SEEK_SET) != 0 ||
+      std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+    std::fclose(f);
+    return -6;
+  }
+  std::fclose(f);
+
+  const int C = h.n_ch;
+  auto sample = [&](long long t, int c) -> float {
+    const unsigned char* p = raw.data() + (t * C + c) * bytes;
+    if (h.format == 1) {  // PCM
+      switch (h.bits) {
+        case 16: {
+          int16_t v; std::memcpy(&v, p, 2);
+          return static_cast<float>(v) / 32768.0f;
+        }
+        case 32: {
+          int32_t v; std::memcpy(&v, p, 4);
+          return static_cast<float>(v) / 2147483648.0f;
+        }
+        case 24: {
+          int32_t v = p[0] | (p[1] << 8) | (static_cast<int8_t>(p[2]) << 16);
+          return static_cast<float>(v) / 8388608.0f;
+        }
+        case 8:
+          return (static_cast<float>(p[0]) - 128.0f) / 128.0f;
+        default:
+          return 0.0f;
+      }
+    }
+    if (h.format == 3) {  // IEEE float
+      if (h.bits == 32) { float v; std::memcpy(&v, p, 4); return v; }
+      if (h.bits == 64) { double v; std::memcpy(&v, p, 8);
+                          return static_cast<float>(v); }
+    }
+    return 0.0f;
+  };
+  if ((h.format != 1 && h.format != 3) ||
+      (h.format == 1 && h.bits != 8 && h.bits != 16 && h.bits != 24 &&
+       h.bits != 32) ||
+      (h.format == 3 && h.bits != 32 && h.bits != 64))
+    return -7;
+
+  if (mono) {
+    const float inv = 1.0f / static_cast<float>(C);
+    for (long long t = 0; t < frames; ++t) {
+      float acc = 0.0f;
+      for (int c = 0; c < C; ++c) acc += sample(t, c);
+      out[t] = acc * inv;
+    }
+  } else {
+    for (int c = 0; c < C; ++c)
+      for (long long t = 0; t < frames; ++t)
+        out[c * frames + t] = sample(t, c);
+  }
+  return frames;
 }
 
 }  // extern "C"

@@ -35,6 +35,11 @@ class MovingDataModule:
     noise_type: str = "noise"
     seed: int = 0
     target_names: tuple[str, ...] | None = None
+    # DataLoader-worker role (movingdatamodule.py:352-377): >=1 decodes
+    # items on a thread pool (native WAV reader releases the GIL) and
+    # prefetches batches so host prep overlaps device compute.
+    num_workers: int = 0
+    prefetch: int = 2
 
     def __post_init__(self):
         self._train = MovingTrainDataset(
@@ -63,28 +68,33 @@ class MovingDataModule:
         )
 
     def train_batches(self, epoch: int = 0):
+        from .loader import batched_loader
+
         self._train.set_epoch(epoch)
-        batch = []
-        for i in range(len(self._train)):
-            batch.append(self._train[i])
-            if len(batch) == self.batch_size:
-                yield _stack_batch(batch)
-                batch = []
-        if batch:
-            yield _stack_batch(batch)
+        yield from batched_loader(
+            self._train, self.batch_size,
+            num_workers=self.num_workers, prefetch=self.prefetch,
+            collate=_stack_batch,
+        )
 
     def _fixed_batches(self, ds: MovingTestDataset, crop: int | None = None):
-        batch = []
-        for i in range(len(ds)):
-            mix, tgt = ds[i]
-            if crop is not None:
-                mix, tgt = mix[..., :crop], tgt[..., :crop]
-            batch.append((mix, tgt))
-            if len(batch) == self.batch_size:
-                yield _stack_batch(batch)
-                batch = []
-        if batch:
-            yield _stack_batch(batch)
+        from .loader import batched_loader
+
+        class _Cropped:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                mix, tgt = ds[i]
+                if crop is not None:
+                    mix, tgt = mix[..., :crop], tgt[..., :crop]
+                return mix, tgt
+
+        yield from batched_loader(
+            _Cropped(), self.batch_size,
+            num_workers=self.num_workers, prefetch=self.prefetch,
+            collate=_stack_batch,
+        )
 
     def val_batches(self, crop: int | None = None):
         yield from self._fixed_batches(self._val, crop)

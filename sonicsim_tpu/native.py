@@ -53,6 +53,13 @@ def _load():
     lib.astar.argtypes = [up] + [ctypes.c_int] * 6 + [ip, ctypes.c_int]
     lib.simplify_path.restype = ctypes.c_int
     lib.simplify_path.argtypes = [up, ctypes.c_int, ctypes.c_int, ip, ctypes.c_int]
+    llp = ctypes.POINTER(ctypes.c_longlong)
+    lib.wav_info.restype = ctypes.c_int
+    lib.wav_info.argtypes = [ctypes.c_char_p, llp, ip, ip]
+    lib.wav_read_f32.restype = ctypes.c_longlong
+    lib.wav_read_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, fp, ctypes.c_longlong,
+    ]
     _lib = lib
     return _lib
 
@@ -155,3 +162,35 @@ def astar_path(occupancy: np.ndarray, start, goal, simplify: bool = True):
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n,
         )
     return buf[: 2 * n].reshape(n, 2).copy()
+
+
+def read_wav(path, mono: bool = False):
+    """Native WAV decode → ((C, T) float32 or (T,) if mono, sample_rate),
+    or None when the library is unavailable or the format unsupported.
+
+    ctypes releases the GIL for the whole parse+decode, so thread pools
+    (dataset/loader.py) decode in parallel — the torch-DataLoader-worker
+    role (SURVEY §2.8.3) without a process pool.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_frames = ctypes.c_longlong()
+    n_ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    encoded = str(path).encode()
+    if lib.wav_info(encoded, ctypes.byref(n_frames),
+                    ctypes.byref(n_ch), ctypes.byref(sr)) != 0:
+        return None
+    frames, channels = n_frames.value, n_ch.value
+    out = np.empty(frames if mono else channels * frames, np.float32)
+    got = lib.wav_read_f32(
+        encoded, int(mono),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames,
+    )
+    if got < 0:
+        return None
+    out = out[: got if mono else channels * got]
+    if not mono:
+        out = out.reshape(channels, got)
+    return out, sr.value

@@ -19,7 +19,17 @@ from scipy.signal import resample_poly
 
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
-    """Read a WAV file. Returns (waveform (C, T) float32, sample_rate)."""
+    """Read a WAV file. Returns (waveform (C, T) float32, sample_rate).
+
+    Decodes through the native C++ reader when available (GIL-released →
+    thread pools parallelize; see native.read_wav), falling back to the
+    pure-Python RIFF parser below — which also produces the detailed
+    errors for malformed files."""
+    from .. import native
+
+    fast = native.read_wav(path)
+    if fast is not None:
+        return fast
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
