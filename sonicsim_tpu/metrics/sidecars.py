@@ -136,21 +136,48 @@ def make_sigmos_all(model_path: str | Path):
 
 
 def make_whisper_asr(model_size: str = "medium.en", device: str = "cpu",
-                     download_root: str | None = None):
+                     download_root: str | None = None,
+                     native: bool | None = None):
     """Whisper transcription sidecar (metrics/asr.py:3-12 contract).
 
     Returns a text callable ``fn(audio, sample_rate) -> str`` for the
     tracker's ``extra_text`` slot — the reference records the raw estimate
     transcript per segment (wrapper.py:113,125); WER against a reference
     transcript is computed downstream with :func:`wer`.
+
+    Prefers faster-whisper (the reference's CTranslate2 decoder) when it is
+    importable; otherwise, when ``model_size`` is a local checkpoint path
+    (HF directory or OpenAI .pt with vocab.json beside it), transcription
+    runs NATIVELY through the built-in flax Whisper
+    (models/whisper.py — single-dispatch KV-cached greedy decode).
+    ``native=True`` forces the native path, ``native=False`` requires
+    faster-whisper.
     """
-    try:
-        from faster_whisper import WhisperModel
-    except ImportError as e:
-        raise ImportError(
-            "ASR metrics require faster-whisper (CTranslate2); run in a "
-            "sidecar environment."
-        ) from e
+    from pathlib import Path as _Path
+
+    is_path = _Path(model_size).exists()
+    if native is not True:
+        try:
+            from faster_whisper import WhisperModel
+        except ImportError:
+            if native is False:
+                raise ImportError(
+                    "make_whisper_asr(native=False) requires faster-whisper "
+                    "(CTranslate2); omit native to use the built-in flax "
+                    "Whisper with a local checkpoint path."
+                ) from None
+            if not is_path:
+                raise ImportError(
+                    "faster-whisper is not importable and model_size is not "
+                    "a local checkpoint path; the native flax Whisper needs "
+                    "a downloaded checkpoint (HF dir or OpenAI .pt + "
+                    "vocab.json)."
+                ) from None
+            native = True
+    if native is True:
+        from ..models.whisper import make_whisper_transcriber
+
+        return make_whisper_transcriber(model_size)
 
     model = WhisperModel(model_size, device=device,
                          download_root=download_root)

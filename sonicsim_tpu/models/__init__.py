@@ -15,6 +15,7 @@ from .dccrn import DCCRN
 from .dprnn import DPRNNTasNet
 from .ecapa import EcapaTdnn, ecapa_fbank, make_ecapa_embedder
 from .pyannet import PyanNet, binarize_activations, make_neural_vad
+from .whisper import Whisper, WhisperConfig, make_whisper_transcriber
 from .enc_dec import FreeDecoder, FreeEncoder, make_enc_dec
 from .dptnet import DPTNetModel
 from .fullsubnet import Fullband, FullSubnet
@@ -41,6 +42,9 @@ __all__ = [
     "EcapaTdnn",
     "ecapa_fbank",
     "make_ecapa_embedder",
+    "Whisper",
+    "WhisperConfig",
+    "make_whisper_transcriber",
     "PyanNet",
     "binarize_activations",
     "make_neural_vad",
