@@ -149,24 +149,42 @@ def main() -> None:
     # Replaces the reference's mp.Pool-of-habitat-sims design point
     # (SonicSim_rir.py:751-791). Host+device wall-clock, audio-seconds of
     # rendered IR per second.
+    from sonicsim_tpu.sim.bank_render import render_rir_banks
     from sonicsim_tpu.sim.channels import ChannelModel
     from sonicsim_tpu.sim.image_source import ShoeboxRoom
-    from sonicsim_tpu.sim.oracle import SyntheticRirOracle, render_rir_bank
+    from sonicsim_tpu.sim.oracle import SyntheticRirOracle
 
     room = ShoeboxRoom((8.0, 3.0, 6.0), absorption=0.3)
     oracle = SyntheticRirOracle(room, n_bands=32, max_order=4)
     bank_ch = ChannelModel("Binaural")
-    waypoints = [rng.uniform([1, 1, 1], [7, 2.5, 5]) for _ in range(40)]
     mic = [np.array([4.0, 1.5, 3.0])]
+
+    def speaker_ways(k):
+        r = np.random.default_rng(1000 + k)  # fresh positions per call:
+        return [r.uniform([1, 1, 1], [7, 2.5, 5]) for _ in range(40)]
+
     # warmup/compile on the SAME item count: the renderer is one jitted
-    # dispatch specialized on the padded item axis, so a smaller warmup
-    # bank would leave the timed shape uncompiled
-    render_rir_bank(oracle, waypoints, mic, bank_ch)
+    # dispatch specialized on the padded item axis. Banks stay DEVICE-
+    # resident (the production consumer is the on-device moving-source
+    # conv); each timed call uses fresh geometry so nothing upstream can
+    # cache, and one scalar readback closes the async dispatch.
+    warm = render_rir_banks(
+        oracle, [speaker_ways(90 + i) for i in range(3)], mic, bank_ch,
+        out_device=True,
+    )
+    jax.block_until_ready(warm)
     t0 = time.perf_counter()
     ir_sec = 0.0
-    for _ in range(3):  # 3 speakers' banks
-        bank = render_rir_bank(oracle, waypoints, mic, bank_ch)
-        ir_sec += bank.shape[0] * bank.shape[1] * bank.shape[2] * bank.shape[3] / sr
+    for it in range(3):
+        banks = render_rir_banks(
+            oracle, [speaker_ways(3 * it + i) for i in range(3)], mic,
+            bank_ch, out_device=True,
+        )
+        ir_sec += sum(
+            b.shape[0] * b.shape[1] * b.shape[2] * b.shape[3] / sr
+            for b in banks
+        )
+        float(banks[0].ravel()[0])
     dt_bank = time.perf_counter() - t0
     results.append(("RIR bank render (3x40 pairs, binaural)", ir_sec / dt_bank))
 

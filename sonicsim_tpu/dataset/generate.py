@@ -120,12 +120,16 @@ def render_mixture(
     sr = plan.sample_rate
     rng = np.random.default_rng(plan.seed)
 
-    # Per-speaker RIR banks: trajectory waypoints × the mic.
+    # Per-speaker RIR banks: trajectory waypoints × the mic — all
+    # trajectories rendered in ONE fused device dispatch.
     mic = np.asarray(plan.mic_point)
-    banks = []
-    for traj in plan.trajectories:
-        bank = scene.render_bank([np.asarray(p) for p in traj], [mic])
-        banks.append(bank[:, 0])  # (P, C, L)
+    banks = [
+        b[:, 0]  # (P, C, L)
+        for b in scene.render_banks(
+            [[np.asarray(p) for p in traj] for traj in plan.trajectories],
+            [mic],
+        )
+    ]
     if save_bank:
         save_rir_bank(
             out / f"rir_bank_{plan.channel_type}.npz",

@@ -2,35 +2,42 @@
 
 This replaces the reference's process-pool fan-out (render_rir_parallel,
 SonicSim_rir.py:724-791 — one habitat Simulator per task, mp.Pool(cpu_count))
-with the TPU-native split:
+with a fully device-resident pipeline:
 
-* geometry: ONE threaded native call enumerates image sources for every
-  (pair, channel) item (``native.image_sources_batch``), padded to a static
-  cap so shapes are XLA-friendly;
-* assembly: ONE jitted dispatch over the flattened item axis
-  (``lax.map`` per item inside). With uniform per-wall absorption the
-  per-band amplitude factorizes as ``amp[n, b] = g_n * beta_b ** hits_n``
-  — so windowed-sinc taps are scattered once into *hit-class*
-  accumulators (one 25-wide row payload per image: TPU scatter cost is
-  per index row) and the per-band expansion becomes a small
-  ``(bands, classes) @ (classes, time)`` matmul (MXU work, ~n_bands×
-  less scatter traffic than per-band impulse trains).
+* geometry ON DEVICE: the shoebox image-source lattice is a regular
+  (2·(2·order+1))³ grid — pure arithmetic — so only the source/receiver
+  positions (a few KB) cross the host→device link instead of the
+  enumerated (items, images) delay/gain tables (several MB; the tunneled
+  TPU link measures ~23 MB/s, so shipping geometry dominated everything);
+* directional gains ON DEVICE: mono/array (unity), binaural (cardioid
+  head-shadow), ambisonics (real SH, ACN/SN3D, unrolled recurrence) — the
+  jnp twins of ChannelModel.directional_gain;
+* tap placement as a dense blocked ONE-HOT MATMUL, not a scatter: TPU
+  scatter executes ~one update row per several hundred ns (it dominated
+  the old formulation at ~4 ms/item) while the MXU chews the
+  (classes·blocks, N)x(N, window) contraction in tens of µs. With uniform
+  per-wall absorption the per-band amplitude factorizes as
+  ``amp[n, b] = g_n * beta_b ** hits_n`` so placement accumulates into
+  *hit-class* impulse trains and the per-band expansion is a small
+  ``(bands, classes) @ (classes, time)`` matmul;
+* the bank can stay ON DEVICE (``out_device=True``) for the downstream
+  moving-source convolution — no 5 MB/bank device→host download.
 
 Output is numerically equivalent to looping ``SyntheticRirOracle.render``
-over pairs (same native geometry, same per-pair tail RNG streams), verified
-by tests/test_bank_render.py. The item axis is the mesh-shardable axis for
-multi-chip generation fan-out.
+over pairs (same lattice, same sinc/Hann taps, same per-pair tail RNG
+streams), verified by tests/test_bank_render.py. The item axis is the
+mesh-shardable axis for multi-chip generation fan-out.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import math
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import native
 from .channels import ChannelModel
 from .image_source import (
     SINC_HALF,
@@ -41,16 +48,103 @@ from .image_source import (
 )
 
 _CHUNK = 32  # item-axis padding quantum: bounds distinct compiled shapes
+_BLOCK = 1024  # time-block quantum for the placement matmul
+_PLACE_BATCH = 8  # items per placement matmul (MXU batch)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("sample_rate", "ir_len", "nfft", "n_classes"),
-)
-def _assemble_items(
-    delays_s,  # (P, N) float32 seconds (0 beyond count)
+def _real_sh(dirs: jax.Array, order: int) -> jax.Array:
+    """Real spherical harmonics, ACN/SN3D, y-up: (..., 3) unit dirs →
+    (..., (order+1)^2). jnp twin of channels.real_sh_matrix (unrolled
+    recurrences, no Condon-Shortley phase)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    az = jnp.arctan2(-x, -z)
+    s = jnp.clip(y, -1.0, 1.0)  # sin(elevation)
+    c = jnp.sqrt(jnp.maximum(1.0 - s * s, 0.0))
+    # Associated Legendre P_l^m(s) (positive convention) by recurrence.
+    P = {(0, 0): jnp.ones_like(s)}
+    for m in range(1, order + 1):
+        P[(m, m)] = P[(m - 1, m - 1)] * float(2 * m - 1) * c
+    for m in range(0, order):
+        P[(m + 1, m)] = s * float(2 * m + 1) * P[(m, m)]
+    for m in range(0, order + 1):
+        for l in range(m + 2, order + 1):
+            P[(l, m)] = (
+                float(2 * l - 1) * s * P[(l - 1, m)]
+                - float(l + m - 1) * P[(l - 2, m)]
+            ) / float(l - m)
+    cols = []
+    for l in range(order + 1):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            norm = math.sqrt(
+                (2.0 if m != 0 else 1.0)
+                * math.factorial(l - am)
+                / math.factorial(l + am)
+            )
+            leg = P[(l, am)]
+            if m > 0:
+                cols.append(norm * leg * jnp.cos(am * az))
+            elif m < 0:
+                cols.append(norm * leg * jnp.sin(am * az))
+            else:
+                cols.append(norm * leg)
+    return jnp.stack(cols, axis=-1)
+
+
+def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
+    """Image-source lattice for every item, entirely in jnp.
+
+    ``srcs``/``recvs`` (P, 3) → delays_s (P, N), hits (P, N) int32,
+    dirs (P, N, 3), valid (P, N) with N = (2·(2·max_order+1))³ — the same
+    lattice as image_source.image_sources (positions/hit counts identical).
+    """
+    m = max_order
+    n = jnp.arange(-m, m + 1, dtype=jnp.float32)  # periodic index
+    p = jnp.arange(2, dtype=jnp.float32)  # parity (mirrored or not)
+    coeff = (1.0 - 2.0 * p)[None, :]  # (1, 2)
+    per_axis = []  # coords per axis: (P, K) with K = 2*(2m+1)
+    hits_axis = []
+    for ax in range(3):
+        coord = (
+            coeff[None] * srcs[:, ax, None, None]
+            + (2.0 * n[:, None] * dims[ax])[None]
+        )  # (P, 2m+1, 2)
+        hits = jnp.abs(n[:, None] - p[None, :]) + jnp.abs(n[:, None])
+        per_axis.append(coord.reshape(srcs.shape[0], -1))
+        hits_axis.append(hits.reshape(-1))
+    K = 2 * (2 * m + 1)
+    P_items = srcs.shape[0]
+    ix = per_axis[0][:, :, None, None]  # (P, K, 1, 1)
+    iy = per_axis[1][:, None, :, None]
+    iz = per_axis[2][:, None, None, :]
+    imgs = jnp.stack(
+        [
+            jnp.broadcast_to(ix, (P_items, K, K, K)),
+            jnp.broadcast_to(iy, (P_items, K, K, K)),
+            jnp.broadcast_to(iz, (P_items, K, K, K)),
+        ],
+        axis=-1,
+    ).reshape(P_items, K * K * K, 3)
+    hits = (
+        hits_axis[0][:, None, None]
+        + hits_axis[1][None, :, None]
+        + hits_axis[2][None, None, :]
+    ).reshape(-1)  # (N,)
+    diff = imgs - recvs[:, None, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    valid = (dist / SPEED_OF_SOUND <= max_delay) & (dist >= 1e-6)
+    delays_s = dist / SPEED_OF_SOUND
+    dirs = diff / jnp.maximum(dist, 1e-9)[..., None]
+    hits_i = jnp.broadcast_to(
+        hits.astype(jnp.int32)[None], (P_items, hits.shape[0])
+    )
+    return delays_s, hits_i, dirs, valid
+
+
+def _assemble_core(
+    delays_s,  # (P, N) float32 seconds
     hits,  # (P, N) int32 total wall reflections
-    g,  # (P, N) float32 directional_gain / (4 pi d), 0 beyond count
+    g,  # (P, N) float32 directional_gain / (4 pi d), 0 where invalid
     valid,  # (P, N) bool
     noise_keys,  # (P,) typed PRNG keys — tail noise generated ON DEVICE
     beta,  # (n_bands,) float32 per-band wall reflection coefficient
@@ -63,51 +157,62 @@ def _assemble_items(
 ):
     """(P items) → (P, ir_len) float32 RIRs. See module docstring.
 
-    TPU scatter cost is per index ROW, so the sinc taps are scattered as
-    one 25-wide row payload per image into a (classes, pad, taps)
-    accumulator — 25× fewer scatter rows than per-(tap, image) scalars —
-    and recombined with static shifted slices (fused adds, no extra
-    scatter). Items run sequentially under ``lax.map``: the per-item
-    scatter does not vectorize profitably and the map keeps the live
-    accumulator at one item (~18 MB) instead of the whole batch.
+    Tap placement evaluates each image's 81 windowed-sinc taps densely
+    over its 1024-sample time block's window (exact same sinc/Hann
+    formula as the serial renderer, masked to the original tap
+    positions), then one einsum against a one-hot of (hit-class, block)
+    places every image at once; overlapping block windows are recombined
+    with static slice-adds. ``lax.map(batch_size=8)`` keeps the live
+    dense tap matrices at ~250 MB while giving the MXU a batched
+    contraction (a per-item HIGHEST-precision matmul is ~8× slower).
     """
-    taps = jnp.arange(-SINC_HALF, SINC_HALF + 1, dtype=jnp.float32)
-    n_taps = 2 * SINC_HALF + 1
     pad = ir_len + 2 * SINC_HALF + 2
+    win = _BLOCK + 128  # covers block + 2*SINC_HALF tap spill (80) aligned
+    n_blocks = -(-pad // _BLOCK)
     # (n_bands, n_classes): band profile of each total-hit-count class.
     band_profile = beta[:, None] ** jnp.arange(n_classes, dtype=jnp.float32)[None, :]
 
     n_bands = beta.shape[0]
 
-    def scatter_one(args):
+    def place_one(args):
         """Impulse-train accumulation for ONE item → (n_classes, ir_len)."""
         delays_si, hits_i, g_i = args
-        delays = delays_si * sample_rate  # float samples
-        base = jnp.floor(delays)
-        frac = delays - base
-        t = taps[None, :] - frac[:, None]  # (N, taps)
+        d = delays_si * sample_rate  # float samples
+        base = jnp.floor(d)
+        row = base.astype(jnp.int32) + SINC_HALF  # in [0, pad) when valid
+        blk = row // _BLOCK
+        # Window j=0..win-1 of block b covers absolute sample
+        # T = b*block - 2*SINC_HALF + j; image n contributes
+        # sinc(T-d_n)*hann(T-d_n)*g_n at T in [base-SINC_HALF, base+SINC_HALF]
+        # (the original 2*SINC_HALF+1 tap positions — enforced by `mask`).
+        j = jnp.arange(win, dtype=jnp.float32)
+        off = d + 2 * SINC_HALF - (blk * _BLOCK).astype(jnp.float32)
+        t = j[None, :] - off[:, None]  # (N, win) = T - d
         window = 0.5 + 0.5 * jnp.cos(jnp.pi * t / (SINC_HALF + 1))
-        kern = jnp.sinc(t) * window * g_i[:, None]  # (N, taps)
-        # Row-payload scatter: image n's 25 taps land in
-        # acc3[cls_n, base_n + SINC_HALF, :]; tap slot t belongs at time
-        # sample (base_n + t - SINC_HALF), recovered by the shifted
-        # static slices below. base + SINC_HALF < pad by construction
-        # (native enumeration filters delays to <= ir_seconds).
-        cls = jnp.clip(hits_i, 0, n_classes - 1)
-        row = base.astype(jnp.int32) + SINC_HALF
-        acc3 = jnp.zeros((n_classes, pad, n_taps), jnp.float32)
-        acc3 = acc3.at[cls, row, :].add(kern)
-        acc = acc3[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len, 0]
-        for tap in range(1, n_taps):
-            acc = acc + acc3[
-                :, 2 * SINC_HALF - tap : 2 * SINC_HALF - tap + ir_len, tap
-            ]
-        return acc
+        lb = base + 2 * SINC_HALF - (blk * _BLOCK).astype(jnp.float32)
+        mask = (j[None, :] >= lb[:, None] - SINC_HALF) & (
+            j[None, :] <= lb[:, None] + SINC_HALF
+        )
+        vals = jnp.where(mask, jnp.sinc(t) * window, 0.0) * g_i[:, None]
+        # One MXU contraction places all images: row q = cls*n_blocks + blk
+        # (out-of-range q — images beyond the IR window — one-hot to zero).
+        q = jnp.clip(hits_i, 0, n_classes - 1) * n_blocks + blk
+        onehot = jax.nn.one_hot(q, n_classes * n_blocks, dtype=jnp.float32)
+        accw = jnp.einsum(
+            "nr,nw->rw", onehot, vals, precision=jax.lax.Precision.HIGHEST
+        ).reshape(n_classes, n_blocks, win)
+        # Overlap-add the block windows (static slices; window of block b
+        # starts at padded position p = T + 2*SINC_HALF = b*block).
+        acc_pad = jnp.zeros((n_classes, n_blocks * _BLOCK + win), jnp.float32)
+        for b in range(n_blocks):
+            acc_pad = acc_pad.at[:, b * _BLOCK : b * _BLOCK + win].add(
+                accw[:, b]
+            )
+        return acc_pad[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len]
 
-    # Sequential scatters (one live ~18 MB accumulator at a time), then
-    # everything downstream batched over the whole item axis so the FFTs
-    # amortize (per-item FFT batches are far below TPU efficiency).
-    accs = jax.lax.map(scatter_one, (delays_s, hits, g))  # (P, C, ir_len)
+    accs = jax.lax.map(
+        place_one, (delays_s, hits, g), batch_size=_PLACE_BATCH
+    )  # (P, C, ir_len)
     trains = jnp.einsum("bc,pct->pbt", band_profile, accs)
     spec = jnp.fft.rfft(trains, nfft, axis=-1) * masks[None]
     early = jnp.fft.irfft(spec.sum(axis=1), nfft, axis=-1)[:, :ir_len]
@@ -167,48 +272,94 @@ def _assemble_items(
     return early + tail
 
 
-def _enumerate_fallback(room, srcs, recvs, max_order, max_delay_s):
-    """Pure-NumPy per-pair enumeration when the native library is absent."""
-    cap = 8 * (2 * max_order + 1) ** 3
-    n = len(srcs)
-    delays = np.zeros((n, cap), np.float64)
-    hits_out = np.zeros((n, cap), np.uint8)
-    dirs_out = np.zeros((n, cap, 3), np.float32)
-    counts = np.zeros(n, np.int32)
-    for p in range(n):
-        imgs, hits = image_sources(room, srcs[p], max_order)
-        diff = imgs - recvs[p][None, :]
-        dist = np.linalg.norm(diff, axis=1)
-        keep = (dist / SPEED_OF_SOUND <= max_delay_s) & (dist >= 1e-6)
-        k = int(keep.sum())
-        d = dist[keep]
-        delays[p, :k] = d / SPEED_OF_SOUND
-        hits_out[p, :k] = np.minimum(hits[keep], 255)
-        dirs_out[p, :k] = (diff[keep] / d[:, None]).astype(np.float32)
-        counts[p] = k
-    return delays, hits_out, dirs_out, counts
+@partial(
+    jax.jit,
+    static_argnames=(
+        "channel_type",
+        "channel_order",
+        "max_order",
+        "max_delay",
+        "sample_rate",
+        "ir_len",
+        "nfft",
+        "n_classes",
+        "n_keep",
+        "peak_normalize",
+    ),
+)
+def _render_items_device(
+    dims,  # (3,) room dims
+    srcs,  # (P, 3) per-item source positions
+    recvs,  # (P, 3) per-item receiver positions (channel offset applied)
+    chan_idx,  # (P,) int32 channel index of each item (ambisonics select)
+    normals,  # (P, 3) per-item ear normal (binaural; zeros otherwise)
+    noise_keys,  # (P,) typed PRNG keys
+    beta,  # (n_bands,)
+    masks,  # (n_bands, nfft//2+1)
+    rt60_bands,  # (n_bands,)
+    *,
+    channel_type: str,
+    channel_order: int,
+    max_order: int,
+    max_delay: float,
+    sample_rate: int,
+    ir_len: int,
+    nfft: int,
+    n_classes: int,
+    n_keep: int,
+    peak_normalize: bool,
+):
+    """Fused geometry → gains → assembly, one dispatch, (n_keep, ir_len)."""
+    delays_s, hits, dirs, valid = _device_geometry(
+        dims, srcs, recvs, max_order, max_delay
+    )
+    if channel_type in ("Mono", "CustomArrayIR"):
+        gain = jnp.ones_like(delays_s)
+    elif channel_type == "Binaural":
+        gain = 0.6 + 0.4 * jnp.einsum("pnd,pd->pn", dirs, normals)
+    elif channel_type == "Ambisonics":
+        Y = _real_sh(dirs, channel_order)  # (P, N, C)
+        gain = jnp.take_along_axis(
+            Y, chan_idx[:, None, None].astype(jnp.int32), axis=2
+        )[..., 0]
+    else:
+        raise ValueError(f"unknown channel type {channel_type!r}")
+    g = jnp.where(
+        valid,
+        gain / (4.0 * jnp.pi * delays_s * SPEED_OF_SOUND + 1e-30),
+        0.0,
+    ).astype(jnp.float32)
+    out = _assemble_core(
+        delays_s,
+        hits,
+        g,
+        valid,
+        noise_keys,
+        beta,
+        masks,
+        rt60_bands,
+        sample_rate,
+        ir_len,
+        nfft,
+        n_classes,
+    )[:n_keep]
+    if peak_normalize:
+        peak = jnp.max(jnp.abs(out))
+        out = jnp.where(peak > 0, out / peak, out)
+    return out
 
 
-def render_bank_batched(
-    oracle,
-    source_positions: list[np.ndarray],
-    receiver_positions: list[np.ndarray],
-    channel: ChannelModel,
-    receiver_rotations: list[float] | None = None,
-    peak_normalize: bool = True,
-) -> np.ndarray:
-    """All-pairs bank (S, R, C, L) via the batched multiband renderer.
+@lru_cache(maxsize=8)
+def _cached_masks(n_bands: int, nfft: int, sample_rate: int) -> jax.Array:
+    """Device-resident filterbank partition (2 MB — upload once)."""
+    return jnp.asarray(band_masks(n_bands, nfft, sample_rate))
 
-    Matches ``render_rir_bank``'s serial loop over
-    ``SyntheticRirOracle.render`` (multiband path) numerically: identical
-    native geometry, identical per-pair tail RNG streams.
-    """
+
+def _bank_params(oracle):
+    """Shared scalar setup: (band_absorption, rt60_bands, ir_seconds,
+    ir_len, nfft, beta, n_classes)."""
     room: ShoeboxRoom = oracle.room
     n_bands = oracle.n_bands
-    sample_rate = oracle.sample_rate
-    max_order = oracle.max_order
-    rotations = receiver_rotations or [90.0] * len(receiver_positions)
-
     band_absorption = np.asarray(room.band_absorption(n_bands), np.float64)
     rt60_bands = 0.161 * room.volume / np.maximum(
         -room.surface * np.log(np.maximum(1.0 - band_absorption, 1e-4)), 1e-6
@@ -216,65 +367,40 @@ def render_bank_batched(
     ir_seconds = oracle.ir_seconds
     if ir_seconds is None:
         ir_seconds = min(max(float(rt60_bands.max()) * 1.1, 0.25), 2.0)
-    ir_len = int(ir_seconds * sample_rate)
+    ir_len = int(ir_seconds * oracle.sample_rate)
     nfft = int(2 ** np.ceil(np.log2(ir_len + 2 * SINC_HALF + 2)))
     beta = np.sqrt(np.maximum(1.0 - band_absorption, 1e-4))
-    n_classes = 6 * max_order + 4  # max total hits = 3*(2*max_order+1)
+    n_classes = 6 * oracle.max_order + 4  # max total hits = 3*(2*max_order+1)
+    return band_absorption, rt60_bands, ir_seconds, ir_len, nfft, beta, n_classes
 
-    n_src, n_recv, n_ch = len(source_positions), len(receiver_positions), channel.count
 
-    # ---- flatten (s, r, c) items -------------------------------------------
-    srcs_flat, recvs_flat = [], []
+def _flatten_items(oracle, source_positions, receiver_positions, channel,
+                   rotations):
+    """Host-side item tables: per-(s, r, c) source/receiver/channel-index/
+    ear-normal rows plus per-item tail-noise keys (a few KB total — the
+    only per-item host→device traffic)."""
+    n_src, n_recv, n_ch = (
+        len(source_positions),
+        len(receiver_positions),
+        channel.count,
+    )
+    srcs_flat, recvs_flat, normals, chan_idx = [], [], [], []
     for s in range(n_src):
         for r in range(n_recv):
             offsets = channel.receiver_offsets(rotations[r])  # (C, 3)
+            norms = offsets / np.maximum(
+                np.linalg.norm(offsets, axis=1, keepdims=True), 1e-9
+            )
             rcv = np.asarray(receiver_positions[r], np.float64)
             for c in range(n_ch):
                 srcs_flat.append(np.asarray(source_positions[s], np.float64))
                 recvs_flat.append(rcv + offsets[c])
-    srcs_flat = np.stack(srcs_flat)
-    recvs_flat = np.stack(recvs_flat)
-    n_items = len(srcs_flat)
-
-    # ---- geometry: one threaded native call --------------------------------
-    enum = native.image_sources_batch(
-        np.asarray(room.dims, np.float64),
-        srcs_flat,
-        recvs_flat,
-        max_order,
-        ir_seconds,
-    )
-    if enum is None:
-        enum = _enumerate_fallback(
-            room, srcs_flat, recvs_flat, max_order, ir_seconds
-        )
-    delays, hits, dirs, counts = enum
-    cap = delays.shape[1]
-    valid = np.arange(cap)[None, :] < counts[:, None]
-
-    # ---- host side: directional gains + per-pair tail noise ----------------
-    g = np.zeros((n_items, cap), np.float32)
-    item = 0
-    for s in range(n_src):
-        for r in range(n_recv):
-            rows = slice(item, item + n_ch)
-            flat_dirs = dirs[rows].reshape(-1, 3)
-            gains_full = channel.directional_gain(
-                flat_dirs, rotations[r]
-            ).reshape(n_ch, cap, channel.count)
-            for c in range(n_ch):
-                g[item + c] = gains_full[c, :, c]
-            item += n_ch
-    with np.errstate(divide="ignore"):
-        inv = 1.0 / (4.0 * np.pi * delays * SPEED_OF_SOUND)
-    g = np.where(valid, g * np.where(valid, inv, 0.0), 0.0).astype(np.float32)
+                normals.append(norms[c])
+                chan_idx.append(c)
 
     # Tail-noise keys: same (pair seed, channel) streams as
-    # SyntheticRirOracle.render (image_source.tail_noise) — the noise itself
-    # is generated on device inside _assemble_items, so nothing crosses the
-    # (slow, remote-tunnel) host->device link.
-    seeds = np.empty(n_items, np.int64)
-    chans = np.empty(n_items, np.int32)
+    # SyntheticRirOracle.render (image_source.tail_noise).
+    seeds = np.empty(n_src * n_recv * n_ch, np.int64)
     item = 0
     for s in range(n_src):
         for r in range(n_recv):
@@ -290,49 +416,133 @@ def render_bank_batched(
             )
             for c in range(n_ch):
                 seeds[item] = seed
-                chans[item] = c
                 item += 1
-    from .image_source import tail_noise_key
-
-    noise_keys = jax.vmap(tail_noise_key)(
-        jnp.asarray(seeds, jnp.uint32), jnp.asarray(chans)
+    return (
+        np.stack(srcs_flat).astype(np.float32),
+        np.stack(recvs_flat).astype(np.float32),
+        np.stack(normals).astype(np.float32),
+        np.asarray(chan_idx, np.int32),
+        seeds,
     )
 
-    # ---- device side: ONE jitted dispatch over the padded item axis --------
-    # (items padded to a _CHUNK multiple so distinct bank sizes reuse a
-    # small set of compiled shapes; padded outputs are discarded below)
-    masks = jnp.asarray(band_masks(n_bands, nfft, sample_rate))
-    beta_j = jnp.asarray(beta, jnp.float32)
-    rt60_j = jnp.asarray(rt60_bands, jnp.float32)
+
+def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
+                       seeds, channel, ir_params, peak_normalize: bool):
+    """Pad the item axis to a _CHUNK multiple and run the fused dispatch."""
+    from .image_source import tail_noise_key
+
+    (_, rt60_bands, ir_seconds, ir_len, nfft, beta, n_classes) = ir_params
+    n_items = len(srcs_flat)
     padn = (-n_items) % _CHUNK
 
     def padded(a):
         if padn:
-            a = np.concatenate([a, np.zeros((padn,) + a.shape[1:], a.dtype)])
+            a = np.concatenate([a, np.repeat(a[:1], padn, axis=0)])
         return jnp.asarray(a)
 
-    keys_all = noise_keys
-    if padn:  # pad with repeats; padded outputs are discarded below
-        keys_all = jnp.concatenate(
-            [keys_all, jnp.repeat(noise_keys[:1], padn, axis=0)]
-        )
-    out = _assemble_items(
-        padded(delays.astype(np.float32)),
-        padded(hits.astype(np.int32)),
-        padded(g),
-        padded(valid),
-        keys_all,
-        beta_j,
-        masks,
-        rt60_j,
-        sample_rate,
-        ir_len,
-        nfft,
-        n_classes,
+    chans_j = padded(chan_idx)
+    noise_keys = jax.vmap(tail_noise_key)(
+        padded(seeds.astype(np.uint32)), chans_j
     )
-    bank = np.asarray(out)[:n_items].reshape(n_src, n_recv, n_ch, ir_len)
-    if peak_normalize:
-        peak = np.abs(bank).max()
-        if peak > 0:
-            bank = bank / peak
-    return bank
+    return _render_items_device(
+        jnp.asarray(np.asarray(oracle.room.dims, np.float32)),
+        padded(srcs_flat),
+        padded(recvs_flat),
+        chans_j,
+        padded(normals),
+        noise_keys,
+        jnp.asarray(beta, jnp.float32),
+        _cached_masks(oracle.n_bands, nfft, oracle.sample_rate),
+        jnp.asarray(rt60_bands, jnp.float32),
+        channel_type=channel.channel_type,
+        channel_order=channel.channel_order,
+        max_order=oracle.max_order,
+        max_delay=float(ir_seconds),
+        sample_rate=oracle.sample_rate,
+        ir_len=ir_len,
+        nfft=nfft,
+        n_classes=n_classes,
+        n_keep=n_items,
+        peak_normalize=peak_normalize,
+    )
+
+
+def render_bank_batched(
+    oracle,
+    source_positions: list[np.ndarray],
+    receiver_positions: list[np.ndarray],
+    channel: ChannelModel,
+    receiver_rotations: list[float] | None = None,
+    peak_normalize: bool = True,
+    out_device: bool = False,
+):
+    """All-pairs bank (S, R, C, L) via the batched multiband renderer.
+
+    Matches ``render_rir_bank``'s serial loop over
+    ``SyntheticRirOracle.render`` (multiband path) numerically: identical
+    image lattice, identical per-pair tail RNG streams. With
+    ``out_device=True`` the bank is returned as a device-resident
+    ``jax.Array`` (no device→host download) for on-device consumers.
+    """
+    rotations = receiver_rotations or [90.0] * len(receiver_positions)
+    ir_params = _bank_params(oracle)
+    srcs_flat, recvs_flat, normals, chan_idx, seeds = _flatten_items(
+        oracle, source_positions, receiver_positions, channel, rotations
+    )
+    out = _render_flat_items(
+        oracle, srcs_flat, recvs_flat, normals, chan_idx, seeds, channel,
+        ir_params, peak_normalize,
+    )
+    ir_len = ir_params[3]
+    shape = (
+        len(source_positions),
+        len(receiver_positions),
+        channel.count,
+        ir_len,
+    )
+    if out_device:
+        return out.reshape(shape)
+    return np.asarray(out).reshape(shape)
+
+
+def render_rir_banks(
+    oracle,
+    source_lists: list[list[np.ndarray]],
+    receiver_positions: list[np.ndarray],
+    channel: ChannelModel,
+    receiver_rotations: list[float] | None = None,
+    peak_normalize: bool = True,
+    out_device: bool = False,
+) -> list:
+    """Render SEVERAL banks (e.g. one per speaker trajectory) in ONE fused
+    device dispatch — the multi-speaker counterpart of the reference's
+    pooled render_rir_parallel calls (SonicSim_rir.py:751-791). Each bank
+    keeps its own peak normalization.
+
+    Returns one (S_k, R, C, L) array per entry of ``source_lists``.
+    """
+    rotations = receiver_rotations or [90.0] * len(receiver_positions)
+    ir_params = _bank_params(oracle)
+    parts = [
+        _flatten_items(oracle, srcs, receiver_positions, channel, rotations)
+        for srcs in source_lists
+    ]
+    cat = [np.concatenate([p[i] for p in parts]) for i in range(5)]
+    out = _render_flat_items(
+        oracle, *cat, channel, ir_params, peak_normalize=False
+    )
+    ir_len = ir_params[3]
+    n_recv, n_ch = len(receiver_positions), channel.count
+    banks = []
+    start = 0
+    for srcs in source_lists:
+        n = len(srcs) * n_recv * n_ch
+        bank = out[start : start + n].reshape(
+            len(srcs), n_recv, n_ch, ir_len
+        )
+        start += n
+        if peak_normalize:
+            peak = jnp.max(jnp.abs(bank))
+            bank = jnp.where(peak > 0, bank / peak, bank)
+        banks.append(bank if out_device else np.asarray(bank))
+    return banks

@@ -202,3 +202,41 @@ class Scene:
             self.channel,
             receiver_rotations,
         )
+
+    def render_banks(
+        self,
+        source_lists: list[list[np.ndarray]],
+        receiver_positions: list[np.ndarray],
+        receiver_rotations: list[float] | None = None,
+        out_device: bool = False,
+    ) -> list:
+        """Several banks (one per speaker trajectory) in ONE fused device
+        dispatch when the oracle supports it — the multi-speaker
+        counterpart of the reference's pooled render_rir_parallel calls
+        (SonicSim_rir.py:751-791). Falls back to per-bank rendering for
+        bank/live oracles. Each bank keeps its own peak normalization."""
+        recvs = [self._elevate(p, self.sensor_height) for p in receiver_positions]
+        if isinstance(self.oracle, SyntheticRirOracle) and self.oracle.n_bands > 0:
+            from .bank_render import render_rir_banks
+
+            return render_rir_banks(
+                self.oracle,
+                [
+                    [self._elevate(p, self.source_height) for p in lst]
+                    for lst in source_lists
+                ],
+                recvs,
+                self.channel,
+                receiver_rotations,
+                out_device=out_device,
+            )
+        return [
+            render_rir_bank(
+                self.oracle,
+                [self._elevate(p, self.source_height) for p in lst],
+                recvs,
+                self.channel,
+                receiver_rotations,
+            )
+            for lst in source_lists
+        ]

@@ -66,25 +66,65 @@ def test_render_rir_bank_dispatches_to_batched(rng):
     np.testing.assert_allclose(got, expected, atol=5e-5 * scale, rtol=1e-3)
 
 
-def test_batched_python_fallback_matches_native(monkeypatch, rng):
-    """Without the native library the pure-NumPy enumeration produces the
-    same geometry (same images kept, same delays/hits)."""
+def test_device_geometry_matches_numpy_lattice(rng):
+    """The on-device image lattice (sorted) reproduces the NumPy
+    image_sources enumeration: same positions multiset, same hit counts,
+    same distances."""
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.sim.bank_render import _device_geometry
+    from sonicsim_tpu.sim.image_source import SPEED_OF_SOUND, image_sources
+
+    room = ShoeboxRoom((6.0, 3.0, 5.0), absorption=0.3)
+    src = np.array([1.5, 1.4, 1.5])
+    recv = np.array([3.0, 1.5, 2.5])
+    imgs, hits = image_sources(room, src, 2)
+    dist = np.linalg.norm(imgs - recv[None], axis=1)
+    expected = np.sort(dist / SPEED_OF_SOUND)
+
+    delays, hits_d, dirs, valid = _device_geometry(
+        jnp.asarray(np.asarray(room.dims, np.float32)),
+        jnp.asarray(src, jnp.float32)[None],
+        jnp.asarray(recv, jnp.float32)[None],
+        2,
+        10.0,
+    )
+    got = np.sort(np.asarray(delays[0]))
+    assert delays.shape[1] == len(imgs)
+    assert np.asarray(valid).all()
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-7)
+    # hit-count histogram matches the NumPy lattice
+    np.testing.assert_array_equal(
+        np.bincount(np.asarray(hits_d[0])), np.bincount(hits.astype(int))
+    )
+    # dirs are unit receiver→source vectors
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(dirs[0]), axis=1), 1.0, atol=1e-5
+    )
+
+
+def test_bank_out_device_and_multi_bank(rng):
+    """out_device returns a device-resident bank equal to the NumPy one;
+    render_rir_banks fuses several banks into one dispatch with per-bank
+    normalization."""
+    from sonicsim_tpu.sim.bank_render import render_rir_banks
+
     room = ShoeboxRoom((6.0, 3.0, 5.0), absorption=0.3)
     oracle = SyntheticRirOracle(room, n_bands=8, max_order=2, seed=5)
-    srcs = [np.array([1.5, 1.4, 1.5])]
+    srcs_a = [np.array([1.5, 1.4, 1.5]), np.array([2.5, 1.2, 3.0])]
+    srcs_b = [np.array([4.0, 1.6, 2.0])]
     recvs = [np.array([3.0, 1.5, 2.5])]
     channel = ChannelModel("Binaural")
 
-    native_bank = render_bank_batched(oracle, srcs, recvs, channel)
+    host = render_bank_batched(oracle, srcs_a, recvs, channel)
+    dev = render_bank_batched(oracle, srcs_a, recvs, channel, out_device=True)
+    assert not isinstance(dev, np.ndarray)
+    np.testing.assert_allclose(np.asarray(dev), host, atol=1e-6)
 
-    import sonicsim_tpu.sim.bank_render as br
-
-    monkeypatch.setattr(br.native, "image_sources_batch", lambda *a, **k: None)
-    fallback_bank = render_bank_batched(oracle, srcs, recvs, channel)
-    scale = np.abs(native_bank).max()
-    np.testing.assert_allclose(
-        fallback_bank, native_bank, atol=5e-5 * scale, rtol=1e-3
-    )
+    banks = render_rir_banks(oracle, [srcs_a, srcs_b], recvs, channel)
+    expected_b = render_bank_batched(oracle, srcs_b, recvs, channel)
+    np.testing.assert_allclose(banks[0], host, atol=1e-6)
+    np.testing.assert_allclose(banks[1], expected_b, atol=1e-6)
 
 
 def test_batched_rotations_and_custom_array(rng):
