@@ -121,21 +121,25 @@ def render_mixture(
     rng = np.random.default_rng(plan.seed)
 
     # Per-speaker RIR banks: trajectory waypoints × the mic — all
-    # trajectories rendered in ONE fused device dispatch.
+    # trajectories rendered in ONE fused device dispatch, and kept
+    # device-resident for the moving-conv (the tunneled TPU link is slow;
+    # only an explicit save_bank pulls a host copy).
     mic = np.asarray(plan.mic_point)
     banks = [
         b[:, 0]  # (P, C, L)
         for b in scene.render_banks(
             [[np.asarray(p) for p in traj] for traj in plan.trajectories],
             [mic],
+            out_device=True,
         )
     ]
     if save_bank:
+        banks_np = [np.asarray(b) for b in banks]
         save_rir_bank(
             out / f"rir_bank_{plan.channel_type}.npz",
             np.stack(
-                [b[: min(x.shape[0] for x in banks)] for b in banks]
-            ) if len({b.shape for b in banks}) > 1 else np.stack(banks),
+                [b[: min(x.shape[0] for x in banks_np)] for b in banks_np]
+            ) if len({b.shape for b in banks_np}) > 1 else np.stack(banks_np),
             source_positions=np.asarray(
                 [t[0] for t in plan.trajectories], np.float64
             ),

@@ -39,23 +39,32 @@ def pad_moving_plans(
     banks[i]: (P_i, C, L); weights[i]: (T,); offsets/lengths[i]: (P_i-1,).
     Returns (banks (S,P,C,L), weights (S,T), offsets (S,P-1),
     lengths (S,P-1), max_seg) with P = max_i P_i.
+
+    Banks may be device-resident ``jax.Array``s (the fused bank renderer's
+    ``out_device=True`` output) — they are then padded/stacked with jnp and
+    never round-trip through the host.
     """
+    import jax.numpy as jnp
+
     t = int(weights[0].shape[-1])
     p = max(b.shape[0] for b in banks)
+    on_device = any(isinstance(b, jax.Array) for b in banks)
+    xp = jnp if on_device else np
     banks_p, off_p, len_p = [], [], []
     for b, o, le in zip(banks, offsets, lengths):
         extra = p - b.shape[0]
+        b = xp.asarray(b)
         banks_p.append(
-            np.concatenate([b, np.repeat(b[-1:], extra, axis=0)])
+            xp.concatenate([b, xp.repeat(b[-1:], extra, axis=0)])
             if extra
-            else np.asarray(b)
+            else b
         )
         pad = p - 1 - o.shape[0]
         off_p.append(np.concatenate([o, np.full(pad, t, o.dtype)]))
         len_p.append(np.concatenate([le, np.zeros(pad, le.dtype)]))
     max_seg = int(max(int(le.max()) for le in lengths))
     return (
-        np.stack(banks_p).astype(np.float32),
+        xp.stack(banks_p).astype(xp.float32),
         np.stack(weights).astype(np.float32),
         np.stack(off_p).astype(np.int32),
         np.stack(len_p).astype(np.int32),
@@ -132,10 +141,14 @@ def render_mixture_sources(
         # get sliced off — no wall-clock cost).
         n = int(np.prod(list(mesh.shape.values())))
 
+        import jax.numpy as jnp
+
         def pad_to(arrs, count):
             target = -(-count // n) * n
             return tuple(
-                np.pad(np.asarray(a), [(0, target - count)] + [(0, 0)] * (a.ndim - 1))
+                # jnp.pad keeps device-resident banks on device (np inputs
+                # are uploaded here either way, ahead of the device_put).
+                jnp.pad(a, [(0, target - count)] + [(0, 0)] * (a.ndim - 1))
                 for a in arrs
             )
 
