@@ -1,7 +1,9 @@
-"""ctypes bindings for the native CPU kernels (native/sonicsim_native.cpp).
+"""ctypes bindings for the native CPU kernels
+(sonicsim_tpu/_native_src/sonicsim_native.cpp).
 
-Builds the shared library on first use (g++; cached next to the source).
-All entry points degrade gracefully: callers fall back to the pure-Python
+Builds the shared library on first use (g++; cached next to the source, so
+the package works from a git checkout or a pip install alike). All entry
+points degrade gracefully: callers fall back to the pure-Python
 implementations when the toolchain or library is unavailable.
 """
 
@@ -13,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_NATIVE_DIR = Path(__file__).resolve().parent / "_native_src"
 _SO = _NATIVE_DIR / "libsonicsim_native.so"
 _lib = None
 _tried = False
