@@ -20,6 +20,10 @@ import time
 
 import numpy as np
 
+from sonicsim_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: ~8x faster cold starts
+
 
 def main() -> None:
     import jax

@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+from sonicsim_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: ~8x faster cold starts
+
 
 def _timeit(fn, *args, iters=5):
     """block_until_ready does not reliably flush the remote (tunneled) TPU
@@ -167,12 +171,15 @@ def main() -> None:
     # dispatch specialized on the padded item axis. Banks stay DEVICE-
     # resident (the production consumer is the on-device moving-source
     # conv); each timed call uses fresh geometry so nothing upstream can
-    # cache, and one scalar readback closes the async dispatch.
+    # cache. The remote backend defers execution until a value is actually
+    # read (block_until_ready does NOT flush it), so EVERY bank — warmup
+    # included — is closed with a scalar readback.
     warm = render_rir_banks(
         oracle, [speaker_ways(90 + i) for i in range(3)], mic, bank_ch,
         out_device=True,
     )
-    jax.block_until_ready(warm)
+    for b in warm:
+        float(b.ravel()[0])
     t0 = time.perf_counter()
     ir_sec = 0.0
     for it in range(3):
@@ -184,7 +191,8 @@ def main() -> None:
             b.shape[0] * b.shape[1] * b.shape[2] * b.shape[3] / sr
             for b in banks
         )
-        float(banks[0].ravel()[0])
+        for b in banks:
+            float(b.ravel()[0])
     dt_bank = time.perf_counter() - t0
     results.append(("RIR bank render (3x40 pairs, binaural)", ir_sec / dt_bank))
 

@@ -275,54 +275,100 @@ def generate_split(
     speakers_per_mixture: int = 3,
     base_seed: int = 0,
     max_mixtures: int | None = None,
+    pipeline: bool = True,
 ) -> list[Path]:
     """Outer generation loop (SonicSet_train.py:153-219): per scene, consume
     speaker directories in random triples until exhausted, with resume.
 
     ``scene_factory(scene_name) -> Scene``; speech dirs are per-speaker
     folders whose WAV lengths are scanned into manifests.
+
+    With ``pipeline`` (default), mixture k's render + WAV writes run on a
+    worker thread while the main thread plans mixture k+1 — the host I/O /
+    device-compute overlap the reference gets from its process pool
+    (SonicSet_train.py:153-219), without the pool. Plans are seeded per
+    (scene, triple) so results are identical either way.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .plan import scan_audio_lengths
 
     results_root = Path(results_root)
     produced: list[Path] = []
-    for s_idx, scene_name in enumerate(scene_names):
-        scene = scene_factory(scene_name)
-        scene_root = results_root / scene_name
-        pool = remove_existing_speakers(scene_root, speech_dirs)
-        rng_outer = np.random.default_rng(base_seed + s_idx)
-        while len(pool) >= speakers_per_mixture:
-            triple = list(
-                rng_outer.choice(len(pool), speakers_per_mixture, replace=False)
-            )
-            chosen = [pool[i] for i in sorted(triple)]
-            pool = [p for p in pool if p not in chosen]
-            name = "-".join(Path(c).name.split(".")[0] for c in chosen)
-            out_dir = scene_root / name
-            if (out_dir / "json_data.json").exists():
-                continue
-            # stable_seed, NOT hash(): str hashing is randomized per process,
-            # which would make the same (scene, triple) non-reproducible
-            # across runs/resumes
-            seed = stable_seed(base_seed, scene_name, name)
-            rng = np.random.default_rng(seed)
-            t0 = time.perf_counter()
-            plan = plan_mixture(
-                scene,
-                [scan_audio_lengths(c) for c in chosen],
-                noise_manifest,
-                music_manifest,
-                rng,
-                duration=duration,
-                seed=seed,
-            )
-            render_mixture(scene, plan, out_dir, transcripts)
-            produced.append(out_dir)
-            # per-mixture elapsed log (SonicSet_train.py:215 parity)
-            logger.info(
-                "%s/%s: %.1f s elapsed (%d generated)",
-                scene_name, name, time.perf_counter() - t0, len(produced),
-            )
-            if max_mixtures is not None and len(produced) >= max_mixtures:
-                return produced
-    return produced
+    executor = ThreadPoolExecutor(max_workers=1) if pipeline else None
+    pending: tuple | None = None  # (future, out_dir, scene, name, t0)
+
+    def _finish(p) -> None:
+        fut, out_dir, scene_name_, name_, t0_ = p
+        fut.result()  # re-raises worker exceptions
+        produced.append(out_dir)
+        # per-mixture elapsed log (SonicSet_train.py:215 parity)
+        logger.info(
+            "%s/%s: %.1f s elapsed (%d generated)",
+            scene_name_, name_, time.perf_counter() - t0_, len(produced),
+        )
+
+    try:
+        for s_idx, scene_name in enumerate(scene_names):
+            scene = scene_factory(scene_name)
+            scene_root = results_root / scene_name
+            pool = remove_existing_speakers(scene_root, speech_dirs)
+            rng_outer = np.random.default_rng(base_seed + s_idx)
+            while len(pool) >= speakers_per_mixture:
+                triple = list(
+                    rng_outer.choice(
+                        len(pool), speakers_per_mixture, replace=False
+                    )
+                )
+                chosen = [pool[i] for i in sorted(triple)]
+                pool = [p for p in pool if p not in chosen]
+                name = "-".join(Path(c).name.split(".")[0] for c in chosen)
+                out_dir = scene_root / name
+                if (out_dir / "json_data.json").exists():
+                    continue
+                # stable_seed, NOT hash(): str hashing is randomized per
+                # process, which would make the same (scene, triple)
+                # non-reproducible across runs/resumes
+                seed = stable_seed(base_seed, scene_name, name)
+                rng = np.random.default_rng(seed)
+                t0 = time.perf_counter()
+                plan = plan_mixture(
+                    scene,
+                    [scan_audio_lengths(c) for c in chosen],
+                    noise_manifest,
+                    music_manifest,
+                    rng,
+                    duration=duration,
+                    seed=seed,
+                )
+                if executor is not None:
+                    if pending is not None:
+                        _finish(pending)  # depth-1 pipeline
+                    fut = executor.submit(
+                        render_mixture, scene, plan, out_dir, transcripts
+                    )
+                    pending = (fut, out_dir, scene_name, name, t0)
+                else:
+                    render_mixture(scene, plan, out_dir, transcripts)
+                    produced.append(out_dir)
+                    logger.info(
+                        "%s/%s: %.1f s elapsed (%d generated)",
+                        scene_name, name, time.perf_counter() - t0,
+                        len(produced),
+                    )
+                in_flight = 1 if pending is not None else 0
+                if (
+                    max_mixtures is not None
+                    and len(produced) + in_flight >= max_mixtures
+                ):
+                    if pending is not None:
+                        _finish(pending)
+                        pending = None
+                    return produced
+        if pending is not None:
+            _finish(pending)
+            pending = None
+        return produced
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)

@@ -213,9 +213,17 @@ def _assemble_core(
     accs = jax.lax.map(
         place_one, (delays_s, hits, g), batch_size=_PLACE_BATCH
     )  # (P, C, ir_len)
-    trains = jnp.einsum("bc,pct->pbt", band_profile, accs)
-    spec = jnp.fft.rfft(trains, nfft, axis=-1) * masks[None]
-    early = jnp.fft.irfft(spec.sum(axis=1), nfft, axis=-1)[:, :ir_len]
+    # By linearity the band expansion folds into per-CLASS spectral
+    # filters: sum_b mask_b * rfft(sum_c profile[b,c] acc_c)
+    #        = sum_c (sum_b profile[b,c] mask_b) * rfft(acc_c),
+    # skipping the (P, bands, T) trains intermediate and bands-classes
+    # extra FFTs (n_classes forward FFTs instead of n_bands, no einsum
+    # over the time axis).
+    class_filt = jnp.einsum("bc,bf->cf", band_profile, masks)
+    spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, C, F)
+    early = jnp.fft.irfft(
+        (spec * class_filt[None]).sum(axis=1), nfft, axis=-1
+    )[:, :ir_len]
 
     # Late tail: per-band Eyring decay, level matched to the mixing-zone
     # image energy (parity with render_shoebox_rir_multiband).
