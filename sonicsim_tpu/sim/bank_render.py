@@ -292,6 +292,7 @@ def _assemble_core(
         "nfft",
         "n_classes",
         "n_keep",
+        "n_banks",
         "peak_normalize",
     ),
 )
@@ -301,7 +302,8 @@ def _render_items_device(
     recvs,  # (P, 3) per-item receiver positions (channel offset applied)
     chan_idx,  # (P,) int32 channel index of each item (ambisonics select)
     normals,  # (P, 3) per-item ear normal (binaural; zeros otherwise)
-    noise_keys,  # (P,) typed PRNG keys
+    seeds,  # (P,) uint32 per-pair tail-noise seeds
+    bank_ids,  # (P,) int32 bank of each item (per-bank peak normalize)
     beta,  # (n_bands,)
     masks,  # (n_bands, nfft//2+1)
     rt60_bands,  # (n_bands,)
@@ -315,9 +317,15 @@ def _render_items_device(
     nfft: int,
     n_classes: int,
     n_keep: int,
+    n_banks: int,
     peak_normalize: bool,
 ):
-    """Fused geometry → gains → assembly, one dispatch, (n_keep, ir_len)."""
+    """Fused geometry → gains → assembly → per-bank peak normalization:
+    ONE dispatch producing (n_keep, ir_len). Everything, tail-noise key
+    derivation included, lives inside the jit so the remote link sees a
+    single round trip."""
+    from .image_source import tail_noise_key
+
     delays_s, hits, dirs, valid = _device_geometry(
         dims, srcs, recvs, max_order, max_delay
     )
@@ -337,6 +345,7 @@ def _render_items_device(
         gain / (4.0 * jnp.pi * delays_s * SPEED_OF_SOUND + 1e-30),
         0.0,
     ).astype(jnp.float32)
+    noise_keys = jax.vmap(tail_noise_key)(seeds, chan_idx)
     out = _assemble_core(
         delays_s,
         hits,
@@ -352,8 +361,12 @@ def _render_items_device(
         n_classes,
     )[:n_keep]
     if peak_normalize:
-        peak = jnp.max(jnp.abs(out))
-        out = jnp.where(peak > 0, out / peak, out)
+        item_peak = jnp.max(jnp.abs(out), axis=1)  # (n_keep,)
+        peak = jax.ops.segment_max(
+            item_peak, bank_ids[:n_keep], num_segments=n_banks
+        )
+        peak = jnp.where(peak > 0, peak, 1.0)
+        out = out / peak[bank_ids[:n_keep], None]
     return out
 
 
@@ -435,10 +448,9 @@ def _flatten_items(oracle, source_positions, receiver_positions, channel,
 
 
 def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
-                       seeds, channel, ir_params, peak_normalize: bool):
+                       seeds, channel, ir_params, peak_normalize: bool,
+                       bank_ids: np.ndarray | None = None):
     """Pad the item axis to a _CHUNK multiple and run the fused dispatch."""
-    from .image_source import tail_noise_key
-
     (_, rt60_bands, ir_seconds, ir_len, nfft, beta, n_classes) = ir_params
     n_items = len(srcs_flat)
     padn = (-n_items) % _CHUNK
@@ -448,17 +460,19 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
             a = np.concatenate([a, np.repeat(a[:1], padn, axis=0)])
         return jnp.asarray(a)
 
-    chans_j = padded(chan_idx)
-    noise_keys = jax.vmap(tail_noise_key)(
-        padded(seeds.astype(np.uint32)), chans_j
-    )
+    if bank_ids is None:
+        bank_ids = np.zeros(n_items, np.int32)
+        n_banks = 1
+    else:
+        n_banks = int(bank_ids.max()) + 1
     return _render_items_device(
         jnp.asarray(np.asarray(oracle.room.dims, np.float32)),
         padded(srcs_flat),
         padded(recvs_flat),
-        chans_j,
+        padded(chan_idx),
         padded(normals),
-        noise_keys,
+        padded(seeds.astype(np.uint32)),
+        padded(bank_ids.astype(np.int32)),
         jnp.asarray(beta, jnp.float32),
         _cached_masks(oracle.n_bands, nfft, oracle.sample_rate),
         jnp.asarray(rt60_bands, jnp.float32),
@@ -471,6 +485,7 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         nfft=nfft,
         n_classes=n_classes,
         n_keep=n_items,
+        n_banks=n_banks,
         peak_normalize=peak_normalize,
     )
 
@@ -536,8 +551,12 @@ def render_rir_banks(
         for srcs in source_lists
     ]
     cat = [np.concatenate([p[i] for p in parts]) for i in range(5)]
+    bank_ids = np.concatenate(
+        [np.full(len(p[0]), k, np.int32) for k, p in enumerate(parts)]
+    )
     out = _render_flat_items(
-        oracle, *cat, channel, ir_params, peak_normalize=False
+        oracle, *cat, channel, ir_params,
+        peak_normalize=peak_normalize, bank_ids=bank_ids,
     )
     ir_len = ir_params[3]
     n_recv, n_ch = len(receiver_positions), channel.count
@@ -549,8 +568,5 @@ def render_rir_banks(
             len(srcs), n_recv, n_ch, ir_len
         )
         start += n
-        if peak_normalize:
-            peak = jnp.max(jnp.abs(bank))
-            bank = jnp.where(peak > 0, bank / peak, bank)
         banks.append(bank if out_device else np.asarray(bank))
     return banks
