@@ -82,86 +82,6 @@ int image_sources(const double* dims, const double* src, const double* recv,
 
 namespace {
 
-// One (source, receiver) enumeration writing total-hit-count classes.
-// Used by the batched bank renderer: with uniform per-wall reflection
-// coefficients the per-band amplitude factorizes as
-//   amp[n, b] = (1 / 4*pi*d_n) * beta_b ^ hits_n
-// so the device-side assembly only needs (delay, total hits, direction)
-// per image — the per-band expansion becomes one small matmul on the MXU.
-void enumerate_hits_one(const double* dims, const double* src,
-                        const double* recv, int max_order, double maxd,
-                        double c, double* delays, uint8_t* hits, float* dirs,
-                        int* count_out, int cap) {
-  int count = 0;
-  for (int u = 0; u <= 1; ++u)
-    for (int v = 0; v <= 1; ++v)
-      for (int w = 0; w <= 1; ++w)
-        for (int l = -max_order; l <= max_order; ++l)
-          for (int m = -max_order; m <= max_order; ++m)
-            for (int n = -max_order; n <= max_order; ++n) {
-              const double px = (1 - 2 * u) * src[0] + 2.0 * l * dims[0];
-              const double py = (1 - 2 * v) * src[1] + 2.0 * m * dims[1];
-              const double pz = (1 - 2 * w) * src[2] + 2.0 * n * dims[2];
-              const double dx = px - recv[0];
-              const double dy = py - recv[1];
-              const double dz = pz - recv[2];
-              const double d = std::sqrt(dx * dx + dy * dy + dz * dz);
-              if (d > maxd || d < 1e-6) continue;
-              if (count >= cap) break;
-              const int h = std::abs(l - u) + std::abs(l) + std::abs(m - v) +
-                            std::abs(m) + std::abs(n - w) + std::abs(n);
-              delays[count] = d / c;
-              hits[count] = static_cast<uint8_t>(std::min(h, 255));
-              dirs[count * 3 + 0] = static_cast<float>(dx / d);
-              dirs[count * 3 + 1] = static_cast<float>(dy / d);
-              dirs[count * 3 + 2] = static_cast<float>(dz / d);
-              ++count;
-            }
-  *count_out = count;
-}
-
-}  // namespace
-
-// Batched image-source enumeration over n_pairs (source, receiver) pairs,
-// threaded across hardware cores. srcs/recvs are [n_pairs*3]; outputs are
-// padded to `cap` images per pair: delays[n_pairs*cap] (seconds),
-// hits[n_pairs*cap] (total wall reflections), dirs[n_pairs*cap*3] (unit
-// receiver->image), counts[n_pairs]. Replaces the reference's
-// one-process-per-RIR pool (SonicSim_rir.py:724-791) with shared-memory
-// threads over a pure function.
-int image_sources_batch(const double* dims, const double* srcs,
-                        const double* recvs, int n_pairs, int max_order,
-                        double max_delay_s, double c, double* delays,
-                        uint8_t* hits, float* dirs, int* counts, int cap,
-                        int n_threads) {
-  const double maxd = max_delay_s * c;
-  if (n_threads <= 0) {
-    n_threads = static_cast<int>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  n_threads = std::min(n_threads, n_pairs > 0 ? n_pairs : 1);
-  auto work = [&](int t) {
-    for (int p = t; p < n_pairs; p += n_threads) {
-      enumerate_hits_one(dims, srcs + 3 * p, recvs + 3 * p, max_order, maxd, c,
-                         delays + static_cast<size_t>(p) * cap,
-                         hits + static_cast<size_t>(p) * cap,
-                         dirs + static_cast<size_t>(p) * cap * 3, counts + p,
-                         cap);
-    }
-  };
-  if (n_threads == 1) {
-    work(0);
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(n_threads);
-    for (int t = 0; t < n_threads; ++t) pool.emplace_back(work, t);
-    for (auto& th : pool) th.join();
-  }
-  return n_pairs;
-}
-
-namespace {
-
 struct Node {
   double f;
   int idx;

@@ -371,4 +371,14 @@ def generate_split(
         return produced
     finally:
         if executor is not None:
+            if pending is not None:
+                # Unwinding with a render in flight (main-thread error or
+                # interrupt): surface the worker's outcome rather than
+                # silently discarding it.
+                try:
+                    _finish(pending)
+                except Exception:
+                    logger.exception(
+                        "pipelined render failed while unwinding"
+                    )
             executor.shutdown(wait=True)

@@ -145,17 +145,22 @@ def make_whisper_asr(model_size: str = "medium.en", device: str = "cpu",
     transcript per segment (wrapper.py:113,125); WER against a reference
     transcript is computed downstream with :func:`wer`.
 
-    Prefers faster-whisper (the reference's CTranslate2 decoder) when it is
-    importable; otherwise, when ``model_size`` is a local checkpoint path
-    (HF directory or OpenAI .pt with vocab.json beside it), transcription
-    runs NATIVELY through the built-in flax Whisper
-    (models/whisper.py — single-dispatch KV-cached greedy decode).
+    Dispatch: a ``model_size`` that is a local HF/OpenAI checkpoint path
+    (config.json / vocab.json beside the weights, NOT a CTranslate2
+    ``model.bin`` export) transcribes NATIVELY through the built-in flax
+    Whisper (models/whisper.py — single-dispatch KV-cached greedy
+    decode); model names and CTranslate2 exports go through
+    faster-whisper (the reference's decoder) when importable.
     ``native=True`` forces the native path, ``native=False`` requires
     faster-whisper.
     """
     from pathlib import Path as _Path
 
-    is_path = _Path(model_size).exists()
+    p = _Path(model_size)
+    # CTranslate2 exports carry model.bin; HF/OpenAI checkpoints don't.
+    native_loadable = p.exists() and not (p.is_dir() and (p / "model.bin").exists())
+    if native is None and native_loadable:
+        native = True
     if native is not True:
         try:
             from faster_whisper import WhisperModel
@@ -166,14 +171,12 @@ def make_whisper_asr(model_size: str = "medium.en", device: str = "cpu",
                     "(CTranslate2); omit native to use the built-in flax "
                     "Whisper with a local checkpoint path."
                 ) from None
-            if not is_path:
-                raise ImportError(
-                    "faster-whisper is not importable and model_size is not "
-                    "a local checkpoint path; the native flax Whisper needs "
-                    "a downloaded checkpoint (HF dir or OpenAI .pt + "
-                    "vocab.json)."
-                ) from None
-            native = True
+            raise ImportError(
+                "faster-whisper is not importable and model_size is not "
+                "a local checkpoint path; the native flax Whisper needs "
+                "a downloaded checkpoint (HF dir or OpenAI .pt + "
+                "vocab.json)."
+            ) from None
     if native is True:
         from ..models.whisper import make_whisper_transcriber
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import lru_cache
 from pathlib import Path
 
 import flax.linen as nn
@@ -72,6 +73,7 @@ def _mel_to_hz_slaney(m):
     return f
 
 
+@lru_cache(maxsize=4)
 def mel_filters(n_mels: int, n_fft: int = N_FFT,
                 sample_rate: int = SAMPLE_RATE,
                 fmax: float | None = None) -> np.ndarray:
@@ -589,10 +591,16 @@ class ByteBpeDecoder:
     def sot_sequence(self, language: str = "en") -> list[int]:
         """[sot(, lang, transcribe), notimestamps] — language/task tokens
         included only for multilingual vocabularies (openai tokenizer.py
-        semantics: English-only models condition on sot alone)."""
+        semantics: English-only models condition on sot alone).
+
+        Multilingual is detected by the released sot id (50258; English-
+        only models use 50257) rather than tokenizer-file length, which
+        undercounts when timestamp tokens are handled in code instead of
+        added_tokens.json."""
         v = self.vocab
-        seq = [v["<|startoftranscript|>"]]
-        multilingual = len(v) >= 51865
+        sot = v["<|startoftranscript|>"]
+        seq = [sot]
+        multilingual = sot == 50258 or (sot != 50257 and len(v) >= 51865)
         if multilingual and f"<|{language}|>" in v and "<|transcribe|>" in v:
             seq += [v[f"<|{language}|>"], v["<|transcribe|>"]]
         if "<|notimestamps|>" in v:
@@ -602,7 +610,7 @@ class ByteBpeDecoder:
     def eot(self) -> int:
         return self.vocab["<|endoftext|>"]
 
-    def suppress_mask(self, sot: list[int]) -> np.ndarray:
+    def suppress_mask(self) -> np.ndarray:
         """Boolean (vocab,) mask: never emit specials (except eot) —
         keeps greedy decoding on the text path without timestamp logic."""
         mask = np.zeros(
@@ -629,19 +637,28 @@ def make_whisper_transcriber(model_path: str | Path,
     model = Whisper(cfg)
     sot = np.asarray(tok.sot_sequence(language), np.int32)
     eot = tok.eot()
-    suppress = tok.suppress_mask(list(sot))
+    suppress = tok.suppress_mask()
     if len(suppress) < cfg.vocab_size:
-        suppress = np.pad(suppress, (0, cfg.vocab_size - len(suppress)))
+        # Ids beyond the tokenizer files (typically the timestamp block)
+        # are undecodable — suppress them too.
+        suppress = np.pad(
+            suppress, (0, cfg.vocab_size - len(suppress)),
+            constant_values=True,
+        )
     max_len = min(cfg.max_target_positions, len(sot) + max_new_tokens)
     # 2 mel frames per encoder position (the stride-2 conv); released
     # models: 1500 positions ↔ 3000 frames ↔ 30 s at 16 kHz.
     chunk_samples = 2 * cfg.max_source_positions * HOP
 
-    decode = jax.jit(
-        lambda p, mel: greedy_decode(
+    # ONE jitted program per 30 s window: log-mel frontend + encoder +
+    # KV-cached greedy decode (the remote backend pays per round trip, so
+    # the frontend must not dispatch op-by-op).
+    @jax.jit
+    def mel_and_decode(p, chunk):
+        mel = log_mel(chunk[None], cfg.n_mels)
+        return greedy_decode(
             model, p, mel, sot, eot, max_len, suppress[: cfg.vocab_size]
         )
-    )
 
     def transcribe(audio, sample_rate: int = SAMPLE_RATE) -> str:
         audio = np.asarray(audio, np.float32).reshape(-1)
@@ -653,8 +670,7 @@ def make_whisper_transcriber(model_path: str | Path,
         for start in range(0, max(len(audio), 1), chunk_samples):
             chunk = pad_or_trim(audio[start: start + chunk_samples],
                                 chunk_samples)
-            mel = log_mel(jnp.asarray(chunk)[None], cfg.n_mels)
-            ids = np.asarray(decode(params, mel))[0]
+            ids = np.asarray(mel_and_decode(params, jnp.asarray(chunk)))[0]
             keep = ids[len(sot):]
             stop = np.nonzero(keep == eot)[0]
             if stop.size:

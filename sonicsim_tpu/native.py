@@ -46,11 +46,6 @@ def _load():
         ctypes.c_double, ctypes.c_double, dp, dp, dp, ctypes.c_int,
     ]
     fp = ctypes.POINTER(ctypes.c_float)
-    lib.image_sources_batch.restype = ctypes.c_int
-    lib.image_sources_batch.argtypes = [
-        dp, dp, dp, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-        ctypes.c_double, dp, up, fp, ip, ctypes.c_int, ctypes.c_int,
-    ]
     lib.astar.restype = ctypes.c_int
     lib.astar.argtypes = [up] + [ctypes.c_int] * 6 + [ip, ctypes.c_int]
     lib.simplify_path.restype = ctypes.c_int
@@ -99,47 +94,6 @@ def image_sources_multiband(
         cap,
     )
     return delays[:n], amps[: n * n_bands].reshape(n, n_bands), dirs[: n * 3].reshape(n, 3)
-
-
-def image_sources_batch(
-    dims: np.ndarray,
-    srcs: np.ndarray,  # (P, 3) image-source source positions
-    recvs: np.ndarray,  # (P, 3) per-pair receiver (channel acoustic center)
-    max_order: int,
-    max_delay_s: float,
-    c: float = 343.0,
-    n_threads: int = 0,
-):
-    """Threaded all-pairs enumeration → padded arrays or None if no native.
-
-    Returns (delays (P, cap) float64 seconds, hits (P, cap) uint8 total wall
-    reflections, dirs (P, cap, 3) float32 unit receiver→image, counts (P,)
-    int32). Entries beyond counts[p] are zero-padding.
-    """
-    lib = _load()
-    if lib is None:
-        return None
-    srcs = np.ascontiguousarray(srcs, np.float64).reshape(-1, 3)
-    recvs = np.ascontiguousarray(recvs, np.float64).reshape(-1, 3)
-    n_pairs = len(srcs)
-    cap = 8 * (2 * max_order + 1) ** 3
-    delays = np.zeros((n_pairs, cap), np.float64)
-    hits = np.zeros((n_pairs, cap), np.uint8)
-    dirs = np.zeros((n_pairs, cap, 3), np.float32)
-    counts = np.zeros(n_pairs, np.int32)
-    dims64 = np.ascontiguousarray(dims, np.float64)
-    lib.image_sources_batch(
-        dims64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        srcs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        recvs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        n_pairs, max_order, max_delay_s, c,
-        delays.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        hits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        cap, n_threads,
-    )
-    return delays, hits, dirs, counts
 
 
 def astar_path(occupancy: np.ndarray, start, goal, simplify: bool = True):

@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")
 
 from sonicsim_tpu.models.whisper import (
     ByteBpeDecoder,
@@ -204,7 +205,7 @@ def test_byte_bpe_decoder_text_and_specials():
     # decode with the replacement char rather than crashing.
     assert isinstance(tok.decode([14]), str)
     assert tok.sot_sequence() == [1, 4]  # tiny vocab → not multilingual
-    sup = tok.suppress_mask([1, 4])
+    sup = tok.suppress_mask()
     assert sup[1] and sup[4] and not sup[2] and not sup[10]
 
 
