@@ -1,4 +1,5 @@
-from .schedulers import DPTNetScheduler, EarlyStopping, ReduceLROnPlateau
+from .schedulers import (CustomExponentialLR, DPTNetScheduler,
+                         EarlyStopping, ReduceLROnPlateau)
 from .trainer import (
     Trainer,
     TrainState,
@@ -9,6 +10,7 @@ from .trainer import (
 )
 
 __all__ = [
+    "CustomExponentialLR",
     "DPTNetScheduler",
     "EarlyStopping",
     "ReduceLROnPlateau",

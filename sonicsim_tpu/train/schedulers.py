@@ -77,6 +77,30 @@ class DPTNetScheduler:
         return self.exp_max * self.exp_base ** ((epoch - 1) // 2)
 
 
+class CustomExponentialLR:
+    """Stepped exponential decay (schedulers.py:115-125).
+
+    Faithful to the upstream quirk: ``get_lr`` multiplies the ORIGINAL
+    base lr by gamma (never compounding), so the lr alternates between
+    ``base`` and ``base*gamma`` at ``step_size`` boundaries instead of
+    decaying geometrically. Unused by any shipped config; kept for
+    drop-in parity.
+    """
+
+    def __init__(self, lr: float, gamma: float, step_size: int):
+        self.base_lr = lr
+        self.lr = lr
+        self.gamma = gamma
+        self.step_size = step_size
+        self.last_epoch = 0
+
+    def step(self) -> float:
+        self.last_epoch += 1
+        if self.last_epoch % self.step_size == 0:
+            self.lr = self.base_lr * self.gamma
+        return self.lr
+
+
 class EarlyStopping:
     """Patience-based stop signal (configs/convtasnet.yaml early_stopping)."""
 

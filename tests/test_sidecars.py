@@ -113,6 +113,39 @@ def test_make_sigmos_missing_weights(tmp_path):
         make_sigmos(tmp_path / "nope.onnx")
 
 
+def test_make_whisper_asr_dispatch(tmp_path):
+    """Local HF/OpenAI checkpoint paths route to the native flax decoder
+    regardless of faster-whisper availability; CTranslate2 exports
+    (model.bin) and bare model names do not."""
+    from unittest import mock
+
+    from sonicsim_tpu.metrics.sidecars import make_whisper_asr
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    (hf_dir / "config.json").write_text("{}")
+    sentinel = object()
+    with mock.patch(
+        "sonicsim_tpu.models.whisper.make_whisper_transcriber",
+        return_value=sentinel,
+    ) as native_factory:
+        assert make_whisper_asr(str(hf_dir)) is sentinel
+        native_factory.assert_called_once_with(str(hf_dir))
+
+    ct2_dir = tmp_path / "ct2"
+    ct2_dir.mkdir()
+    (ct2_dir / "model.bin").write_bytes(b"")
+    # CTranslate2 export (or a bare model name) requires faster-whisper;
+    # in this environment it is absent, so both raise ImportError instead
+    # of hitting the native loader.
+    with pytest.raises(ImportError):
+        make_whisper_asr(str(ct2_dir))
+    with pytest.raises(ImportError):
+        make_whisper_asr("medium.en")
+    with pytest.raises(ImportError):
+        make_whisper_asr(str(hf_dir), native=False)
+
+
 def test_wer():
     assert wer("a b c", "a b c") == 0.0
     assert wer("a b c", "a x c") == pytest.approx(1 / 3)
