@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import BaseModel, register_model
-from .layers import GlobalLayerNorm, PReLU
+from .layers import GlobalLayerNorm, GroupedConv1D, PReLU
 from .sudormrf import nearest_resize
 from .zoo_layers import ConvNormAct, DilatedConvNorm
 
@@ -103,9 +103,9 @@ class AFRCNN(BaseModel):
         block = FusionBlock(
             self.out_channels, self.in_channels, self.upsampling_depth, name="blocks"
         )
-        concat_conv = nn.Conv(
+        concat_conv = GroupedConv1D(
             self.out_channels, (1,), feature_group_count=self.out_channels,
-            name="concat_conv",
+            padding=[(0, 0)], name="concat_conv",
         )
         concat_prelu = PReLU(name="concat_prelu")
         y = block(y0)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import BaseModel, register_model
-from .layers import PReLU, get_activation, select_norm
+from .layers import GroupedConv1D, PReLU, get_activation, select_norm
 
 
 class Conv1DBlock(nn.Module):
@@ -39,7 +39,7 @@ class Conv1DBlock(nn.Module):
         w = select_norm(self.norm_type, self.out_channels)(w)
         pad = self.dilation * (self.kernel_size - 1)
         padding = [(pad, 0)] if self.causal else [(pad // 2, pad - pad // 2)]
-        w = nn.Conv(
+        w = GroupedConv1D(
             self.out_channels,
             (self.kernel_size,),
             kernel_dilation=(self.dilation,),

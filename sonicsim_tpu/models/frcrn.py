@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .base import BaseModel, register_model
 from .dccrn import conv_istft, conv_stft
+from .layers import GroupedConv1D
 from .zoo_layers import StatelessBatchNorm
 
 # model_depth=14 layer tables (frcrn.py:323-346).
@@ -41,7 +42,7 @@ class UniDeepFsmn(nn.Module):
         f1 = jax.nn.relu(nn.Dense(self.hidden_size, name="linear")(x))
         p1 = nn.Dense(self.output_dim, use_bias=False, name="project")(f1)
         y = jnp.pad(p1, ((0, 0), (self.lorder - 1, 0), (0, 0)))
-        mem = nn.Conv(
+        mem = GroupedConv1D(
             self.output_dim, (self.lorder,), padding="VALID",
             feature_group_count=self.output_dim, use_bias=False, name="conv1",
         )(y)

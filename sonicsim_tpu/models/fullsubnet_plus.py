@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .base import BaseModel, register_model
 from .fullsubnet import SequenceModel, _stft_features, freq_unfold, offline_laplace_norm
-from .layers import PReLU
+from .layers import GroupedConv1D, PReLU
 from .zoo_layers import GroupNorm1
 
 
@@ -50,7 +50,7 @@ class TCNBlock(nn.Module):
         y = nn.Conv(self.hidden, (1,), name="conv1x1")(x)
         y = GroupNorm1(eps=1e-8, name="norm1")(PReLU(name="prelu1")(y))
         pad = (self.dilation * (self.kernel_size - 1)) // 2
-        y = nn.Conv(
+        y = GroupedConv1D(
             self.hidden, (self.kernel_size,), kernel_dilation=(self.dilation,),
             padding=[(pad, pad)], feature_group_count=self.hidden,
             name="depthwise",

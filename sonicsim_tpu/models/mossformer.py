@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import BaseModel, register_model
-from .layers import PReLU
+from .layers import GroupedConv1D, PReLU
 from .zoo_layers import GroupNorm1
 
 
@@ -63,7 +63,7 @@ class ConvModuleRes(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, T, C)
         pad = (self.kernel_size - 1) // 2
-        y = nn.Conv(
+        y = GroupedConv1D(
             self.dim, (self.kernel_size,), padding=[(pad, pad)],
             feature_group_count=self.dim, use_bias=False, name="dwconv",
         )(x)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import BaseModel, register_model
-from .layers import ChannelLayerNorm, PReLU
+from .layers import ChannelLayerNorm, GroupedConv1D, PReLU
 from .mossformer import FFConvM, FlashBlock, MossFormer
 
 
@@ -37,7 +37,7 @@ class DilatedDenseFSMN(nn.Module):
             dil = 2**i
             pad = self.lorder + (dil - 1) * (self.lorder - 1) - 1
             y = jnp.pad(skip, ((0, 0), (pad, pad), (0, 0)))
-            y = nn.Conv(
+            y = GroupedConv1D(
                 self.dim,
                 (twidth,),
                 kernel_dilation=(dil,),

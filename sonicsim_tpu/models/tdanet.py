@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import BaseModel, register_model
-from .layers import GlobalLayerNorm, PReLU
+from .layers import GlobalLayerNorm, GroupedConv1D, PReLU
 from .sudormrf import nearest_resize
 from .zoo_layers import ConvNormAct, DilatedConvNorm
 
@@ -47,12 +47,13 @@ class ConvNormNB(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(
+        x = GroupedConv1D(
             self.out_channels,
             (self.kernel_size,),
             padding=[(pad, pad)],
             feature_group_count=self.groups,
             use_bias=False,
+            name="Conv_0",
         )(x)
         return GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
 
@@ -94,7 +95,7 @@ class GlobalAttention(nn.Module):
         x = x + attn
         # Conv MLP (TDANet.py:199-217).
         m = ConvNormNB(self.dim * 2, 1, name="mlp_fc1")(x)
-        m = nn.Conv(
+        m = GroupedConv1D(
             self.dim * 2, (5,), padding=[(2, 2)],
             feature_group_count=self.dim * 2, name="mlp_dwconv",
         )(m)
@@ -211,9 +212,9 @@ class TDANet(BaseModel):
             self.out_channels, self.in_channels, self.upsampling_depth,
             torch_compat=self.torch_compat, name="unet"
         )
-        concat_conv = nn.Conv(
+        concat_conv = GroupedConv1D(
             self.out_channels, (1,), feature_group_count=self.out_channels,
-            name="concat_conv",
+            padding=[(0, 0)], name="concat_conv",
         )
         concat_prelu = PReLU(name="concat_prelu")
         y = block(y0)

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import GlobalLayerNorm, PReLU
+from .layers import GlobalLayerNorm, GroupedConv1D, PReLU
 
 
 class GroupNorm1(nn.Module):
@@ -62,12 +62,13 @@ class ConvNormAct(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, C)
         k, s = self.kernel_size, self.stride
         pad = (k - 1) // 2  # torch symmetric-pad convention (sudormrf.py:62)
-        x = nn.Conv(
+        x = GroupedConv1D(
             self.out_channels,
             (k,),
             strides=(s,),
             padding=[(pad, pad)],
             feature_group_count=self.groups,
+            name="Conv_0",
         )(x)
         x = GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
         return PReLU()(x)
@@ -86,13 +87,14 @@ class ConvNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         k, s = self.kernel_size, self.stride
         pad = (k - 1) // 2
-        x = nn.Conv(
+        x = GroupedConv1D(
             self.out_channels,
             (k,),
             strides=(s,),
             padding=[(pad, pad)],
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            name="Conv_0",
         )(x)
         return GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
 
@@ -120,13 +122,14 @@ class DilatedConvNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         k, s, d = self.kernel_size, self.stride, self.dilation
         pad = ((k - 1) // 2) * d  # torch convention (sudormrf.py:129)
-        x = nn.Conv(
+        x = GroupedConv1D(
             self.out_channels,
             (k,),
             strides=(s,),
             padding=[(pad, pad)],
             kernel_dilation=(d,),
             feature_group_count=self.groups,
+            name="Conv_0",
         )(x)
         return GlobalLayerNorm(self.out_channels, eps=1e-8)(x)
 
