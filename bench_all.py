@@ -44,6 +44,9 @@ def _timeit(fn, *args, iters=5):
         return jnp.ravel(leaf)[0]
 
     float(call(jnp.float32(0.0)))  # compile + warmup
+    float(call(jnp.float32(0.0)))  # second flush: residual async
+    # compile/autotune work otherwise drains into the timed loop
+    # (measured ~150 ms of pollution on the first post-compile call)
     acc = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(iters):
