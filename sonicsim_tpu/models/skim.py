@@ -233,17 +233,116 @@ class SkiMStreamer:
     returns the separated chunk with the same length. Carries per-layer
     SegLSTM states, MemLSTM refinement carries, the encoder's raw-sample
     overlap and the decoder's overlap-add tail across calls.
+
+    The whole per-segment computation (SegLSTM stack + MemLSTM refinement
+    + mask + decoder overlap-add) is ONE jitted call with the carried
+    state as explicit pytree arguments — eager per-op dispatch made each
+    3 ms audio chunk cost ~800 ms of host overhead; jitted it is real-time
+    on a local device.
     """
 
     def __init__(self, model: SkiMNet, params):
+        import flax.linen as nn
+
+        from .layers import ChannelLayerNorm, PReLU, get_activation
+
         if not model.causal or model.seg_overlap:
             raise ValueError(
                 "streaming requires causal=True, seg_overlap=False"
             )
+        if model.mem_type != "hc":
+            raise NotImplementedError("streaming supports mem_type='hc'")
         self.model = model
         self.params = params["params"] if "params" in params else params
         self.hop = model.kernel_size // 2
         self.chunk_samples = model.segment_size * self.hop
+
+        k, hop, u = model.kernel_size, self.hop, model.unit
+
+        def mem_step(params, i, hc, carry):
+            """MemLSTM.forward_one_step parity: refine this segment's
+            (c, h) through the mem LSTMs (with carry) for the next
+            segment."""
+            p = params[f"mem_lstm_{i}"]
+            (c, h) = hc[0]  # unidirectional: single-direction carry
+
+            def run(name, vec, cr):
+                cell = nn.OptimizedLSTMCell(u)
+                net = p[f"{name}_net"]
+                cell_params = net["LSTMLayer_0"]["OptimizedLSTMCell_0"]
+                new_cr, out = cell.apply({"params": cell_params}, cr, vec)
+                out = nn.Dense(u).apply(
+                    {"params": net["proj"]}, out
+                )  # SingleLSTM projection (skim.py:47-58)
+                normed = ChannelLayerNorm(u).apply(
+                    {"params": p[f"{name}_norm"]}, out[:, None, :]
+                )[:, 0]
+                return vec + normed, new_cr
+
+            h_ref, ch = run("h", h, carry["h"])
+            c_ref, cc = run("c", c, carry["c"])
+            return ((c_ref, h_ref),), {"h": ch, "c": cc}
+
+        def segment_fn(params, enc, layer_in, mem_carry, dec_tail):
+            """One segment → (out chunk, next layer_in/mem_carry/tail).
+
+            Offline semantics (skim.py:560-575 + causal shift): layer
+            (i+1)'s initial state at segment p is the Mem-refined final
+            state of layer i at segment p-1; layer 0 always starts from
+            zeros."""
+            b = enc.shape[0]
+            zeros_hc = ((jnp.zeros((b, u)), jnp.zeros((b, u))),)
+            out = enc
+            next_in = [zeros_hc] * model.layer
+            new_mem = []
+            for i in range(model.layer):
+                seg_mod = SegLSTM(model.input_dim, u, False, "cLN")
+                out, hc = seg_mod.apply(
+                    {"params": params[f"seg_lstm_{i}"]}, out, layer_in[i]
+                )
+                if i < model.layer - 1:
+                    next_in[i + 1], mem_i = mem_step(
+                        params, i, hc, mem_carry[i]
+                    )
+                    new_mem.append(mem_i)
+
+            merged = PReLU().apply({"params": params["out_prelu"]}, out)
+            masks = nn.Conv(model.input_dim * model.num_spk, (1,)).apply(
+                {"params": params["output_fc"]}, merged
+            )
+            fr = masks.shape[1]
+            masks = get_activation(model.nonlinear)(
+                jnp.swapaxes(
+                    masks.reshape(b, fr, model.input_dim, model.num_spk),
+                    2, 3,
+                )
+            )
+            masked = (enc * enc)[:, :, None, :] * masks
+            masked = jnp.moveaxis(masked, 2, 1).reshape(
+                b * model.num_spk, fr, model.input_dim
+            )
+            dec = nn.ConvTranspose(
+                1, (k,), strides=(hop,), padding="VALID", use_bias=False
+            ).apply({"params": params["decoder"]}, masked)[..., 0]
+            n_out = fr * hop
+            dec = dec.at[:, : k - hop].add(dec_tail)
+            return (
+                dec[:, :n_out].reshape(b, model.num_spk, n_out),
+                tuple(next_in),
+                tuple(new_mem),
+                dec[:, n_out:],
+            )
+
+        def enc_fn(params, used):  # (B, n) framed samples → (B, fr, D)
+            return jax.nn.relu(
+                nn.Conv(
+                    model.input_dim, (k,), strides=(hop,), padding="VALID",
+                    use_bias=False,
+                ).apply({"params": params["encoder"]}, used[..., None])
+            )
+
+        self._segment_jit = jax.jit(segment_fn)
+        self._enc_jit = jax.jit(enc_fn)
         self.reset()
 
     def reset(self, batch: int = 1) -> None:
@@ -251,59 +350,24 @@ class SkiMStreamer:
         u = self.model.unit
         zeros = lambda: (jnp.zeros((batch, u)), jnp.zeros((batch, u)))
         # layer_in[i]: the SegLSTM initial state layer i uses for the NEXT
-        # segment. Offline semantics (skim.py:560-575 + causal shift):
-        # layer (i+1)'s initial state at segment p is the Mem-refined final
-        # state of layer i at segment p-1; layer 0 always starts from zeros.
-        self.layer_in = [None for _ in range(self.model.layer)]
-        self.mem_carry = [
+        # segment (single-direction tuple, zeros == SegLSTM's None init).
+        self.layer_in = tuple(
+            (zeros(),) for _ in range(self.model.layer)
+        )
+        self.mem_carry = tuple(
             {"h": zeros(), "c": zeros()} for _ in range(self.model.layer - 1)
-        ]
-        if self.model.mem_type != "hc":
-            raise NotImplementedError("streaming supports mem_type='hc'")
+        )
         self.raw_buf = None  # raw samples not yet framed
         self.frame_buf = None  # encoded frames not yet segmented
-        self.dec_tail = None  # decoder overlap-add carry
-
-    def _seg_lstm(self, i, x, hc):
-        mod = SegLSTM(
-            self.model.input_dim, self.model.unit, False, "cLN"
-        )
-        return mod.apply({"params": self.params[f"seg_lstm_{i}"]}, x, hc)
-
-    def _mem_step(self, i, hc):
-        """MemLSTM.forward_one_step parity: refine this segment's (c, h)
-        through the mem LSTMs (with carry) for use by the next segment."""
-        import flax.linen as nn
-
-        p = self.params[f"mem_lstm_{i}"]
-        (c, h) = hc[0]  # unidirectional: single-direction carry
-
-        def run(name, vec, carry):
-            cell = nn.OptimizedLSTMCell(self.model.unit)
-            net = p[f"{name}_net"]
-            cell_params = net["LSTMLayer_0"]["OptimizedLSTMCell_0"]
-            new_carry, out = cell.apply(
-                {"params": cell_params}, carry, vec
-            )
-            out = nn.Dense(self.model.unit).apply(
-                {"params": net["proj"]}, out
-            )  # SingleLSTM projection (skim.py:47-58)
-            from .layers import ChannelLayerNorm
-
-            normed = ChannelLayerNorm(self.model.unit).apply(
-                {"params": p[f"{name}_norm"]}, out[:, None, :]
-            )[:, 0]
-            return vec + normed, new_carry
-
-        h_ref, self.mem_carry[i]["h"] = run("h", h, self.mem_carry[i]["h"])
-        c_ref, self.mem_carry[i]["c"] = run("c", c, self.mem_carry[i]["c"])
-        return ((c_ref, h_ref),)
+        self.dec_tail = jnp.zeros(
+            (batch * self.model.num_spk,
+             self.model.kernel_size - self.hop),
+            jnp.float32,
+        )  # decoder overlap-add carry
 
     def step(self, wav_chunk: jax.Array) -> jax.Array:
         """Feed (B, n) raw samples; returns (B, num_spk, m) for however many
         output samples became ready (m grows in segment-size units)."""
-        import flax.linen as nn
-
         model = self.model
         k, hop = model.kernel_size, self.hop
         x = jnp.atleast_2d(wav_chunk)
@@ -316,12 +380,7 @@ class SkiMStreamer:
         n_fr = (n_avail - k) // hop + 1 if n_avail >= k else 0
         if n_fr > 0:
             used = self.raw_buf[:, : (n_fr - 1) * hop + k]
-            enc = jax.nn.relu(
-                nn.Conv(
-                    model.input_dim, (k,), strides=(hop,), padding="VALID",
-                    use_bias=False,
-                ).apply({"params": self.params["encoder"]}, used[..., None])
-            )
+            enc = self._enc_jit(self.params, used)
             self.frame_buf = (
                 enc if self.frame_buf is None
                 else jnp.concatenate([self.frame_buf, enc], axis=1)
@@ -334,46 +393,14 @@ class SkiMStreamer:
         ):
             seg = self.frame_buf[:, : model.segment_size]
             self.frame_buf = self.frame_buf[:, model.segment_size :]
-            outs.append(self._process_segment(seg))
+            out, self.layer_in, self.mem_carry, self.dec_tail = (
+                self._segment_jit(
+                    self.params, seg, self.layer_in, self.mem_carry,
+                    self.dec_tail,
+                )
+            )
+            outs.append(out)
         if not outs:
             b = x.shape[0]
             return jnp.zeros((b, model.num_spk, 0), x.dtype)
         return jnp.concatenate(outs, axis=-1)
-
-    def _process_segment(self, enc: jax.Array) -> jax.Array:
-        import flax.linen as nn
-
-        from .layers import PReLU, get_activation
-
-        model = self.model
-        k, hop = model.kernel_size, self.hop
-        out = enc
-        next_in = [None for _ in range(model.layer)]
-        for i in range(model.layer):
-            out, hc = self._seg_lstm(i, out, self.layer_in[i])
-            if i < model.layer - 1:
-                next_in[i + 1] = self._mem_step(i, hc)
-        self.layer_in = next_in
-
-        merged = PReLU().apply({"params": self.params["out_prelu"]}, out)
-        masks = nn.Conv(model.input_dim * model.num_spk, (1,)).apply(
-            {"params": self.params["output_fc"]}, merged
-        )
-        b, fr, _ = masks.shape
-        masks = get_activation(model.nonlinear)(
-            jnp.swapaxes(
-                masks.reshape(b, fr, model.input_dim, model.num_spk), 2, 3
-            )
-        )
-        masked = (enc * enc)[:, :, None, :] * masks
-        masked = jnp.moveaxis(masked, 2, 1).reshape(
-            b * model.num_spk, fr, model.input_dim
-        )
-        dec = nn.ConvTranspose(
-            1, (k,), strides=(hop,), padding="VALID", use_bias=False
-        ).apply({"params": self.params["decoder"]}, masked)[..., 0]
-        n_out = fr * hop
-        if self.dec_tail is not None:
-            dec = dec.at[:, : k - hop].add(self.dec_tail)
-        self.dec_tail = dec[:, n_out:]
-        return dec[:, :n_out].reshape(b, model.num_spk, n_out)

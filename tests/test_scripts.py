@@ -245,3 +245,32 @@ trainer:
     assert (exp / "config.yaml").exists()
     assert (exp / "metrics.jsonl").exists()
     assert (exp / "best_k_models.json").exists()
+
+
+def test_cli_stream(tmp_path):
+    """Streaming separation demo: chunked SkiMStreamer over a WAV with
+    latency stats (SkiM forward_stream serving role)."""
+    import jax
+
+    from sonicsim_tpu.models.base import save_model
+    from sonicsim_tpu.models.skim import SkiMNet
+    from sonicsim_tpu.utils import write_wav
+
+    model = SkiMNet(input_dim=16, causal=True, num_spk=2, layer=2, unit=16,
+                    segment_size=25, seg_overlap=False, kernel_size=4)
+    params = model.init_params(jax.random.PRNGKey(0), example_len=4000)
+    save_model(model, params, tmp_path / "skim.pkl")
+    wav = np.random.default_rng(0).standard_normal(8000).astype(np.float32)
+    write_wav(tmp_path / "mix.wav", 0.1 * wav, 16000)
+
+    out = _run_script("scripts/stream.py", [
+        "--model_path", str(tmp_path / "skim.pkl"),
+        "--mix", str(tmp_path / "mix.wav"),
+        "--out_dir", str(tmp_path),
+    ])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["audio_seconds"] == pytest.approx(0.5)
+    assert set(stats["chunk_latency_ms"]) == {"mean", "p50", "p95", "max"}
+    for s in (1, 2):
+        est = tmp_path / f"stream_spk{s}.wav"
+        assert est.exists()
