@@ -218,6 +218,28 @@ def main() -> None:
     dt = _timeit(fwd16, params, batch16)
     results.append(("ConvTasNet serving (B=16, bf16)", 16 * 4 / dt))
 
+    # --- 6. training step: ConvTasNet + PIT SI-SDR, B=8 x 4 s -------------
+    import optax
+
+    from sonicsim_tpu.losses import PITLossWrapper, PairwiseNegSDR
+    from sonicsim_tpu.train import make_train_step
+
+    loss_fn = PITLossWrapper(PairwiseNegSDR("sisdr"), pit_from="pw_mtx")
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    tr_mix = jnp.asarray(rng.standard_normal((8, 4 * sr)).astype(np.float32))
+    tr_tgt = jnp.asarray(
+        rng.standard_normal((8, 2, 4 * sr)).astype(np.float32)
+    )
+    step = jax.jit(make_train_step(model, loss_fn, opt))
+
+    def train_once(params, opt_state, mix, tgt):
+        params, opt_state, loss = step(params, opt_state, mix, tgt)
+        return loss + jnp.ravel(params["params"]["bottleneck"]["bias"])[0]
+
+    dt = _timeit(train_once, params, opt_state, tr_mix, tr_tgt)
+    results.append(("ConvTasNet training step (B=8)", 8 * 4 / dt))
+
     for name, value in results:
         print(
             json.dumps(
