@@ -240,6 +240,15 @@ def main() -> None:
     dt = _timeit(train_once, params, opt_state, tr_mix, tr_tgt)
     results.append(("ConvTasNet training step (B=8)", 8 * 4 / dt))
 
+    step16 = jax.jit(make_train_step(model, loss_fn, opt, precision="bf16"))
+
+    def train_once16(params, opt_state, mix, tgt):
+        params, opt_state, loss = step16(params, opt_state, mix, tgt)
+        return loss + jnp.ravel(params["params"]["bottleneck"]["bias"])[0]
+
+    dt = _timeit(train_once16, params, opt_state, tr_mix, tr_tgt)
+    results.append(("ConvTasNet training step (B=8, bf16)", 8 * 4 / dt))
+
     for name, value in results:
         print(
             json.dumps(

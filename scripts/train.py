@@ -55,6 +55,7 @@ def main() -> None:
         lr_factor=float(scfg.get("factor", 0.5)),
         patience_stop=int(cfg.get("early_stopping", {}).get("patience", 20)),
         save_top_k=int(cfg.get("checkpoint", {}).get("save_top_k", 5)),
+        precision=str(tcfg.get("precision", "f32")),
         exp_dir=exp_dir,
     )
     crop = int(

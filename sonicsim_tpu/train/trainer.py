@@ -94,15 +94,41 @@ def set_learning_rate(opt_state: Any, lr: float) -> Any:
     )
 
 
-def make_train_step(model: BaseModel, loss_fn: Callable, optimizer) -> Callable:
-    """Build the jitted (state, mix, targets) → (state, loss) step."""
+def make_train_step(model: BaseModel, loss_fn: Callable, optimizer,
+                    precision: str = "f32") -> Callable:
+    """Build the jitted (state, mix, targets) → (state, loss) step.
+
+    ``precision='bf16'`` runs the forward/backward compute in bfloat16
+    (MXU-native) with fp32 master weights: params are cast inside the
+    traced function (XLA folds the casts — no double storage), the loss
+    and its gradient come back as bf16 compute, and the optimizer update
+    accumulates in fp32. The reference trains fp32
+    (audio_litmodule.py + set_float32_matmul_precision('highest')); this
+    is the TPU-native mixed-precision option on top of that contract.
+    """
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"unsupported precision {precision!r}")
 
     def step(params, opt_state, mix, targets):
         def loss_of(p):
+            if precision == "bf16":
+                from ..infer.precision import cast_floating
+
+                p = cast_floating(p)
+                ests = model.apply(p, jnp.asarray(mix, jnp.bfloat16))
+                return loss_fn(
+                    jnp.asarray(ests, jnp.float32), targets
+                )
             ests = model.apply(p, mix)
             return loss_fn(ests, targets)
 
         loss, grads = jax.value_and_grad(loss_of)(params)
+        if precision == "bf16":
+            grads = jax.tree.map(
+                lambda g: g.astype(jnp.float32)
+                if jnp.issubdtype(g.dtype, jnp.floating) else g,
+                grads,
+            )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -136,6 +162,7 @@ class Trainer:
     n_devices: int | None = None
     log_every: int = 50
     optimizer_name: str = "adam"
+    precision: str = "f32"  # 'bf16': MXU compute with fp32 master weights
     wandb_project: str | None = None  # optional W&B mirror of the JSONL log
     history: list = field(default_factory=list)
 
@@ -244,7 +271,9 @@ class Trainer:
             lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a, opt_state
         )
 
-        raw_step = make_train_step(self.model, self.loss_fn, optimizer)
+        raw_step = make_train_step(
+            self.model, self.loss_fn, optimizer, precision=self.precision
+        )
         train_step = jax.jit(
             raw_step,
             in_shardings=(rep, None, data_shard, data_shard),

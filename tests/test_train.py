@@ -170,3 +170,35 @@ def test_trainer_full_state_resume(tmp_path, rng):
     )
     tr3.fit(batches, None, example_len=t, resume=True)
     assert [r["epoch"] for r in tr3.history] == [0]
+
+
+def test_bf16_train_step_tracks_f32(rng):
+    """Mixed-precision training: bf16 compute with fp32 master weights
+    makes optimization progress comparable to the fp32 step."""
+    import optax
+
+    model = ConvTasNet(**SMALL)
+    loss_fn = PITLossWrapper(PairwiseNegSDR("sisdr"), pit_from="pw_mtx")
+    mix, tgt = _data(rng, n=4)
+    mix, tgt = jnp.asarray(mix), jnp.asarray(tgt)
+    params0 = model.init_params(jax.random.PRNGKey(0), example_len=mix.shape[-1])
+    opt = optax.adam(1e-3)
+
+    losses = {}
+    for precision in ("f32", "bf16"):
+        step = jax.jit(make_train_step(model, loss_fn, opt, precision=precision))
+        params, opt_state = params0, opt.init(params0)
+        trace = []
+        for _ in range(6):
+            params, opt_state, loss = step(params, opt_state, mix, tgt)
+            trace.append(float(loss))
+        losses[precision] = trace
+        # master weights stay fp32
+        leaf = jax.tree.leaves(params)[0]
+        assert leaf.dtype == jnp.float32
+
+    for tr in losses.values():
+        assert np.isfinite(tr).all()
+        assert tr[-1] < tr[0]  # both precisions make progress
+    # Same starting point, similar first-step loss (bf16 rounding only).
+    assert abs(losses["bf16"][0] - losses["f32"][0]) < 0.1 * abs(losses["f32"][0]) + 0.5
