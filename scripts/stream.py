@@ -70,9 +70,18 @@ def main() -> None:
     chunk_ms = 1000.0 * step_samples / sr
     n_steps = max(1, int(np.ceil(len(mono) / step_samples)))
     padded = np.pad(mono, (0, n_steps * step_samples - len(mono)))
+    # The encoder's final frame needs kernel_size-hop extra samples, so a
+    # run of N whole chunks leaves one segment buffered; this flush chunk
+    # completes it (and is what a live pipeline feeds at end-of-stream).
+    flush = np.zeros(
+        streamer.model.kernel_size - streamer.hop, np.float32
+    )
 
-    # Warm up the per-segment compile on silence, then reset state.
-    streamer.step(jnp.zeros((1, step_samples), jnp.float32))
+    # Warm up every compiled shape on silence (two whole chunks reach the
+    # per-segment program — the first chunk alone leaves the segment one
+    # frame short — plus the flush shape), then reset state.
+    for warm in (step_samples, step_samples, len(flush)):
+        streamer.step(jnp.zeros((1, warm), jnp.float32))
     streamer.reset()
 
     outs, latencies = [], []
@@ -85,9 +94,14 @@ def main() -> None:
         latencies.append(time.perf_counter() - t0)
         if out.size:
             outs.append(out)
+    out = np.asarray(streamer.step(jnp.asarray(flush[None])))
+    if out.size:
+        outs.append(out)
     wall = time.perf_counter() - t_start
 
     est = np.concatenate(outs, axis=-1)[0, :, : len(mono)]  # (spk, T)
+    if est.shape[-1] < len(mono):
+        est = np.pad(est, ((0, 0), (0, len(mono) - est.shape[-1])))
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     for s in range(est.shape[0]):

@@ -126,8 +126,13 @@ class GroupedConv1D(nn.Module):
         )
         eff = d * (k - 1)
         if isinstance(self.padding, str):
+            if self.padding not in ("SAME", "VALID"):
+                raise ValueError(
+                    f"GroupedConv1D supports 'SAME'/'VALID'/explicit "
+                    f"padding, got {self.padding!r}"
+                )
             pad_spec = self.padding
-            explicit = None if self.padding == "SAME" else (0, 0)
+            explicit = (0, 0) if self.padding == "VALID" else None
             if self.padding == "SAME" and s == 1:
                 explicit = (eff // 2, eff - eff // 2)
         else:
@@ -137,6 +142,12 @@ class GroupedConv1D(nn.Module):
         if depthwise:
             xp = jnp.pad(x, ((0, 0), explicit, (0, 0)))
             t_out = (xp.shape[1] - eff - 1) // s + 1
+            if t_out <= 0:
+                raise ValueError(
+                    f"input length {x.shape[1]} (+padding {explicit}) is "
+                    f"shorter than the receptive field "
+                    f"{eff + 1} of this depthwise conv"
+                )
             span = (t_out - 1) * s + 1
             out = xp[:, :span:s, :] * kernel[0, 0]
             for i in range(1, k):

@@ -122,13 +122,9 @@ def make_train_step(model: BaseModel, loss_fn: Callable, optimizer,
             ests = model.apply(p, mix)
             return loss_fn(ests, targets)
 
+        # grads come back fp32 either way: the VJP of the in-trace bf16
+        # cast casts cotangents back to the fp32 param dtype.
         loss, grads = jax.value_and_grad(loss_of)(params)
-        if precision == "bf16":
-            grads = jax.tree.map(
-                lambda g: g.astype(jnp.float32)
-                if jnp.issubdtype(g.dtype, jnp.floating) else g,
-                grads,
-            )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
