@@ -13,8 +13,13 @@ dimensions are derived deterministically from the scene name; with
 from __future__ import annotations
 
 import argparse
+import logging
 import sys
 from pathlib import Path
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+)  # surface the per-mixture elapsed log (SonicSet_train.py:215 parity)
 
 import numpy as np
 

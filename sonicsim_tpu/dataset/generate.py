@@ -347,7 +347,11 @@ def generate_split(
                     fut = executor.submit(
                         render_mixture, scene, plan, out_dir, transcripts
                     )
-                    pending = (fut, out_dir, scene_name, name, t0)
+                    # Clock from submission, not from planning: planning
+                    # overlaps the previous mixture's render, so t0 would
+                    # double-count a whole pipeline slot.
+                    pending = (fut, out_dir, scene_name, name,
+                               time.perf_counter())
                 else:
                     render_mixture(scene, plan, out_dir, transcripts)
                     produced.append(out_dir)
