@@ -185,8 +185,13 @@ def render_mixture(
             np.asarray([plan.lufs_noise, plan.lufs_music], np.float32),
             sr, mesh=mesh,
         )
-        moving = [np.asarray(m) for m in moving_t]
-        noise, music = (np.asarray(s) for s in static_t)
+        # Quantize to int16 ON DEVICE before downloading: the WAVs are
+        # PCM16 anyway, and this halves the device→host transfer
+        # (bit-identical to write_wav's host quantization).
+        from ..utils.audio import pcm16_quantize
+
+        moving = [np.asarray(pcm16_quantize(m)) for m in moving_t]
+        noise, music = (np.asarray(pcm16_quantize(s)) for s in static_t)
     else:
         # Degenerate single-waypoint trajectories: per-source host loop.
         moving = []

@@ -8,6 +8,7 @@ from .audio import (
     clip_all,
     clip_two,
     normalize,
+    pcm16_quantize,
     sum_arrays_with_different_length,
 )
 from .seeding import stable_seed
@@ -32,5 +33,6 @@ __all__ = [
     "resample",
     "save_config",
     "stable_seed",
+    "pcm16_quantize",
     "write_wav",
 ]

@@ -72,3 +72,16 @@ def all_pairs(list1: Sequence[Any], list2: Sequence[Any]) -> tuple[list, list]:
         return [], []
     a, b = zip(*pairs)
     return list(a), list(b)
+
+
+def pcm16_quantize(x):
+    """Float waveform → int16 PCM samples, ON DEVICE when given a
+    ``jax.Array`` — bit-identical to utils/wavio.write_wav's host
+    quantization (clip to [-1, 1-2^-15], scale, truncate toward zero),
+    at half the device→host transfer size."""
+    import jax.numpy as jnp
+
+    xp = jnp if not isinstance(x, np.ndarray) else np
+    return (
+        xp.clip(x, -1.0, 1.0 - 1.0 / 32768.0) * 32768.0
+    ).astype(xp.int16)

@@ -95,7 +95,14 @@ def write_wav(
         x = x[None, :]
     n_ch, n_frames = x.shape
     interleaved = x.T.reshape(-1)
-    if encoding == "pcm16":
+    if x.dtype == np.int16:
+        # Pre-quantized samples (e.g. on-device pcm16_quantize — halves
+        # the device→host transfer vs downloading float32).
+        if encoding != "pcm16":
+            raise ValueError("int16 input requires pcm16 encoding")
+        fmt_code, bits = 1, 16
+        payload = interleaved.astype("<i2").tobytes()
+    elif encoding == "pcm16":
         fmt_code, bits = 1, 16
         payload = (
             np.clip(interleaved, -1.0, 1.0 - 1.0 / 32768.0) * 32768.0
