@@ -128,3 +128,21 @@ def test_receiver_source_entities():
     s = Source(position=(0.0, 0.0, 0.0), dry_sound="x.wav")
     assert r.sample_rate == 16000 and r.rotation == 90.0
     assert s.dry_sound == "x.wav"
+
+
+def test_pcm16_quantize_matches_write_wav(tmp_path):
+    """Device-side quantization produces bit-identical PCM bytes to the
+    host path in write_wav."""
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.utils import pcm16_quantize, read_wav, write_wav
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 1000)) * 0.7).astype(np.float32)
+    x[0, :5] = [1.5, -1.5, 1.0, -1.0, 0.0]  # clipping edges
+
+    write_wav(tmp_path / "host.wav", x, 16000)
+    write_wav(tmp_path / "dev.wav", np.asarray(pcm16_quantize(jnp.asarray(x))), 16000)
+    assert (tmp_path / "host.wav").read_bytes() == (tmp_path / "dev.wav").read_bytes()
+    back, sr = read_wav(tmp_path / "dev.wav")
+    assert sr == 16000 and back.shape == x.shape
