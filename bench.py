@@ -98,6 +98,17 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "audio-seconds/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
+                # Self-describing workload so round-over-round numbers are
+                # comparable (the r1->r2 headline jump was partly a framing
+                # change from n_src=3 to 12 — VERDICT r2 weak #4).
+                "workload": {
+                    "n_src": n_src,
+                    "p": p,
+                    "channels": c,
+                    "rir_len": l,
+                    "duration_s": duration,
+                    "sample_rate": sr,
+                },
             }
         )
     )

@@ -84,7 +84,8 @@ def main() -> None:
         return wet[0] + scale_noise_snr(wet[0], wet[1], 15.0)
 
     dt = _timeit(static_mix, audio, rirs)
-    results.append(("static 2-src mix", 2 * 60 / dt))
+    results.append(("static 2-src mix", 2 * 60 / dt,
+                    {"n_src": 2, "channels": 2, "duration_s": 60}))
 
     # --- 2. moving single source (headline geometry) ----------------------
     p, c = 40, 2
@@ -100,7 +101,8 @@ def main() -> None:
         )
     )
     dt = _timeit(moving, a1, r1)
-    results.append(("moving source (binaural)", 60 / dt))
+    results.append(("moving source (binaural)", 60 / dt,
+                    {"n_src": 1, "p": p, "channels": c, "duration_s": 60}))
 
     # --- 3. multi-channel moving render (2 + 4 + 4 channels) --------------
     for name, ch in (("ambisonics-1", 4), ("4-mic array", 4)):
@@ -113,7 +115,8 @@ def main() -> None:
             )
         )
         dt = _timeit(f, a1, r_mc)
-        results.append((f"moving source ({name})", 60 / dt))
+        results.append((f"moving source ({name})", 60 / dt,
+                        {"n_src": 1, "p": p, "channels": ch, "duration_s": 60}))
 
     # --- 3b. batched multi-mixture render (generation at scale) -----------
     a12 = jnp.asarray(rng.standard_normal((12, t)).astype(np.float32) * 0.1)
@@ -128,7 +131,8 @@ def main() -> None:
         )
     )
     dt = _timeit(batched, a12, r12, iters=3)
-    results.append(("moving render, batched 12 sources", 12 * 60 / dt))
+    results.append(("moving render, batched 12 sources", 12 * 60 / dt,
+                    {"n_src": 12, "p": p, "channels": c, "duration_s": 60}))
 
     # --- 4. mixture pipeline step: 3 moving + 2 static + LUFS -------------
     a3 = jnp.asarray(rng.standard_normal((3, t)).astype(np.float32) * 0.1)
@@ -150,7 +154,8 @@ def main() -> None:
         return speech[0] + speech[1] + speech[2] + noise + music
 
     dt = _timeit(mixture_step, a3, r3, bg, rbg)
-    results.append(("full mixture step (5 tracks)", 5 * 60 / dt))
+    results.append(("full mixture step (5 tracks)", 5 * 60 / dt,
+                    {"n_src": 5, "p": p, "channels": c, "duration_s": 60}))
 
     # --- 4b. RIR bank rendering (3 speakers x 40 waypoints, binaural) -----
     # Replaces the reference's mp.Pool-of-habitat-sims design point
@@ -197,7 +202,8 @@ def main() -> None:
         for b in banks:
             float(b.ravel()[0])
     dt_bank = time.perf_counter() - t0
-    results.append(("RIR bank render (3x40 pairs, binaural)", ir_sec / dt_bank))
+    results.append(("RIR bank render (3x40 pairs, binaural)", ir_sec / dt_bank,
+                    {"n_src": 3, "p": 40, "channels": 2, "rir_len": sr}))
 
     # --- 5. harness inference: ConvTasNet on 4 s batches ------------------
     model = ConvTasNet()
@@ -205,18 +211,21 @@ def main() -> None:
     batch = jnp.asarray(rng.standard_normal((4, 4 * sr)).astype(np.float32))
     fwd = jax.jit(lambda p_, x: model.apply(p_, x))
     dt = _timeit(fwd, params, batch)
-    results.append(("ConvTasNet inference", 4 * 4 / dt))
+    results.append(("ConvTasNet inference", 4 * 4 / dt,
+                    {"batch": 4, "duration_s": 4}))
 
     from sonicsim_tpu.infer import bf16_forward
 
     fwd16 = jax.jit(bf16_forward(model))
     dt = _timeit(fwd16, params, batch)
-    results.append(("ConvTasNet inference (bf16)", 4 * 4 / dt))
+    results.append(("ConvTasNet inference (bf16)", 4 * 4 / dt,
+                    {"batch": 4, "duration_s": 4}))
 
     # Serving configuration: larger batch amortizes dispatch latency.
     batch16 = jnp.asarray(rng.standard_normal((16, 4 * sr)).astype(np.float32))
     dt = _timeit(fwd16, params, batch16)
-    results.append(("ConvTasNet serving (B=16, bf16)", 16 * 4 / dt))
+    results.append(("ConvTasNet serving (B=16, bf16)", 16 * 4 / dt,
+                    {"batch": 16, "duration_s": 4}))
 
     # --- 6. training step: ConvTasNet + PIT SI-SDR, B=8 x 4 s -------------
     import optax
@@ -238,7 +247,8 @@ def main() -> None:
         return loss + jnp.ravel(params["params"]["bottleneck"]["bias"])[0]
 
     dt = _timeit(train_once, params, opt_state, tr_mix, tr_tgt)
-    results.append(("ConvTasNet training step (B=8)", 8 * 4 / dt))
+    results.append(("ConvTasNet training step (B=8)", 8 * 4 / dt,
+                    {"batch": 8, "duration_s": 4}))
 
     step16 = jax.jit(make_train_step(model, loss_fn, opt, precision="bf16"))
 
@@ -247,9 +257,10 @@ def main() -> None:
         return loss + jnp.ravel(params["params"]["bottleneck"]["bias"])[0]
 
     dt = _timeit(train_once16, params, opt_state, tr_mix, tr_tgt)
-    results.append(("ConvTasNet training step (B=8, bf16)", 8 * 4 / dt))
+    results.append(("ConvTasNet training step (B=8, bf16)", 8 * 4 / dt,
+                    {"batch": 8, "duration_s": 4}))
 
-    for name, value in results:
+    for name, value, workload in results:
         print(
             json.dumps(
                 {
@@ -257,6 +268,7 @@ def main() -> None:
                     "value": round(float(value), 2),
                     "unit": "audio-seconds/sec/chip",
                     "vs_baseline": round(float(value) / 50.0, 3),
+                    "workload": workload,
                 }
             )
         )

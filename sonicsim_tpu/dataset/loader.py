@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator
 
@@ -30,27 +31,47 @@ _SENTINEL = object()
 
 def prefetch_iter(make_iter: Callable[[], Iterable], depth: int = 2) -> Iterator:
     """Run ``make_iter()`` in a background thread, keeping up to ``depth``
-    items ready. Exceptions re-raise in the consumer."""
+    items ready. Exceptions re-raise in the consumer.
+
+    If the consumer abandons the generator early (break / close), the
+    producer thread is signalled through ``stop`` and exits at its next
+    queue interaction instead of blocking forever on a full queue.
+    """
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up once the consumer has stopped."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in make_iter():
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — surfaced to consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(_SENTINEL)
+        _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def batched_loader(
@@ -84,12 +105,28 @@ def batched_loader(
         yield from batches_sync()
         return
 
+    # Bound in-flight decode: a sliding window of at most
+    # num_workers + batch_size submitted futures, popping the oldest
+    # (consuming it) before submitting the next. Without the window,
+    # ThreadPoolExecutor.map would create all n futures up front and the
+    # workers would decode the whole epoch ahead of the consumer.
+    window = num_workers + batch_size
+
     def batches_pooled():
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            pending: deque = deque()
             buf = []
-            # windowed map keeps at most one extra batch of futures in flight
-            for item in pool.map(dataset.__getitem__, range(n)):
-                buf.append(item)
+            it = iter(range(n))
+            for i in it:
+                pending.append(pool.submit(dataset.__getitem__, i))
+                if len(pending) < window:
+                    continue
+                buf.append(pending.popleft().result())
+                if len(buf) == batch_size:
+                    yield collate(buf)
+                    buf = []
+            while pending:
+                buf.append(pending.popleft().result())
                 if len(buf) == batch_size:
                     yield collate(buf)
                     buf = []

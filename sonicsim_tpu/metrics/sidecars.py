@@ -26,12 +26,15 @@ def make_pesq(mode: str = "wb", native: bool | None = None):
     bit-exact with the ITU binary). ``native=True`` forces the native
     path, ``native=False`` requires the compiled package.
     """
-    scorer = None
+    import logging
+
+    scorer, backend = None, None
     if native is not True:
         try:
             from pesq import pesq as _pesq
 
             scorer = lambda r, e, sr: _pesq(sr, r, e, mode)  # noqa: E731
+            backend = "itu-p862-compiled"
         except ImportError:
             if native is False:
                 raise ImportError(
@@ -42,6 +45,13 @@ def make_pesq(mode: str = "wb", native: bool | None = None):
         from .pesq import pesq as _native_pesq
 
         scorer = lambda r, e, sr: _native_pesq(r, e, sr, mode)  # noqa: E731
+        backend = "native-p862-approx"
+    # The two backends are NOT interchangeable numerically (the native one
+    # is P.862-structured, not bit-exact); disclose which produced the
+    # scores so CSVs are comparable across machines (ADVICE r2).
+    logging.getLogger(__name__).info(
+        "pesq_%s backend: %s", mode, backend
+    )
 
     def _fn(ref, est, sample_rate):
         import numpy as np
@@ -51,6 +61,7 @@ def make_pesq(mode: str = "wb", native: bool | None = None):
             for r, e in zip(np.atleast_2d(ref), np.atleast_2d(est))
         ]))
 
+    _fn.backend = backend
     return _fn
 
 

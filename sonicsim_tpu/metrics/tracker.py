@@ -50,6 +50,15 @@ class MetricsTracker:
         self.columns = (
             self.COLUMNS + sorted(self.extra) + sorted(self.extra_text)
         )
+        # Sidecar factories may self-describe their implementation via a
+        # ``backend`` attribute (e.g. make_pesq: compiled ITU vs native
+        # approximation); recorded beside the CSV so scores are
+        # comparable across machines.
+        self.backends = {
+            name: fn.backend
+            for name, fn in {**self.extra, **self.extra_text}.items()
+            if getattr(fn, "backend", None)
+        }
 
     def __call__(
         self, mix: np.ndarray, clean: np.ndarray, estimate: np.ndarray, key: str
@@ -145,6 +154,13 @@ class MetricsTracker:
             writer.writeheader()
             for r in self.rows + [avg, std]:
                 writer.writerow({c: r.get(c, "") for c in self.columns})
+        if self.backends:
+            import json
+
+            meta_file = self.save_file.with_suffix(".meta.json")
+            meta_file.write_text(
+                json.dumps({"metric_backends": self.backends}, indent=2)
+            )
         return {
             c: avg[c]
             for c in self.columns

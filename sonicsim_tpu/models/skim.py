@@ -5,9 +5,10 @@ separation/configs/skim.yaml: 64-dim conv encoder k4/s2, 6 SkiM blocks,
 unit 128, segment 250, mem_type hc, seg_overlap true, non-causal):
 segment-local SegLSTMs whose final (h, c) states are carried across
 segments by Mem-LSTMs between blocks — long-sequence modeling at
-segment-level cost. Offline (batch) path; the reference's sample-level
-``forward_stream`` streaming API maps to running the causal variant
-segment-by-segment and is not reproduced here.
+segment-level cost. Both paths ship: the offline (batch) ``SkiMNet``
+and the reference's ``forward_stream`` streaming role (skim.py:603),
+covered by :class:`SkiMStreamer` below (jitted per-segment step,
+driven by scripts/stream.py).
 """
 
 from __future__ import annotations

@@ -81,10 +81,12 @@ class CustomExponentialLR:
     """Stepped exponential decay (schedulers.py:115-125).
 
     Faithful to the upstream quirk: ``get_lr`` multiplies the ORIGINAL
-    base lr by gamma (never compounding), so the lr alternates between
-    ``base`` and ``base*gamma`` at ``step_size`` boundaries instead of
-    decaying geometrically. Unused by any shipped config; kept for
-    drop-in parity.
+    base lr by gamma (never compounding), so the lr drops to
+    ``base*gamma`` at the first ``step_size`` boundary and holds there —
+    it never returns to ``base`` and never decays further. Torch fires
+    the drop when ``(last_epoch + 1) % step_size == 0``, i.e. on call
+    number ``step_size - 1``; matched here. Unused by any shipped
+    config; kept for drop-in parity.
     """
 
     def __init__(self, lr: float, gamma: float, step_size: int):
@@ -95,8 +97,10 @@ class CustomExponentialLR:
         self.last_epoch = 0
 
     def step(self) -> float:
+        # torch increments last_epoch, then applies get_lr: the drop
+        # fires on user call number step_size - 1.
         self.last_epoch += 1
-        if self.last_epoch % self.step_size == 0:
+        if self.last_epoch != 0 and (self.last_epoch + 1) % self.step_size == 0:
             self.lr = self.base_lr * self.gamma
         return self.lr
 

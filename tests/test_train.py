@@ -202,3 +202,37 @@ def test_bf16_train_step_tracks_f32(rng):
         assert tr[-1] < tr[0]  # both precisions make progress
     # Same starting point, similar first-step loss (bf16 rounding only).
     assert abs(losses["bf16"][0] - losses["f32"][0]) < 0.1 * abs(losses["f32"][0]) + 0.5
+
+
+def test_custom_exponential_lr_torch_parity():
+    """CustomExponentialLR must match torch's schedule exactly, including
+    the upstream quirks: the drop fires on user call step_size-1, lands at
+    base*gamma (non-compounding), and never returns to base
+    (reference system/schedulers.py:115-125)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from sonicsim_tpu.train.schedulers import CustomExponentialLR
+
+    class _Ref(torch.optim.lr_scheduler._LRScheduler):
+        def __init__(self, optimizer, gamma, step_size, last_epoch=-1):
+            self.gamma = gamma
+            self.step_size = step_size
+            self.base_lrs_ = [g["lr"] for g in optimizer.param_groups]
+            super().__init__(optimizer, last_epoch)
+
+        def get_lr(self):
+            if self.last_epoch == 0 or (
+                self.last_epoch + 1
+            ) % self.step_size != 0:
+                return [g["lr"] for g in self.optimizer.param_groups]
+            return [lr * self.gamma for lr in self.base_lrs_]
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.5)
+    ref = _Ref(opt, gamma=0.1, step_size=5)
+    ours = CustomExponentialLR(lr=0.5, gamma=0.1, step_size=5)
+    for step in range(20):
+        ref.step()
+        torch_lr = opt.param_groups[0]["lr"]
+        assert ours.step() == pytest.approx(torch_lr), f"step {step}"
