@@ -1242,11 +1242,32 @@ def _gated_fsmn_block(sd, key):
 
 @register_converter("mossformer2")
 def _convert_mossformer2(model, sd) -> dict:
-    """Map separation/look2hear/models/mossformer2.py parameter names
-    (MossFormer mask-net + GatedFSMNBlockDilated after each FLASH block)."""
-    p = _convert_mossformer(model, sd)
+    """Map separation/look2hear/models/mossformer2.py parameter names.
+
+    v2's module tree differs from v1's (verified against the reference
+    source, not the replica): top-level attrs are ``enc``/``mask_net``/
+    ``dec`` (mossformer2.py:543-561), the mask-net wraps a
+    ``ComputationBlock`` whose transformer lives at ``mdl.intra_mdl``
+    with plain-LayerNorm final norm (:357-372) and ``intra_norm``
+    (:362), and each FLASH block is followed by a GatedFSMNBlockDilated
+    at ``...mossformerM.fsmn.{i}``."""
+    mn = "mask_net"
+    core = f"{mn}.mdl.intra_mdl"
+    p: dict = {
+        "encoder": conv1d(sd, "enc.conv1d"),
+        "masknet_norm": {"GroupNorm_0": layernorm(sd, f"{mn}.norm")},
+        "conv1d_encoder": conv1d(sd, f"{mn}.conv1d_encoder"),
+        "pos_enc": {"scale": np.asarray(sd[f"{mn}.pos_enc.scale"])},
+        "att_final_norm": layernorm(sd, f"{core}.norm"),
+        "att_norm": {"GroupNorm_0": layernorm(sd, f"{mn}.mdl.intra_norm")},
+        "prelu": prelu(sd, f"{mn}.prelu"),
+        "conv1d_out": conv1d(sd, f"{mn}.conv1d_out"),
+        "output": conv1d(sd, f"{mn}.output.0"),
+        "output_gate": conv1d(sd, f"{mn}.output_gate.0"),
+        "conv1_decoder": conv1d(sd, f"{mn}.conv1_decoder"),
+        "decoder": conv_transpose1d(sd, "dec"),
+    }
     for i in range(model.num_blocks):
-        p[f"fsmn_{i}"] = _gated_fsmn_block(
-            sd, f"mask_net.mdl.att_mdl.mossformerM.fsmn.{i}"
-        )
+        p[f"flash_{i}"] = _flash_block(sd, f"{core}.mossformerM.layers.{i}")
+        p[f"fsmn_{i}"] = _gated_fsmn_block(sd, f"{core}.mossformerM.fsmn.{i}")
     return p

@@ -1,0 +1,386 @@
+"""Forward parity against the reference's OWN model code.
+
+Round-2 verdict: every torch-import parity test builds a hand-written
+replica, so a shared misreading of the reference would pass while
+breaking real ``best_model.pth`` import. These tests close that hole by
+importing /root/reference/{separation,enhancement}/look2hear/models/*
+directly (torch is installed), instantiating each architecture at a tiny
+config, exporting ``state_dict()`` → ``import_torch_checkpoint`` →
+asserting forward parity vs the flax model.
+
+Import strategy: the reference trees aren't importable as-is (their
+``look2hear.utils`` package __init__ pulls pytorch_lightning / soundfile
+/ omegaconf, and some models need torch_complex / rotary_embedding_torch
+/ modelscope / torchaudio / librosa that this image lacks), so each tree
+is loaded under a synthetic package (``refsep`` / ``refenh``) whose
+``utils``/``layers``/``models`` subpackages are pre-seeded in sys.modules
+with real ``__path__`` entries — submodules load from the reference
+sources verbatim while the heavyweight package __init__ files never run.
+Missing third-party deps are stubbed:
+
+* ``torch_complex``      — import-only (tests pass use_builtin_complex
+                           so ComplexTensor never runs);
+* ``librosa``            — import-only (old-torch fallback branch);
+* ``torchaudio``         — MelScale backed by our mel_filterbank, which
+                           is itself torchaudio-parity-tested;
+* ``rotary_embedding_torch`` — faithful partial interleaved RoPE (the
+                           one numeric stub; matches the library's
+                           default 'lang' convention).
+
+MossFormer (v1) is the single exception: its reference file imports its
+blocks from ``modelscope`` (mossformer.py:11-14), which is not present
+anywhere in the image, so the replica test in test_torch_import.py
+remains the evidence for that family.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp  # noqa: E402
+import torch.nn as tnn  # noqa: E402
+
+from sonicsim_tpu.models.torch_import import import_torch_checkpoint  # noqa: E402
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not (REF / "separation" / "look2hear" / "models").is_dir(),
+    reason="reference checkout not present",
+)
+
+
+# --------------------------------------------------------------------------
+# Third-party stubs
+# --------------------------------------------------------------------------
+
+def _mk_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+def _install_stubs() -> None:
+    if "rotary_embedding_torch" in sys.modules:
+        return
+
+    # --- torch_complex: import-only (runtime paths use builtin complex) ---
+    tc = _mk_module("torch_complex")
+    tct = _mk_module("torch_complex.tensor")
+    tcf = _mk_module("torch_complex.functional")
+
+    class ComplexTensor:  # constructed only when use_builtin_complex=False
+        def __init__(self, *a, **k):
+            raise NotImplementedError(
+                "torch_complex stub: pass use_builtin_complex=True"
+            )
+
+    tct.ComplexTensor = ComplexTensor
+    tc.tensor = tct
+    tc.functional = tcf
+
+    # --- librosa: import-only (pre-1.6-torch stft fallback branch) --------
+    lb = _mk_module("librosa")
+    lb.filters = _mk_module("librosa.filters")
+    lb.util = _mk_module("librosa.util")
+
+    # --- torchaudio: MelScale over our (torchaudio-parity-tested) fbank ---
+    ta = _mk_module("torchaudio")
+    ta.transforms = _mk_module("torchaudio.transforms")
+
+    class MelScale(tnn.Module):
+        def __init__(self, n_mels, sample_rate=16000, f_min=0.0,
+                     f_max=None, n_stft=201, **kw):
+            super().__init__()
+            from sonicsim_tpu.models.fastfullsubnet import mel_filterbank
+
+            fb = mel_filterbank(
+                n_stft, n_mels, sample_rate, f_min,
+                f_max if f_max is not None else sample_rate / 2,
+            )
+            self.register_buffer("fb", torch.from_numpy(fb.astype(np.float32)))
+
+        def forward(self, specgram):
+            return torch.matmul(
+                specgram.transpose(-1, -2), self.fb
+            ).transpose(-1, -2)
+
+    ta.transforms.MelScale = MelScale
+
+    # --- rotary_embedding_torch: partial interleaved RoPE ('lang') --------
+    re_mod = _mk_module("rotary_embedding_torch")
+
+    class RotaryEmbedding(tnn.Module):
+        """Default-config subset of the public library: theta=10000,
+        freqs_for='lang', interleaved (GPT-J) rotation of the first
+        ``dim`` features, remainder passed through."""
+
+        def __init__(self, dim, **kw):
+            super().__init__()
+            self.dim = dim
+
+        def rotate_queries_or_keys(self, t, seq_dim=-2):
+            n = t.shape[-2]
+            inv = 1.0 / (
+                10000 ** (torch.arange(0, self.dim, 2).float() / self.dim)
+            )
+            ang = torch.arange(n, device=t.device).float()[:, None] * inv[None, :]
+            cos = ang.cos().repeat_interleave(2, -1)
+            sin = ang.sin().repeat_interleave(2, -1)
+            tr = t[..., : self.dim]
+            x1, x2 = tr[..., 0::2], tr[..., 1::2]
+            rot = torch.stack((-x2, x1), dim=-1).reshape(tr.shape)
+            return torch.cat(
+                [tr * cos + rot * sin, t[..., self.dim:]], dim=-1
+            )
+
+    re_mod.RotaryEmbedding = RotaryEmbedding
+
+
+# --------------------------------------------------------------------------
+# Synthetic-package loader for the reference trees
+# --------------------------------------------------------------------------
+
+def _mk_pkg(name: str, path: Path | None) -> types.ModuleType:
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    mod.__package__ = name
+    if path is not None:
+        mod.__path__ = [str(path)]
+    sys.modules[name] = mod
+    return mod
+
+
+_BASES: dict[str, str] = {"separation": "refsep", "enhancement": "refenh"}
+
+
+def _install_tree(tree: str) -> str:
+    """Seed synthetic packages for one reference tree; return base name."""
+    _install_stubs()
+    base = _BASES[tree]
+    if f"{base}.models" in sys.modules:
+        return base
+    root = REF / tree / "look2hear"
+    _mk_pkg(base, root)
+    _mk_pkg(f"{base}.models", root / "models")
+    utils_pkg = _mk_pkg(f"{base}.utils", root / "utils")
+    layers_pkg = _mk_pkg(f"{base}.layers", root / "layers")
+    # `from ..layers import Stft` reads an attribute off the package
+    # object; bind it from the one submodule that's needed, without
+    # running the layers __init__ (which would pull librosa-backed stft).
+    stft_mod = importlib.import_module(f"{base}.layers.stft_tfgn")
+    layers_pkg.Stft = stft_mod.Stft
+    utils_pkg.complex_utils = importlib.import_module(
+        f"{base}.utils.complex_utils"
+    )
+    if tree == "separation":
+        # dptnet.py uses absolute `look2hear.*` imports
+        # (separation/look2hear/models/dptnet.py:9-10).
+        sys.modules.setdefault("look2hear", sys.modules[base])
+        sys.modules.setdefault("look2hear.utils", utils_pkg)
+        sys.modules.setdefault(
+            "look2hear.utils.complex_utils", utils_pkg.complex_utils
+        )
+        sys.modules.setdefault("look2hear.models", sys.modules[f"{base}.models"])
+        sys.modules.setdefault(
+            "look2hear.models.base_model",
+            importlib.import_module(f"{base}.models.base_model"),
+        )
+    return base
+
+
+def ref_model_module(tree: str, modname: str):
+    base = _install_tree(tree)
+    return importlib.import_module(f"{base}.models.{modname}")
+
+
+def _sd(tm) -> dict:
+    return {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+
+def _parity(tm, our_model, x, name, atol=1e-3, rtol=1e-2, pick=None,
+            train_warmup=None):
+    """state_dict-import round trip + forward comparison.
+
+    pick: optional fn mapping each side's raw forward output to the
+    tensor(s) compared. train_warmup: input for a train-mode pass that
+    populates BatchNorm running stats before eval.
+    """
+    if train_warmup is not None:
+        with torch.no_grad():
+            tm.train()
+            tm(torch.from_numpy(train_warmup))
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x))
+    _, params = import_torch_checkpoint(
+        {"model_name": name, "model_args": {}, "state_dict": _sd(tm)},
+        model=our_model,
+    )
+    got_out = our_model.apply(params, jnp.asarray(x))
+    if pick is not None:
+        ref_out, got_out = pick(ref_out), pick(got_out)
+    refs = ref_out if isinstance(ref_out, (list, tuple)) else [ref_out]
+    gots = got_out if isinstance(got_out, (list, tuple)) else [got_out]
+    assert len(refs) == len(gots)
+    for r, g in zip(refs, gots):
+        r = r.numpy() if torch.is_tensor(r) else np.asarray(r)
+        g = np.asarray(g)
+        assert g.shape == r.shape, (g.shape, r.shape)
+        np.testing.assert_allclose(g, r, atol=atol, rtol=rtol)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+# --------------------------------------------------------------------------
+# Separation zoo (reference: separation/look2hear/models/)
+# --------------------------------------------------------------------------
+
+def test_ref_convtasnet(rng):
+    mod = ref_model_module("separation", "ConvTasnet")
+    from sonicsim_tpu.models import ConvTasNet
+
+    kw = dict(N=16, L=8, B=8, H=16, P=3, X=2, R=1, num_spks=2)
+    torch.manual_seed(0)
+    tm = mod.ConvTasNet(**kw)
+    x = rng.standard_normal((2, 400)).astype(np.float32)
+    _parity(tm, ConvTasNet(**kw), x, "ConvTasNet", atol=1e-4, rtol=1e-3)
+
+
+def test_ref_dprnn(rng):
+    mod = ref_model_module("separation", "dprnn")
+    from sonicsim_tpu.models import DPRNNTasNet
+
+    kw = dict(in_channels=16, out_channels=8, hidden_channels=12,
+              kernel_size=4, num_layers=2, K=10, num_spks=2)
+    torch.manual_seed(1)
+    tm = mod.DPRNNTasNet(**kw)
+    x = rng.standard_normal((2, 400)).astype(np.float32) * 0.2
+    _parity(tm, DPRNNTasNet(**kw), x, "DPRNNTasNet", atol=5e-4, rtol=1e-3)
+
+
+def test_ref_sudormrf(rng):
+    mod = ref_model_module("separation", "sudormrf")
+    from sonicsim_tpu.models import SuDORMRF
+
+    kw = dict(out_channels=8, in_channels=16, num_blocks=2,
+              upsampling_depth=3, enc_kernel_size=9, enc_num_basis=16,
+              num_sources=2)
+    torch.manual_seed(2)
+    tm = mod.SuDORMRF(**kw)
+    x = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+    _parity(tm, SuDORMRF(**kw), x, "SuDORMRF", atol=5e-4, rtol=1e-3)
+
+
+def test_ref_afrcnn(rng):
+    mod = ref_model_module("separation", "afrcnn")
+    from sonicsim_tpu.models import AFRCNN
+
+    kw = dict(out_channels=8, in_channels=16, num_blocks=2,
+              upsampling_depth=3, enc_kernel_size=9, enc_num_basis=16,
+              num_sources=2)
+    torch.manual_seed(3)
+    tm = mod.AFRCNN(**kw)
+    x = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+    _parity(tm, AFRCNN(**kw), x, "AFRCNN", atol=5e-4, rtol=1e-3)
+
+
+def test_ref_tdanet(rng):
+    mod = ref_model_module("separation", "TDANet")
+    from sonicsim_tpu.models import TDANet
+
+    kw = dict(out_channels=8, in_channels=16, num_blocks=2,
+              upsampling_depth=3, enc_kernel_size=1, num_sources=2)
+    torch.manual_seed(4)
+    tm = mod.TDANet(**kw)
+    x = rng.standard_normal((1, 1600)).astype(np.float32) * 0.2
+    _parity(tm, TDANet(torch_compat=True, **kw), x, "TDANet",
+            atol=5e-4, rtol=1e-3)
+
+
+def test_ref_bsrnn(rng):
+    mod = ref_model_module("separation", "bsrnn")
+    from sonicsim_tpu.models import BSRNN
+
+    kw = dict(feature_dim=8, num_repeat=1, num_output=2, win=512,
+              stride=128, sample_rate=16000)
+    torch.manual_seed(5)
+    tm = mod.BSRNN(**kw)
+    x = rng.standard_normal((2, 1600)).astype(np.float32) * 0.2
+    _parity(tm, BSRNN(**kw), x, "BSRNN", atol=5e-4, rtol=1e-3)
+
+
+def test_ref_tfgridnet(rng):
+    mod = ref_model_module("separation", "TFGNet")
+    from sonicsim_tpu.models import TFGridNet
+
+    kw = dict(n_fft=64, stride=16, n_layers=1, lstm_hidden_units=16,
+              attn_n_head=2, attn_approx_qk_dim=64, emb_dim=8, emb_ks=4,
+              emb_hs=1)
+    torch.manual_seed(6)
+    tm = mod.TFGridNet(None, use_builtin_complex=True, **kw)
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, TFGridNet(**kw), x, "TFGridNet")
+
+
+def test_ref_skim(rng):
+    mod = ref_model_module("separation", "skim")
+    from sonicsim_tpu.models import SkiMNet
+
+    kw = dict(input_dim=16, causal=False, num_spk=2, nonlinear="relu",
+              layer=2, unit=8, segment_size=10, dropout=0.0,
+              mem_type="hc", seg_overlap=True, kernel_size=8)
+    torch.manual_seed(7)
+    tm = mod.SkiMNet(**kw)
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, SkiMNet(**kw), x, "SkiMNet")
+
+
+def test_ref_dptnet(rng):
+    mod = ref_model_module("separation", "dptnet")
+    from sonicsim_tpu.models import DPTNetModel
+
+    torch.manual_seed(8)
+    tm = mod.DPTNetModel(
+        encoder=mod.ConvEncoder(channel=16, kernel_size=8, stride=4),
+        separator=mod.DPTNetSeparator(
+            input_dim=16, num_spk=2, layer=2, rnn_type="lstm",
+            bidirectional=True, unit=8, att_heads=2, dropout=0.0,
+            activation="relu", norm_type="gLN", segment_size=10,
+            nonlinear="relu",
+        ),
+        decoder=mod.ConvDecoder(channel=16, kernel_size=8, stride=4),
+    )
+    ours = DPTNetModel(channel=16, kernel_size=8, stride=4, layer=2,
+                       unit=8, att_heads=2, segment_size=10, num_spk=2)
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, ours, x, "DPTNetModel")
+
+
+def test_ref_mossformer2(rng):
+    mod = ref_model_module("separation", "mossformer2")
+    from sonicsim_tpu.models import MossFormer2
+
+    kw = dict(in_channels=16, out_channels=16, num_blocks=2,
+              kernel_size=16, num_spks=2)
+    torch.manual_seed(9)
+    tm = mod.MossFormer2(**kw)
+    # block hyperparameters are fixed inside the reference
+    # (mossformer2.py:289-296: group 256, qk 128; GatedFSMNBlockDilated
+    # inner 256, mossformer_block.py:396-417)
+    ours = MossFormer2(kernel_size=16, stride=8, out_channels=16,
+                       in_channels=16, num_blocks=2, d_model=16,
+                       query_key_dim=128, group_size=256, num_spks=2,
+                       fsmn_inner=256)
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, ours, x, "MossFormer2")

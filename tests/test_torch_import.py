@@ -3202,9 +3202,24 @@ def test_mossformer2_torch_import_parity(rng):
                         in_channels=16, num_blocks=2, d_model=16,
                         query_key_dim=8, group_size=10, num_spks=2,
                         fsmn_inner=16)
+
+    # The replica reuses v1's module tree; rename to v2's actual layout
+    # (mossformer2.py:543-561: enc/dec, ComputationBlock intra_mdl/
+    # intra_norm, plain-LayerNorm final norm) which the converter — and
+    # test_reference_source_parity.py against the real source — expects.
+    def _v2_key(k):
+        if k.startswith("encoder."):
+            k = "enc." + k[len("encoder."):]
+        if k.startswith("decoder."):
+            k = "dec." + k[len("decoder."):]
+        k = k.replace(".mdl.att_mdl.", ".mdl.intra_mdl.")
+        k = k.replace(".mdl.att_norm.", ".mdl.intra_norm.")
+        return k.replace("intra_mdl.norm.norm.", "intra_mdl.norm.")
+
     _, params = import_torch_checkpoint(
         {"model_name": "MossFormer2", "model_args": {},
-         "state_dict": {k: v.numpy() for k, v in tm.state_dict().items()}},
+         "state_dict": {_v2_key(k): v.numpy()
+                        for k, v in tm.state_dict().items()}},
         model=model)
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == ref.shape
