@@ -29,12 +29,16 @@ def _hann(win_len: int) -> np.ndarray:
 
 
 def conv_stft(x: jax.Array, win_len: int, hop: int, fft_len: int,
-              sqrt_window: bool = False):
+              sqrt_window: bool = False, pad_signal: bool = True):
     """ConvSTFT 'complex' parity: (B, T) → (real, imag) each (B, F, frames).
-    FRCRN's variant windows with sqrt-Hann (frcrn.py:40-41)."""
+
+    DCCRN's conv_stft.py:46-50 pads win-hop on both sides and windows
+    with full Hann; FRCRN's in-file variant (frcrn.py:56-84) runs the
+    strided conv with NO padding and a sqrt-Hann window — callers pick
+    via ``pad_signal``/``sqrt_window``."""
     win = _hann(win_len) ** 0.5 if sqrt_window else _hann(win_len)
-    pad = win_len - hop
-    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    pad = (win_len - hop) if pad_signal else 0
+    xp = jnp.pad(x, ((0, 0), (pad, pad))) if pad else x
     n_frames = (xp.shape[-1] - win_len) // hop + 1
     idx = np.arange(n_frames)[:, None] * hop + np.arange(win_len)[None, :]
     frames = xp[:, idx] * jnp.asarray(win)  # (B, frames, win)
@@ -54,9 +58,13 @@ def _istft_pinv(win_len: int, fft_len: int) -> np.ndarray:
 
 
 def conv_istft(real, imag, win_len: int, hop: int, fft_len: int, length: int,
-               sqrt_window: bool = False):
-    """ConviSTFT parity: pinv synthesis + OLA with window^2 normalization,
-    crop win-hop."""
+               sqrt_window: bool = False, crop_pad: bool = True):
+    """ConviSTFT parity: pinv synthesis + OLA with window^2 normalization.
+
+    ``crop_pad=True`` removes the win-hop analysis padding (DCCRN
+    semantics); FRCRN's unpadded analysis keeps the full reconstruction
+    (frcrn.py:126-143: conv_transpose / window-overlap, no crop) and the
+    output is sliced/zero-padded to ``length``."""
     window = jnp.asarray(
         _hann(win_len) ** 0.5 if sqrt_window else _hann(win_len)
     )
@@ -74,7 +82,7 @@ def conv_istft(real, imag, win_len: int, hop: int, fft_len: int, length: int,
         .add(jnp.tile(window * window, n_frames))
     )
     out = out / (wsum + 1e-8)
-    pad = win_len - hop
+    pad = (win_len - hop) if crop_pad else 0
     out = out[:, pad : pad + length]
     if out.shape[-1] < length:
         out = jnp.pad(out, ((0, 0), (0, length - out.shape[-1])))

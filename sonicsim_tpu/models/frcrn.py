@@ -242,8 +242,11 @@ class FRCRN(BaseModel):
         if wav.ndim == 1:
             wav = wav[None, :]
         length = wav.shape[-1]
+        # FRCRN's in-file ConvSTFT: sqrt-Hann window, NO signal padding
+        # (frcrn.py:56-84 runs the strided analysis conv without pad —
+        # unlike DCCRN's conv_stft.py, which pads win-hop).
         real, imag = conv_stft(wav, self.win_len, self.win_inc, self.fft_len,
-                               sqrt_window=True)  # frcrn.py:40-41
+                               sqrt_window=True, pad_signal=False)
         re = real[..., None]  # (B, F, T, 1)
         im = imag[..., None]
 
@@ -261,7 +264,7 @@ class FRCRN(BaseModel):
             est_spec = jnp.concatenate([est_r, est_i], axis=1)  # (B, 2F, T)
             est_wav = conv_istft(
                 est_r, est_i, self.win_len, self.win_inc, self.fft_len, length,
-                sqrt_window=True,
+                sqrt_window=True, crop_pad=False,
             )
             est_mask = jnp.concatenate([mr, mi], axis=1)
             return est_spec, est_wav, est_mask

@@ -30,6 +30,10 @@ class GatedSqueezedTCM(nn.Module):
     d_feat: int
     dilation: int
     is_causal: bool = True
+    # TaylorSENet reuses this block but its NormSwitch INs are paramless
+    # with eps=1.0 (taylorsenet.py:29-33 passes affine into torch's eps)
+    norm_eps: float = 1e-5
+    norm_affine: bool = True
 
     @nn.compact
     def __call__(self, x):  # (B, T, d_feat)
@@ -37,9 +41,13 @@ class GatedSqueezedTCM(nn.Module):
         d = (self.kd1 - 1) * self.dilation
         padding = [(d, 0)] if self.is_causal else [(d // 2, d - d // 2)]
 
+        def norm(z, tag):
+            return InstanceNorm(self.cd1, eps=self.norm_eps,
+                                affine=self.norm_affine, name=tag)(z)
+
         def branch(z, tag):
             z = ChannelPReLU(self.cd1, name=f"{tag}_prelu")(z)
-            z = InstanceNorm(self.cd1, name=f"{tag}_norm")(z)
+            z = norm(z, f"{tag}_norm")
             return nn.Conv(
                 self.cd1, (self.kd1,), kernel_dilation=(self.dilation,),
                 padding=padding, use_bias=False, name=f"{tag}_conv",
@@ -47,7 +55,7 @@ class GatedSqueezedTCM(nn.Module):
 
         h = branch(h, "main") * jax.nn.sigmoid(branch(h, "gate"))
         h = ChannelPReLU(self.cd1, name="out_prelu")(h)
-        h = InstanceNorm(self.cd1, name="out_norm")(h)
+        h = norm(h, "out_norm")
         h = nn.Conv(self.d_feat, (1,), use_bias=False, name="out_conv")(h)
         return x + h
 
@@ -60,12 +68,15 @@ class GatedTCNList(nn.Module):
     d_feat: int
     dilas: tuple[int, ...]
     is_causal: bool = True
+    norm_eps: float = 1e-5
+    norm_affine: bool = True
 
     @nn.compact
     def __call__(self, x):
         for j, d in enumerate(self.dilas):
             x = GatedSqueezedTCM(
                 self.kd1, self.cd1, self.d_feat, d, self.is_causal,
+                norm_eps=self.norm_eps, norm_affine=self.norm_affine,
                 name=f"tcm_{j}",
             )(x)
         return x

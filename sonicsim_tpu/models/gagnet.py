@@ -29,20 +29,29 @@ class ChannelPReLU(nn.Module):
 
 
 class InstanceNorm(nn.Module):
-    """torch InstanceNorm1d/2d(affine=True): per-(B, C) stats over spatial
-    dims; channel-last input (B, *spatial, C)."""
+    """torch InstanceNorm1d/2d: per-(B, C) stats over spatial dims;
+    channel-last input (B, *spatial, C).
+
+    ``affine=False`` carries no parameters — needed for TaylorSENet,
+    whose NormSwitch passes ``affine`` positionally into torch's ``eps``
+    slot (taylorsenet.py:29-33: ``nn.InstanceNorm2d(num_features,
+    affine)``), leaving eps=1.0 and affine at its False default."""
 
     dim: int
     eps: float = 1e-5
+    affine: bool = True
 
     @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim - 1))
         mu = x.mean(axis=axes, keepdims=True)
         var = x.var(axis=axes, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + self.eps)
+        if not self.affine:
+            return y
         gamma = self.param("scale", nn.initializers.ones, (self.dim,))
         beta = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return (x - mu) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+        return y * gamma + beta
 
 
 class GateConv2d(nn.Module):

@@ -41,7 +41,7 @@ class Conv2dUnitT(nn.Module):
         x = nn.Conv(
             self.dim, self.kernel, strides=(1, 2), padding="VALID", name="conv"
         )(x)
-        x = InstanceNorm(self.dim, name="norm")(x)
+        x = InstanceNorm(self.dim, eps=1.0, affine=False, name="norm")(x)
         return ChannelPReLU(self.dim, name="prelu")(x)
 
 
@@ -60,7 +60,7 @@ class Deconv2dUnitT(nn.Module):
         )(x)
         if kt > 1:
             x = x[:, : x.shape[1] - (kt - 1)]
-        x = InstanceNorm(self.dim, name="norm")(x)
+        x = InstanceNorm(self.dim, eps=1.0, affine=False, name="norm")(x)
         return ChannelPReLU(self.dim, name="prelu")(x)
 
 
@@ -100,7 +100,8 @@ class EnUnetModuleT(nn.Module):
             x_resi = GateConvTranspose2d(self.cout, self.k1, name="in_conv_gate")(x)
         else:
             x_resi = GateConv2d(self.cout, self.k1, (1, 2), name="in_conv_gate")(x)
-        x_resi = InstanceNorm(self.cout, name="in_conv_norm")(x_resi)
+        x_resi = InstanceNorm(self.cout, eps=1.0, affine=False,
+                              name="in_conv_norm")(x_resi)
         x_resi = ChannelPReLU(self.cout, name="in_conv_prelu")(x_resi)
         h = x_resi
         skips = []
@@ -142,7 +143,7 @@ class U2NetEncoderT(nn.Module):
             )(x)
             skips.append(x)
         x = GateConv2d(64, self.k1, (1, 2), name="last_gate")(x)
-        x = InstanceNorm(64, name="last_norm")(x)
+        x = InstanceNorm(64, eps=1.0, affine=False, name="last_norm")(x)
         x = ChannelPReLU(64, name="last_prelu")(x)
         skips.append(x)
         return x, skips
@@ -171,7 +172,7 @@ class U2NetDecoderT(nn.Module):
         x = x[:, :, : skips[0].shape[2]]
         x = jnp.concatenate([x, skips[0]], axis=-1)
         x = GateConvTranspose2d(16, (1, 5), name="last_gate")(x)
-        x = InstanceNorm(16, name="last_norm")(x)
+        x = InstanceNorm(16, eps=1.0, affine=False, name="last_norm")(x)
         x = ChannelPReLU(16, name="last_prelu")(x)
         x = nn.Conv(1, (1, 1), name="last_conv")(x)
         return jax.nn.sigmoid(x)[..., 0]  # (B, T, F')
@@ -226,7 +227,7 @@ class TaylorSENet(BaseModel):
         for i in range(self.p):
             feat = GatedTCNList(
                 self.kd1, self.cd1, self.d_feat, self.dilations, self.is_causal,
-                name=f"zero_tcm_{i}",
+                norm_eps=1.0, norm_affine=False, name=f"zero_tcm_{i}",
             )(feat)
         mid = jnp.swapaxes(feat.reshape(b, t_fr, c_enc, f_dn), 2, 3)
         gain = U2NetDecoderT(
@@ -259,7 +260,8 @@ class TaylorSENet(BaseModel):
             for i in range(self.p):
                 h = GatedTCNList(
                     self.kd1, self.cd1, self.d_feat, self.dilations,
-                    self.is_causal, name=f"ho_{order}_tcm_{i}",
+                    self.is_causal, norm_eps=1.0, norm_affine=False,
+                    name=f"ho_{order}_tcm_{i}",
                 )(h)
             xr = nn.Conv(n_freq, (1,), name=f"ho_{order}_r")(h)  # (B, T, F)
             xi = nn.Conv(n_freq, (1,), name=f"ho_{order}_i")(h)

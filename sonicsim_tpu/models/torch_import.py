@@ -814,17 +814,16 @@ def _gate_convT(sd, key):
 
 
 def _taylor_tcm(sd, key):
-    """taylorsenet gated SqueezedTCM (left_conv * right_conv, :895-952)."""
+    """taylorsenet gated SqueezedTCM (left_conv * right_conv, :895-952).
+    The NormSwitch INs are paramless (affine lands in eps,
+    taylorsenet.py:29-33), so only PReLU + conv tensors exist."""
     return {
         "in_conv": conv1d(sd, f"{key}.in_conv"),
         "main_prelu": channel_prelu(sd, f"{key}.left_conv.0"),
-        "main_norm": instancenorm(sd, f"{key}.left_conv.1"),
         "main_conv": conv1d(sd, f"{key}.left_conv.3"),
         "gate_prelu": channel_prelu(sd, f"{key}.right_conv.0"),
-        "gate_norm": instancenorm(sd, f"{key}.right_conv.1"),
         "gate_conv": conv1d(sd, f"{key}.right_conv.3"),
         "out_prelu": channel_prelu(sd, f"{key}.out_conv.0"),
-        "out_norm": instancenorm(sd, f"{key}.out_conv.1"),
         "out_conv": conv1d(sd, f"{key}.out_conv.2"),
     }
 
@@ -834,16 +833,15 @@ def _taylor_unit(sd, key, kind):
     Sequential indices (taylorsenet.py:731-793)."""
     base = f"{key}.{kind}"
     if kind == "conv":
-        # k_t == 1: [conv, norm, prelu]; k_t > 1: [pad, conv, norm, prelu]
-        idx = (0, 1, 2) if f"{base}.0.weight" in sd else (1, 2, 3)
+        # k_t == 1: [conv, IN, prelu]; k_t > 1: [pad, conv, IN, prelu]
+        idx = (0, 2) if f"{base}.0.weight" in sd else (1, 3)
     else:
-        # k_t == 1: [deconv, norm, prelu]; k_t > 1: [deconv, chomp, norm, prelu]
-        idx = (0, 1, 2) if f"{base}.1.norm.weight" in sd else (0, 2, 3)
+        # k_t == 1: [deconv, IN, prelu]; k_t > 1: [deconv, chomp, IN, prelu]
+        idx = (0, 2) if f"{base}.2.weight" in sd else (0, 3)
     conv_fn = conv2d if kind == "conv" else conv_transpose2d
     return {
         kind: conv_fn(sd, f"{base}.{idx[0]}"),
-        "norm": instancenorm(sd, f"{base}.{idx[1]}"),
-        "prelu": channel_prelu(sd, f"{base}.{idx[2]}"),
+        "prelu": channel_prelu(sd, f"{base}.{idx[1]}"),
     }
 
 
@@ -851,7 +849,6 @@ def _taylor_unet_module(sd, m, de_flag=False):
     gate = _gate_convT if de_flag else _gate_conv
     blk: dict = {
         "in_conv_gate": gate(sd, f"{m}.in_conv.0"),
-        "in_conv_norm": instancenorm(sd, f"{m}.in_conv.1"),
         "in_conv_prelu": channel_prelu(sd, f"{m}.in_conv.2"),
     }
     j = 0
@@ -868,7 +865,6 @@ def _taylor_u2_encoder(sd, prefix):
         for i in range(4)
     }
     en["last_gate"] = _gate_conv(sd, f"{prefix}.last_conv.0")
-    en["last_norm"] = instancenorm(sd, f"{prefix}.last_conv.1")
     en["last_prelu"] = channel_prelu(sd, f"{prefix}.last_conv.2")
     return en
 
@@ -884,7 +880,6 @@ def _convert_taylorsenet(model, sd) -> dict:
         for i in range(4)
     }
     zero_de["last_gate"] = _gate_convT(sd, f"{de}.last_conv.0")
-    zero_de["last_norm"] = instancenorm(sd, f"{de}.last_conv.1")
     zero_de["last_prelu"] = channel_prelu(sd, f"{de}.last_conv.2")
     zero_de["last_conv"] = conv2d(sd, f"{de}.last_conv.3")
 

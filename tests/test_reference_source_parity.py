@@ -384,3 +384,204 @@ def test_ref_mossformer2(rng):
                        fsmn_inner=256)
     x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
     _parity(tm, ours, x, "MossFormer2")
+
+
+# --------------------------------------------------------------------------
+# Enhancement zoo (reference: enhancement/look2hear/models/)
+# --------------------------------------------------------------------------
+
+def test_ref_dccrn(rng):
+    mod = ref_model_module("enhancement", "dccrn")
+    from sonicsim_tpu.models import DCCRN
+
+    kw = dict(rnn_layers=2, rnn_units=16, win_len=48, win_inc=12,
+              fft_len=64, use_clstm=True, kernel_num=(8, 16))
+    torch.manual_seed(10)
+    tm = mod.DCCRN(**{**kw, "kernel_num": list(kw["kernel_num"])})
+    warm = rng.standard_normal((4, 960)).astype(np.float32) * 0.3
+    x = rng.standard_normal((2, 960)).astype(np.float32) * 0.3
+    _parity(tm, DCCRN(torch_compat=True, **kw), x, "DCCRN",
+            train_warmup=warm)
+
+
+def test_ref_frcrn(rng):
+    mod = ref_model_module("enhancement", "frcrn")
+    from sonicsim_tpu.models import FRCRN
+
+    kw = dict(complex=True, model_complexity=45, model_depth=14,
+              log_amp=False, padding_mode="zeros", win_len=640,
+              win_inc=320, fft_len=640, win_type="hann")
+    torch.manual_seed(11)
+    tm = mod.FRCRN(**kw)
+    warm = rng.standard_normal((2, 2240)).astype(np.float32) * 0.3
+    x = rng.standard_normal((2, 2240)).astype(np.float32) * 0.3
+
+    def pick(out):
+        # forward returns (inputs, out_list) (frcrn.py:510); compare the
+        # six spec/wav/mask outputs on overlapping length
+        return list(out[1])
+
+    with torch.no_grad():
+        tm.train()
+        tm(torch.from_numpy(warm))
+    tm.eval()
+    with torch.no_grad():
+        refs = pick(tm(torch.from_numpy(x)))
+    ours = FRCRN(torch_compat=True)
+    _, params = import_torch_checkpoint(
+        {"model_name": "FRCRN", "model_args": {}, "state_dict": _sd(tm)},
+        model=ours,
+    )
+    gots = pick(ours.apply(params, jnp.asarray(x)))
+    assert len(refs) == len(gots)
+    for r, g in zip(refs, gots):
+        r, g = r.numpy(), np.asarray(g)
+        n = min(r.shape[-1], g.shape[-1])
+        np.testing.assert_allclose(g[..., :n], r[..., :n], atol=2e-3,
+                                   rtol=1e-2)
+
+
+def test_ref_fullband(rng):
+    mod = ref_model_module("enhancement", "fullband")
+    from sonicsim_tpu.models import Fullband
+
+    kw = dict(num_freqs=33, hidden_size=16, sequence_model="LSTM",
+              output_activate_function=False, look_ahead=2, n_fft=64,
+              hop_length=32, win_length=64)
+    torch.manual_seed(12)
+    tm = mod.Fullband(**kw)
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, Fullband(**kw), x, "Fullband", atol=5e-4, rtol=1e-3,
+            pick=lambda o: o[0])
+
+
+def test_ref_fullsubnet(rng):
+    mod = ref_model_module("enhancement", "fullsubnet")
+    from sonicsim_tpu.models import FullSubnet
+
+    kw = dict(num_freqs=33, look_ahead=2, sequence_model="LSTM",
+              fb_num_neighbors=0, sb_num_neighbors=4,
+              fb_output_activate_function="ReLU",
+              sb_output_activate_function=False,
+              fb_model_hidden_size=16, sb_model_hidden_size=16,
+              n_fft=64, hop_length=32, win_length=64,
+              num_groups_in_drop_band=1, weight_init=False)
+    torch.manual_seed(13)
+    tm = mod.FullSubnet(**kw)
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, FullSubnet(**kw), x, "FullSubnet", atol=5e-4, rtol=1e-3,
+            pick=lambda o: o[0])
+
+
+def test_ref_fastfullsubnet(rng):
+    mod = ref_model_module("enhancement", "fastfullsubnet")
+    from sonicsim_tpu.models import FastFullSubnet
+
+    kw = dict(look_ahead=2, shrink_size=2, sequence_model="LSTM",
+              num_mels=64, encoder_input_size=257,
+              bottleneck_hidden_size=384, bottleneck_num_layers=2,
+              noisy_input_num_neighbors=5, encoder_output_num_neighbors=0,
+              n_fft=512, hop_length=256, win_length=512, weight_init=False)
+    torch.manual_seed(14)
+    tm = mod.FastFullSubnet(**kw)
+    x = rng.standard_normal((1, 4096)).astype(np.float32) * 0.3
+    _parity(tm, FastFullSubnet(**kw), x, "FastFullSubnet",
+            pick=lambda o: o[0])
+
+
+def test_ref_fullsubnet_plus(rng):
+    mod = ref_model_module("enhancement", "fullsubnet_plus")
+    from sonicsim_tpu.models import FullSubNet_Plus
+
+    kw = dict(num_freqs=33, look_ahead=2, sequence_model="LSTM",
+              fb_num_neighbors=0, sb_num_neighbors=4,
+              fb_output_activate_function="ReLU",
+              sb_output_activate_function=False,
+              fb_model_hidden_size=32, sb_model_hidden_size=16,
+              n_fft=64, hop_length=32, win_length=64,
+              channel_attention_model="SE", num_groups_in_drop_band=2,
+              output_size=2, subband_num=1, kersize=(3, 5, 10))
+    torch.manual_seed(15)
+    tm = mod.FullSubNet_Plus(**{**kw, "kersize": list(kw["kersize"])})
+    x = rng.standard_normal((1, 1600)).astype(np.float32) * 0.3
+    _parity(tm, FullSubNet_Plus(**kw), x, "FullSubNet_Plus",
+            pick=lambda o: o[0])
+
+
+def test_ref_inter_subnet(rng):
+    mod = ref_model_module("enhancement", "inter_subnet")
+    from sonicsim_tpu.models import Inter_SubNet
+
+    kw = dict(num_freqs=33, look_ahead=2, sequence_model="LSTM",
+              sb_num_neighbors=4, sb_output_activate_function=False,
+              sb_model_hidden_size=20, n_fft=64, hop_length=32,
+              win_length=64, num_groups_in_drop_band=2,
+              sbinter_middle_hidden_times=0.8)
+    torch.manual_seed(16)
+    tm = mod.Inter_SubNet(**kw)
+    x = rng.standard_normal((1, 1600)).astype(np.float32) * 0.3
+    _parity(tm, Inter_SubNet(**kw), x, "Inter_SubNet",
+            pick=lambda o: o[0])
+
+
+def test_ref_gagnet(rng):
+    mod = ref_model_module("enhancement", "gagnet")
+    from sonicsim_tpu.models import GaGNet
+
+    kw = dict(cin=2, k1=(2, 3), k2=(1, 3), c=8, kd1=3, cd1=8,
+              d_feat=192, p=1, q=2, dilas=(1, 2), fft_num=256,
+              is_u2=True, is_causal=True, is_squeezed=False,
+              acti_type="sigmoid", intra_connect="cat", norm_type="IN",
+              n_fft=256, hop_length=128, win_length=256)
+    torch.manual_seed(17)
+    tm = mod.GaGNet(**{**kw, "k1": list(kw["k1"]), "k2": list(kw["k2"]),
+                       "dilas": list(kw["dilas"])})
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, GaGNet(**kw), x, "GaGNet")
+
+
+def test_ref_taylorsenet(rng):
+    mod = ref_model_module("enhancement", "taylorsenet")
+    from sonicsim_tpu.models import TaylorSENet
+
+    kw = dict(cin=2, k1=(1, 3), k2=(2, 3), c=8, kd1=5, cd1=8,
+              d_feat=192, dilations=(1, 2), p=1, fft_num=256,
+              order_num=2, n_fft=256, hop_length=128, win_length=256,
+              intra_connect="cat", inter_connect="cat", norm_type="IN",
+              is_causal=True, is_u2=True, is_param_share=False,
+              is_encoder_share=False)
+    torch.manual_seed(18)
+    tm = mod.TaylorSENet(**{**kw, "k1": list(kw["k1"]),
+                            "k2": list(kw["k2"]),
+                            "dilations": list(kw["dilations"])})
+    x = rng.standard_normal((1, 800)).astype(np.float32) * 0.3
+    _parity(tm, TaylorSENet(**kw), x, "TaylorSENet")
+
+
+def test_ref_g2net(rng):
+    mod = ref_model_module("enhancement", "g2net")
+    from sonicsim_tpu.models import G2Net
+
+    kw = dict(k1=(2, 3), k2=(1, 3), c=8, intra_connect="cat",
+              d_feat=192, kd1=3, cd1=8, tcn_num=1, dilas=(1, 2),
+              fft_num=256, is_causal=True, acti_type="sigmoid",
+              crm_type="crm1", stage_num=2, u_type="u2",
+              head_type="RI+MAG", norm_type="IN", n_fft=256,
+              hop_length=128, win_length=256)
+    torch.manual_seed(19)
+    tm = mod.G2Net(**{**kw, "k1": list(kw["k1"]), "k2": list(kw["k2"]),
+                      "dilas": list(kw["dilas"])})
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, G2Net(**kw), x, "G2Net")
+
+
+def test_ref_bsrnn_espnet(rng):
+    mod = ref_model_module("enhancement", "bsrnn_espnet")
+    from sonicsim_tpu.models import BSRNNESPNet
+
+    kw = dict(n_fft=320, hop_length=160, num_spk=1, num_channels=8,
+              num_layers=1, target_fs=16000, causal=False)
+    torch.manual_seed(20)
+    tm = mod.BSRNNESPNet(use_builtin_complex=True, **kw)
+    x = rng.standard_normal((2, 960)).astype(np.float32) * 0.3
+    _parity(tm, BSRNNESPNet(**kw), x, "BSRNNESPNet")

@@ -1888,16 +1888,19 @@ class _TTayGateConvT(tnn.Module):
         return o * g.sigmoid()
 
 
+# TaylorSENet's NormSwitch passes `affine` positionally into torch's eps
+# slot (taylorsenet.py:29-33), so every IN is eps=1.0, affine=False —
+# replicated here with tnn.InstanceNorm*(c, True).
 class _TTayConvUnit(tnn.Module):
     def __init__(self, k, c):
         super().__init__()
         if k[0] > 1:
             self.conv = tnn.Sequential(
                 tnn.ConstantPad2d((0, 0, k[0] - 1, 0), 0.0),
-                tnn.Conv2d(c, c, k, (1, 2)), _TIN2d(c), tnn.PReLU(c))
+                tnn.Conv2d(c, c, k, (1, 2)), tnn.InstanceNorm2d(c, True), tnn.PReLU(c))
         else:
             self.conv = tnn.Sequential(
-                tnn.Conv2d(c, c, k, (1, 2)), _TIN2d(c), tnn.PReLU(c))
+                tnn.Conv2d(c, c, k, (1, 2)), tnn.InstanceNorm2d(c, True), tnn.PReLU(c))
 
     def forward(self, x):
         return self.conv(x)
@@ -1910,7 +1913,7 @@ class _TTayDeconvUnit(tnn.Module):
         mods = [tnn.ConvTranspose2d(cin, c, k, (1, 2))]
         if k[0] > 1:
             mods.append(_TChompT(k[0] - 1))
-        mods += [_TIN2d(c), tnn.PReLU(c)]
+        mods += [tnn.InstanceNorm2d(c, True), tnn.PReLU(c)]
         self.deconv = tnn.Sequential(*mods)
 
     def forward(self, x):
@@ -1922,7 +1925,7 @@ class _TTayEnUnet(tnn.Module):
         super().__init__()
         gate = (_TTayGateConvT(cin, cout, k1, (1, 2)) if de_flag else
                 _TTayGateConv(cin, cout, k1, (1, 2), (0, 0, k1[0] - 1, 0)))
-        self.in_conv = tnn.Sequential(gate, _TIN2d(cout), tnn.PReLU(cout))
+        self.in_conv = tnn.Sequential(gate, tnn.InstanceNorm2d(cout, True), tnn.PReLU(cout))
         self.enco = tnn.ModuleList([_TTayConvUnit(k2, cout)
                                     for _ in range(scale)])
         self.deco = tnn.ModuleList([_TTayDeconvUnit(k2, cout, i != 0)
@@ -1949,7 +1952,7 @@ class _TTayU2En(tnn.Module):
             _TTayEnUnet(c, c, k1, k2, 1)])
         self.last_conv = tnn.Sequential(
             _TTayGateConv(c, 64, k1, (1, 2), (0, 0, k1[0] - 1, 0)),
-            _TIN2d(64), tnn.PReLU(64))
+            tnn.InstanceNorm2d(64, True), tnn.PReLU(64))
 
     def forward(self, x):
         hist = []
@@ -1970,7 +1973,7 @@ class _TTayU2De(tnn.Module):
             _TTayEnUnet(c * 2, c, k1, k2, 3, de_flag=True),
             _TTayEnUnet(c * 2, c, k1, k2, 4, de_flag=True)])
         self.last_conv = tnn.Sequential(
-            _TTayGateConvT(c * 2, 16, (1, 5), (1, 2)), _TIN2d(16),
+            _TTayGateConvT(c * 2, 16, (1, 5), (1, 2)), tnn.InstanceNorm2d(16, True),
             tnn.PReLU(16), tnn.Conv2d(16, 1, 1, 1), tnn.Sigmoid())
 
     def forward(self, x, hist):
@@ -1986,13 +1989,13 @@ class _TTayTCM(tnn.Module):
         pad = tnn.ConstantPad1d(((kd1 - 1) * dila, 0), 0.0)
         self.in_conv = tnn.Conv1d(d_feat, cd1, 1, bias=False)
         self.left_conv = tnn.Sequential(
-            tnn.PReLU(cd1), _TIN1d(cd1), pad,
+            tnn.PReLU(cd1), tnn.InstanceNorm1d(cd1, True), pad,
             tnn.Conv1d(cd1, cd1, kd1, dilation=dila, bias=False))
         self.right_conv = tnn.Sequential(
-            tnn.PReLU(cd1), _TIN1d(cd1), pad,
+            tnn.PReLU(cd1), tnn.InstanceNorm1d(cd1, True), pad,
             tnn.Conv1d(cd1, cd1, kd1, dilation=dila, bias=False), tnn.Sigmoid())
         self.out_conv = tnn.Sequential(
-            tnn.PReLU(cd1), _TIN1d(cd1), tnn.Conv1d(cd1, d_feat, 1, bias=False))
+            tnn.PReLU(cd1), tnn.InstanceNorm1d(cd1, True), tnn.Conv1d(cd1, d_feat, 1, bias=False))
 
     def forward(self, x):
         h = self.in_conv(x)
@@ -2313,17 +2316,16 @@ class _TFRCRN(tnn.Module):
         self.unet2 = _TFrcrnUNet()
 
     def _istft(self, spec):
+        # frcrn.py:126-143: full reconstruction, no crop
         out = tF.conv_transpose1d(spec, self.inv_k, stride=self.inc)
         t = self.win_buf.repeat(1, 1, spec.size(-1)) ** 2
         coff = tF.conv_transpose1d(t, self.enframe, stride=self.inc)
-        out = out / (coff + 1e-8)
-        pad = self.win - self.inc
-        return out[..., pad:-pad]
+        return out / (coff + 1e-8)
 
     def forward(self, x):
-        pad = self.win - self.inc
-        spec = tF.conv1d(tF.pad(x[:, None], [pad, pad]), self.fwd_k,
-                         stride=self.inc)
+        # frcrn.py:80-84: the analysis conv runs with NO signal padding
+        # (unlike DCCRN's conv_stft.py)
+        spec = tF.conv1d(x[:, None], self.fwd_k, stride=self.inc)
         cs = spec.unsqueeze(1)
         cs = torch.cat([cs[:, :, :self.feat_dim], cs[:, :, self.feat_dim:]], 1)
         cs = cs.unsqueeze(4).transpose(1, 4)  # (B, 1, F, T, 2)
