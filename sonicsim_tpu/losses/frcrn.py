@@ -26,8 +26,12 @@ class FRCRNLoss:
 
         sisnr_loss = jnp.mean(singlesrc_neg_sdr(est_wav, refs, "sisdr"))
 
-        sr, si = conv_stft(refs, self.win_len, self.win_inc, self.fft_len)
-        yr, yi = conv_stft(noisy, self.win_len, self.win_inc, self.fft_len)
+        # FRCRN's own ConvSTFT semantics: sqrt-Hann, no signal padding
+        # (frcrn_loss.py:72-78 builds the model's ConvSTFT, frcrn.py:56-84).
+        sr, si = conv_stft(refs, self.win_len, self.win_inc, self.fft_len,
+                           sqrt_window=True, pad_signal=False)
+        yr, yi = conv_stft(noisy, self.win_len, self.win_inc, self.fft_len,
+                           sqrt_window=True, pad_signal=False)
         y_pow = yr**2 + yi**2 + 1e-8
         gth_r = (sr * yr + si * yi) / y_pow
         gth_i = (si * yr - sr * yi) / y_pow

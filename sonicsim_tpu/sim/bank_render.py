@@ -179,6 +179,7 @@ def _assemble_core(
         delays_si, hits_i, g_i = args
         d = delays_si * sample_rate  # float samples
         base = jnp.floor(d)
+        frac = d - base
         row = base.astype(jnp.int32) + SINC_HALF  # in [0, pad) when valid
         blk = row // _BLOCK
         # Window j=0..win-1 of block b covers absolute sample
@@ -187,13 +188,52 @@ def _assemble_core(
         # (the original 2*SINC_HALF+1 tap positions — enforced by `mask`).
         j = jnp.arange(win, dtype=jnp.float32)
         off = d + 2 * SINC_HALF - (blk * _BLOCK).astype(jnp.float32)
-        t = j[None, :] - off[:, None]  # (N, win) = T - d
-        window = 0.5 + 0.5 * jnp.cos(jnp.pi * t / (SINC_HALF + 1))
-        lb = base + 2 * SINC_HALF - (blk * _BLOCK).astype(jnp.float32)
-        mask = (j[None, :] >= lb[:, None] - SINC_HALF) & (
-            j[None, :] <= lb[:, None] + SINC_HALF
+        # The dense (N, win) sinc/Hann evaluation is the placement's hot
+        # loop and per-element transcendentals dominate it (measured
+        # 121 ms of the 131 ms map on chip). Both factor into per-row /
+        # per-column terms via angle addition:
+        #   sin(pi t)       = -(-1)^(j-ioff) sin(pi frac)
+        #   cos(pi t / S1)  = cos(a_j) cos(b_n) + sin(a_j) sin(b_n)
+        # leaving one divide + mul/adds per element (3x faster placement).
+        # t is built as (j - ioff) - frac: the integer part is exact in
+        # f32, so numerator and denominator stay consistent and, within
+        # the 81-tap mask, t takes the SAME values (taps - frac) the
+        # serial renderer evaluates (image_source.py:93-98). Computing
+        # t = j - off instead would carry off's ~1e-4 rounding into the
+        # denominator only, inflating near-peak error 10x.
+        s1 = float(SINC_HALF + 1)
+        # ioff must be EXACT (f32 rounding of off at ~1e3 differs from
+        # frac's at d, so off - frac is not integer-valued): build it in
+        # int32, where base + 2*SINC_HALF - blk*_BLOCK is exact.
+        ioff_i = base.astype(jnp.int32) + 2 * SINC_HALF - blk * _BLOCK
+        ioff = ioff_i.astype(jnp.float32)
+        jm = j[None, :] - ioff[:, None]  # exact integer grid
+        t = jm - frac[:, None]  # (N, win) = T - d
+        sin_off = jnp.where(ioff_i % 2 == 0, 1.0, -1.0) * jnp.sin(
+            jnp.pi * frac
         )
-        vals = jnp.where(mask, jnp.sinc(t) * window, 0.0) * g_i[:, None]
+        sign_j = jnp.where(j % 2.0 == 0, 1.0, -1.0)
+        sinc_t = jnp.where(
+            jnp.abs(t) < 1e-6,
+            1.0,
+            (-sign_j[None, :] * sin_off[:, None]) / (jnp.pi * t),
+        )
+        a = jnp.pi * (j % (2.0 * s1)) / s1
+        # off mod 2*s1 built from the exact integer part: ioff%82 + frac
+        # stays below 82, so no large-magnitude rounding enters the Hann
+        b = (
+            jnp.pi
+            * ((ioff_i % int(2 * s1)).astype(jnp.float32) + frac)
+            / s1
+        )
+        window = 0.5 + 0.5 * (
+            jnp.cos(a)[None, :] * jnp.cos(b)[:, None]
+            + jnp.sin(a)[None, :] * jnp.sin(b)[:, None]
+        )
+        # jm == tap index k at the original positions (ioff == lb), so
+        # the mask keeps exactly the serial renderer's 2*SINC_HALF+1 taps
+        mask = jnp.abs(jm) <= SINC_HALF
+        vals = jnp.where(mask, sinc_t * window, 0.0) * g_i[:, None]
         # One MXU contraction places all images: row q = cls*n_blocks + blk
         # (out-of-range q — images beyond the IR window — one-hot to zero).
         q = jnp.clip(hits_i, 0, n_classes - 1) * n_blocks + blk
