@@ -52,11 +52,15 @@ _BLOCK = 1024  # time-block quantum for the placement matmul
 _PLACE_BATCH = 8  # items per placement matmul (MXU batch)
 
 
-def _real_sh(dirs: jax.Array, order: int) -> jax.Array:
-    """Real spherical harmonics, ACN/SN3D, y-up: (..., 3) unit dirs →
+def _real_sh(dirs, order: int) -> jax.Array:
+    """Real spherical harmonics, ACN/SN3D, y-up: unit dirs →
     (..., (order+1)^2). jnp twin of channels.real_sh_matrix (unrolled
-    recurrences, no Condon-Shortley phase)."""
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    recurrences, no Condon-Shortley phase). ``dirs`` is either an
+    (..., 3) array or a tuple of (x, y, z) component arrays."""
+    if isinstance(dirs, tuple):
+        x, y, z = dirs
+    else:
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     az = jnp.arctan2(-x, -z)
     s = jnp.clip(y, -1.0, 1.0)  # sin(elevation)
     c = jnp.sqrt(jnp.maximum(1.0 - s * s, 0.0))
@@ -95,14 +99,20 @@ def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
     """Image-source lattice for every item, entirely in jnp.
 
     ``srcs``/``recvs`` (P, 3) → delays_s (P, N), hits (P, N) int32,
-    dirs (P, N, 3), valid (P, N) with N = (2·(2·max_order+1))³ — the same
-    lattice as image_source.image_sources (positions/hit counts identical).
+    unit direction components (ux, uy, uz) each (P, N), valid (P, N)
+    with N = (2·(2·max_order+1))³ — the same lattice as
+    image_source.image_sources (positions/hit counts identical).
+
+    The distance is a SEPARABLE outer sum of per-axis squared offsets
+    (dx²[p,i] + dy²[p,j] + dz²[p,k]), so no (P, N, 3) stack/transpose is
+    ever materialized — the measured cost of the old formulation's
+    layout copies was ~24 ms of the 88 ms fused kernel.
     """
     m = max_order
     n = jnp.arange(-m, m + 1, dtype=jnp.float32)  # periodic index
     p = jnp.arange(2, dtype=jnp.float32)  # parity (mirrored or not)
     coeff = (1.0 - 2.0 * p)[None, :]  # (1, 2)
-    per_axis = []  # coords per axis: (P, K) with K = 2*(2m+1)
+    dcomp = []  # per-axis image-to-receiver offsets: (P, K)
     hits_axis = []
     for ax in range(3):
         coord = (
@@ -110,35 +120,33 @@ def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
             + (2.0 * n[:, None] * dims[ax])[None]
         )  # (P, 2m+1, 2)
         hits = jnp.abs(n[:, None] - p[None, :]) + jnp.abs(n[:, None])
-        per_axis.append(coord.reshape(srcs.shape[0], -1))
+        dcomp.append(coord.reshape(srcs.shape[0], -1) - recvs[:, ax, None])
         hits_axis.append(hits.reshape(-1))
     K = 2 * (2 * m + 1)
     P_items = srcs.shape[0]
-    ix = per_axis[0][:, :, None, None]  # (P, K, 1, 1)
-    iy = per_axis[1][:, None, :, None]
-    iz = per_axis[2][:, None, None, :]
-    imgs = jnp.stack(
-        [
-            jnp.broadcast_to(ix, (P_items, K, K, K)),
-            jnp.broadcast_to(iy, (P_items, K, K, K)),
-            jnp.broadcast_to(iz, (P_items, K, K, K)),
-        ],
-        axis=-1,
-    ).reshape(P_items, K * K * K, 3)
+    dx, dy, dz = dcomp
+    d2 = (
+        (dx * dx)[:, :, None, None]
+        + (dy * dy)[:, None, :, None]
+        + (dz * dz)[:, None, None, :]
+    ).reshape(P_items, K * K * K)
+    dist = jnp.sqrt(d2)
     hits = (
         hits_axis[0][:, None, None]
         + hits_axis[1][None, :, None]
         + hits_axis[2][None, None, :]
     ).reshape(-1)  # (N,)
-    diff = imgs - recvs[:, None, :]
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     valid = (dist / SPEED_OF_SOUND <= max_delay) & (dist >= 1e-6)
     delays_s = dist / SPEED_OF_SOUND
-    dirs = diff / jnp.maximum(dist, 1e-9)[..., None]
+    inv = 1.0 / jnp.maximum(dist, 1e-9)
+    shape = (P_items, K, K, K)
+    ux = (jnp.broadcast_to(dx[:, :, None, None], shape).reshape(d2.shape)) * inv
+    uy = (jnp.broadcast_to(dy[:, None, :, None], shape).reshape(d2.shape)) * inv
+    uz = (jnp.broadcast_to(dz[:, None, None, :], shape).reshape(d2.shape)) * inv
     hits_i = jnp.broadcast_to(
         hits.astype(jnp.int32)[None], (P_items, hits.shape[0])
     )
-    return delays_s, hits_i, dirs, valid
+    return delays_s, hits_i, (ux, uy, uz), valid
 
 
 def _assemble_core(
@@ -328,6 +336,7 @@ def _assemble_core(
 @partial(
     jax.jit,
     static_argnames=(
+        "n_bands",
         "channel_type",
         "channel_order",
         "max_order",
@@ -342,17 +351,12 @@ def _assemble_core(
     ),
 )
 def _render_items_device(
-    dims,  # (3,) room dims
-    srcs,  # (P, 3) per-item source positions
-    recvs,  # (P, 3) per-item receiver positions (channel offset applied)
-    chan_idx,  # (P,) int32 channel index of each item (ambisonics select)
-    normals,  # (P, 3) per-item ear normal (binaural; zeros otherwise)
-    seeds,  # (P,) uint32 per-pair tail-noise seeds
-    bank_ids,  # (P,) int32 bank of each item (per-bank peak normalize)
-    beta,  # (n_bands,)
+    fpack,  # (P, 9) f32: srcs(3) | recvs(3) | normals(3)
+    ipack,  # (P, 3) u32: chan_idx | seeds | bank_ids
+    consts,  # (3 + 2*n_bands,) f32: dims(3) | beta | rt60_bands
     masks,  # (n_bands, nfft//2+1)
-    rt60_bands,  # (n_bands,)
     *,
+    n_bands: int,
     channel_type: str,
     channel_order: int,
     max_order: int,
@@ -368,18 +372,30 @@ def _render_items_device(
     """Fused geometry → gains → assembly → per-bank peak normalization:
     ONE dispatch producing (n_keep, ir_len). Everything, tail-noise key
     derivation included, lives inside the jit so the remote link sees a
-    single round trip."""
+    single round trip. Per-item tables arrive as two packed arrays (and
+    the per-room scalars as one) because each host→device transfer on
+    the tunneled link costs ~5 ms of RTT regardless of size."""
     from .image_source import tail_noise_key
 
-    delays_s, hits, dirs, valid = _device_geometry(
+    srcs, recvs, normals = fpack[:, 0:3], fpack[:, 3:6], fpack[:, 6:9]
+    chan_idx = ipack[:, 0].astype(jnp.int32)
+    seeds = ipack[:, 1]
+    bank_ids = ipack[:, 2].astype(jnp.int32)
+    dims = consts[0:3]
+    beta = consts[3 : 3 + n_bands]
+    rt60_bands = consts[3 + n_bands : 3 + 2 * n_bands]
+
+    delays_s, hits, (ux, uy, uz), valid = _device_geometry(
         dims, srcs, recvs, max_order, max_delay
     )
     if channel_type in ("Mono", "CustomArrayIR"):
         gain = jnp.ones_like(delays_s)
     elif channel_type == "Binaural":
-        gain = 0.6 + 0.4 * jnp.einsum("pnd,pd->pn", dirs, normals)
+        gain = 0.6 + 0.4 * (
+            ux * normals[:, 0:1] + uy * normals[:, 1:2] + uz * normals[:, 2:3]
+        )
     elif channel_type == "Ambisonics":
-        Y = _real_sh(dirs, channel_order)  # (P, N, C)
+        Y = _real_sh((ux, uy, uz), channel_order)  # (P, N, C)
         gain = jnp.take_along_axis(
             Y, chan_idx[:, None, None].astype(jnp.int32), axis=2
         )[..., 0]
@@ -503,24 +519,44 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
     def padded(a):
         if padn:
             a = np.concatenate([a, np.repeat(a[:1], padn, axis=0)])
-        return jnp.asarray(a)
+        return a
 
     if bank_ids is None:
         bank_ids = np.zeros(n_items, np.int32)
         n_banks = 1
     else:
         n_banks = int(bank_ids.max()) + 1
+    # Two packed per-item uploads + one scalar vector: ~3 transfers
+    # instead of 10 (each costs a full tunnel RTT).
+    fpack = jnp.asarray(padded(np.concatenate(
+        [
+            np.asarray(srcs_flat, np.float32),
+            np.asarray(recvs_flat, np.float32),
+            np.asarray(normals, np.float32),
+        ],
+        axis=1,
+    )))
+    ipack = jnp.asarray(padded(np.stack(
+        [
+            np.asarray(chan_idx, np.uint32),
+            seeds.astype(np.uint32),
+            bank_ids.astype(np.uint32),
+        ],
+        axis=1,
+    )))
+    consts = jnp.asarray(np.concatenate(
+        [
+            np.asarray(oracle.room.dims, np.float32),
+            np.asarray(beta, np.float32),
+            np.asarray(rt60_bands, np.float32),
+        ]
+    ))
     return _render_items_device(
-        jnp.asarray(np.asarray(oracle.room.dims, np.float32)),
-        padded(srcs_flat),
-        padded(recvs_flat),
-        padded(chan_idx),
-        padded(normals),
-        padded(seeds.astype(np.uint32)),
-        padded(bank_ids.astype(np.int32)),
-        jnp.asarray(beta, jnp.float32),
+        fpack,
+        ipack,
+        consts,
         _cached_masks(oracle.n_bands, nfft, oracle.sample_rate),
-        jnp.asarray(rt60_bands, jnp.float32),
+        n_bands=oracle.n_bands,
         channel_type=channel.channel_type,
         channel_order=channel.channel_order,
         max_order=oracle.max_order,

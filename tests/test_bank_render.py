@@ -97,9 +97,11 @@ def test_device_geometry_matches_numpy_lattice(rng):
     np.testing.assert_array_equal(
         np.bincount(np.asarray(hits_d[0])), np.bincount(hits.astype(int))
     )
-    # dirs are unit receiver→source vectors
+    # dirs are unit receiver→source vectors (returned as separable
+    # (ux, uy, uz) components, each (P, N))
+    ux, uy, uz = (np.asarray(c[0]) for c in dirs)
     np.testing.assert_allclose(
-        np.linalg.norm(np.asarray(dirs[0]), axis=1), 1.0, atol=1e-5
+        np.sqrt(ux**2 + uy**2 + uz**2), 1.0, atol=1e-5
     )
 
 
