@@ -13,9 +13,10 @@ import jax.numpy as jnp
 
 from ..ops import (
     convolve_fixed_receiver,
-    convolve_moving_segmented,
+    convolve_moving_blocked,
     dynamic_interp_plan,
     lufs_norm,
+    moving_block_plan,
     segment_plan,
 )
 from ..utils.wavio import read_wav, resample
@@ -54,13 +55,19 @@ def render_moving_source(
             convolve_fixed_receiver(jnp.asarray(audio), jnp.asarray(rir_bank[0]))
         )
     offsets, lengths, max_seg = segment_plan(idx)
-    out = convolve_moving_segmented(
+    # Fixed-size block plan: bounds the compiled FFT span at 16384 samples
+    # whatever the segment raggedness (see fftconv.moving_block_plan).
+    block = min(16384, -(-max_seg // 8192) * 8192)
+    t = audio.shape[-1]
+    nb = -(-(-(-t // block) + len(offsets)) // 16) * 16
+    block_off, block_seg = moving_block_plan(offsets, lengths, t, block, nb)
+    out = convolve_moving_blocked(
         jnp.asarray(audio),
         jnp.asarray(rir_bank),
         jnp.asarray(w),
-        jnp.asarray(offsets),
-        jnp.asarray(lengths),
-        max_seg,
+        jnp.asarray(block_off),
+        jnp.asarray(block_seg),
+        block,
     )
     return np.asarray(out)
 

@@ -125,16 +125,26 @@ def render_mixture(
     # device-resident for the moving-conv (the tunneled TPU link is slow;
     # only an explicit save_bank pulls a host copy).
     mic = np.asarray(plan.mic_point)
-    banks = [
-        b[:, 0]  # (P, C, L)
-        for b in scene.render_banks(
-            [[np.asarray(p) for p in traj] for traj in plan.trajectories],
-            [mic],
-            out_device=True,
-        )
-    ]
+    # The noise/music static RIRs ride the SAME fused dispatch as the
+    # trajectory banks (a 4th "bank" of two sources): two standalone
+    # render_ir calls cost ~110 ms of dispatch floors on the tunneled
+    # link for two items of work. Their joint peak normalization differs
+    # from the raw serial render by a scalar, which the downstream LUFS
+    # normalization makes irrelevant.
+    all_banks = scene.render_banks(
+        [[np.asarray(p) for p in traj] for traj in plan.trajectories]
+        + [[np.asarray(plan.noise_point), np.asarray(plan.music_point)]],
+        [mic],
+        out_device=True,
+        mesh=mesh,
+    )
+    banks = [b[:, 0] for b in all_banks[:-1]]  # (P, C, L) each
+    rir_noise, rir_music = all_banks[-1][0, 0], all_banks[-1][1, 0]
     if save_bank:
-        banks_np = [np.asarray(b) for b in banks]
+        # float16 halves the device→host download (~12 MB of f32 per
+        # mixture at ~23 MB/s measured); the quantization error (~5e-4
+        # rel) sits at the f32 tap-placement noise floor.
+        banks_np = [np.asarray(b.astype("float16")) for b in banks]
         save_rir_bank(
             out / f"rir_bank_{plan.channel_type}.npz",
             np.stack(
@@ -152,8 +162,6 @@ def render_mixture(
     # only assembles dry tracks (I/O) and computes trajectory plans. The
     # rng is consumed in the reference's per-speaker order so seeded
     # outputs match the previous sequential path exactly.
-    rir_noise = scene.render_ir(np.asarray(plan.noise_point), mic)
-    rir_music = scene.render_ir(np.asarray(plan.music_point), mic)
     if all(b.shape[0] >= 2 for b in banks):
         dry, weights, offs, lens = [], [], [], []
         for sp, traj in zip(plan.speech_plans, plan.trajectories):
@@ -169,11 +177,11 @@ def render_mixture(
         banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
             banks, weights, offs, lens
         )
-        l_stat = max(rir_noise.shape[-1], rir_music.shape[-1])
-        static_rirs = np.stack([
-            np.pad(r, [(0, 0), (0, l_stat - r.shape[-1])])
-            for r in (rir_noise, rir_music)
-        ]).astype(np.float32)
+        # Both static RIRs come from the same bank render: same length,
+        # already stacked and device-resident.
+        import jax.numpy as jnp
+
+        static_rirs = jnp.stack([rir_noise, rir_music])
         static_audio = np.stack([
             assemble_long_audio(plan.noise_plan)[0],
             assemble_long_audio(plan.music_plan)[0],
@@ -204,10 +212,10 @@ def render_mixture(
             wet, _ = loudness_normalize_to(wet, sr, plan.lufs_speech[i])
             moving.append(wet)
         noise = render_static_source(
-            assemble_long_audio(plan.noise_plan), rir_noise
+            assemble_long_audio(plan.noise_plan), np.asarray(rir_noise)
         )
         music = render_static_source(
-            assemble_long_audio(plan.music_plan), rir_music
+            assemble_long_audio(plan.music_plan), np.asarray(rir_music)
         )
         noise, _ = loudness_normalize_to(noise, sr, plan.lufs_noise)
         music, _ = loudness_normalize_to(music, sr, plan.lufs_music)
@@ -300,8 +308,11 @@ def generate_split(
 
     results_root = Path(results_root)
     produced: list[Path] = []
-    executor = ThreadPoolExecutor(max_workers=1) if pipeline else None
-    pending: tuple | None = None  # (future, out_dir, scene, name, t0)
+    # Two workers: mixture k's device→host downloads (the tunneled
+    # link's ~1 s of WAV/bank transfer) overlap mixture k+1's device
+    # compute — JAX dispatch is async and transfers release the GIL.
+    executor = ThreadPoolExecutor(max_workers=2) if pipeline else None
+    pending: list = []  # [(future, out_dir, scene, name, t0), ...]
 
     def _finish(p) -> None:
         fut, out_dir, scene_name_, name_, t0_ = p
@@ -347,16 +358,16 @@ def generate_split(
                     seed=seed,
                 )
                 if executor is not None:
-                    if pending is not None:
-                        _finish(pending)  # depth-1 pipeline
+                    while len(pending) >= 2:
+                        _finish(pending.pop(0))  # depth-2 pipeline
                     fut = executor.submit(
                         render_mixture, scene, plan, out_dir, transcripts
                     )
                     # Clock from submission, not from planning: planning
                     # overlaps the previous mixture's render, so t0 would
                     # double-count a whole pipeline slot.
-                    pending = (fut, out_dir, scene_name, name,
-                               time.perf_counter())
+                    pending.append((fut, out_dir, scene_name, name,
+                                    time.perf_counter()))
                 else:
                     render_mixture(scene, plan, out_dir, transcripts)
                     produced.append(out_dir)
@@ -365,27 +376,24 @@ def generate_split(
                         scene_name, name, time.perf_counter() - t0,
                         len(produced),
                     )
-                in_flight = 1 if pending is not None else 0
                 if (
                     max_mixtures is not None
-                    and len(produced) + in_flight >= max_mixtures
+                    and len(produced) + len(pending) >= max_mixtures
                 ):
-                    if pending is not None:
-                        _finish(pending)
-                        pending = None
+                    while pending:
+                        _finish(pending.pop(0))
                     return produced
-        if pending is not None:
-            _finish(pending)
-            pending = None
+        while pending:
+            _finish(pending.pop(0))
         return produced
     finally:
         if executor is not None:
-            if pending is not None:
-                # Unwinding with a render in flight (main-thread error or
-                # interrupt): surface the worker's outcome rather than
-                # silently discarding it.
+            while pending:
+                # Unwinding with renders in flight (main-thread error or
+                # interrupt): surface the workers' outcomes rather than
+                # silently discarding them.
                 try:
-                    _finish(pending)
+                    _finish(pending.pop(0))
                 except Exception:
                     logger.exception(
                         "pipelined render failed while unwinding"

@@ -1,8 +1,10 @@
 from .fftconv import (
     convolve_fixed_receiver,
+    convolve_moving_blocked,
     convolve_moving_receiver,
     convolve_moving_segmented,
     fft_convolve,
+    moving_block_plan,
     overlap_add_chunks,
     segment_plan,
 )
@@ -28,6 +30,7 @@ from .stft import hann_window, istft, sqrt_hann_window, stft
 __all__ = [
     "biquad",
     "convolve_fixed_receiver",
+    "convolve_moving_blocked",
     "convolve_moving_receiver",
     "convolve_moving_segmented",
     "dynamic_interp_plan",
@@ -41,6 +44,7 @@ __all__ = [
     "k_weighting_coeffs",
     "loudness_normalize",
     "lufs_norm",
+    "moving_block_plan",
     "mix_sources_sir",
     "overlap_add_chunks",
     "peak_normalize",

@@ -120,6 +120,25 @@ def segment_plan(interp_index: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]
     return offsets, lengths, int(lengths.max())
 
 
+def _take_windows_aligned(x: jax.Array, off_al: jax.Array, win: int) -> jax.Array:
+    """Gather 128-aligned windows: x (N,) → (len(off_al), win).
+
+    ``off_al`` must be multiples of 128 and ``win`` a multiple of 128.
+    Implemented as a LANE-ROW gather (reshape to (N/128, 128) and take
+    whole rows) instead of vmap(dynamic_slice): the TPU compiler lowers a
+    batched dynamic_slice pathologically (measured 392 s compile for 80
+    windows of a 1 M-sample buffer vs ~2 s for this gather — the old
+    formulation dominated every generation executable's build time).
+    """
+    n_rows = win // 128
+    pad = (-x.shape[-1]) % 128
+    if pad:
+        x = jnp.pad(x, (0, pad))
+    lanes = x.reshape(-1, 128)
+    idx = off_al[:, None] // 128 + jnp.arange(n_rows, dtype=jnp.int32)[None]
+    return jnp.take(lanes, idx, axis=0).reshape(off_al.shape[0], win)
+
+
 def _on_tpu() -> bool:
     """True only on TPU-like backends: the matmul-FFT trades O(N log N)
     for MXU-friendly dense work, a win on the systolic array but a large
@@ -168,15 +187,11 @@ def convolve_moving_segmented(
     # lead samples cost nothing. Ownership still uses the true offsets.
     offsets_al = offsets - offsets % 128
     max_seg = max_seg + 128
-    win = max_seg + l - 1
+    win = -(-(max_seg + l - 1) // 128) * 128  # lane multiple (row gather)
 
     # Window the input: segment p needs x[off_al_p - (L-1) : off_al_p + max_seg).
-    xpad = jnp.pad(source_audio.astype(jnp.float32), (l - 1, max_seg))
-
-    def take_window(off):
-        return jax.lax.dynamic_slice(xpad, (off,), (win,))
-
-    windows = jax.vmap(take_window)(offsets_al)  # (n_seg, win)
+    xpad = jnp.pad(source_audio.astype(jnp.float32), (l - 1, win))
+    windows = _take_windows_aligned(xpad, offsets_al, win)  # (n_seg, win)
 
     # Convolve each window against its start & end RIRs. Each interior RIR
     # serves as both an end (segment p-1) and a start (segment p) kernel, so
@@ -227,6 +242,129 @@ def convolve_moving_segmented(
     flat_idx = seg * max_seg + within  # (T,)
     conv_flat = jnp.swapaxes(conv, 0, 1).swapaxes(1, 2).reshape(
         2, c, n_seg * max_seg
+    )
+    start = conv_flat[0, :, flat_idx].T  # (C, T)
+    end = conv_flat[1, :, flat_idx].T
+    w = interp_weight.astype(jnp.float32)[None, :]
+    return (1.0 - w) * start + w * end
+
+
+def moving_block_plan(
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    t: int,
+    block: int,
+    n_blocks: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Chop a segment plan into fixed-size blocks (host side).
+
+    Trajectory segments are ragged — a slow-moving source can own most of
+    the mixture in ONE segment, which made the segmented conv's window (and
+    the matmul-FFT's O(n1²) tables) scale with the longest segment: the
+    60 s production render compiled to a 273 MB executable. Blocks bound
+    the window at ``block`` samples regardless of raggedness, so every
+    mixture shares one small compiled shape.
+
+    Returns (block_off, block_seg), each (n_blocks,) int32: the true start
+    sample of each block and the segment (RIR-pair index) it belongs to.
+    Unused trailing blocks are inert: off == t never owns an output sample
+    (ownership is searchsorted(block_off, t, 'right') - 1 over t < t).
+    """
+    offs: list[int] = []
+    segs: list[int] = []
+    for s, (o, le) in enumerate(zip(offsets.tolist(), lengths.tolist())):
+        k = 0
+        while k < le:
+            offs.append(o + k)
+            segs.append(s)
+            k += block
+    if len(offs) > n_blocks:
+        raise ValueError(
+            f"plan needs {len(offs)} blocks > n_blocks={n_blocks}"
+        )
+    pad = n_blocks - len(offs)
+    last_seg = max(len(offsets) - 2, 0)
+    offs += [t] * pad
+    segs += [last_seg] * pad
+    return np.asarray(offs, np.int32), np.asarray(segs, np.int32)
+
+
+def convolve_moving_blocked(
+    source_audio: jax.Array,
+    rirs: jax.Array,
+    interp_weight: jax.Array,
+    block_off: jax.Array,
+    block_seg: jax.Array,
+    block: int,
+    use_mxu_fft: bool | None = None,
+) -> jax.Array:
+    """Moving-source reverb over a fixed-size block plan.
+
+    Same math as :func:`convolve_moving_segmented` (output sample t is the
+    crossfade of x ⊛ rir_{seg(t)} and x ⊛ rir_{seg(t)+1} at t), but the
+    per-window span is the static ``block`` instead of the longest segment,
+    so FFT sizes — and the MXU matmul-FFT's constant tables — are bounded
+    by the block, not the trajectory raggedness.
+
+    Args:
+      source_audio: (T,)
+      rirs: (P, C, L)
+      interp_weight: (T,)
+      block_off/block_seg: (NB,) int32 from ``moving_block_plan``.
+      block: static block span in samples.
+
+    Returns (C, T).
+    """
+    t = source_audio.shape[-1]
+    p, c, l = rirs.shape
+    nb = block_off.shape[0]
+    # 128-aligned window origins (lane granularity); ownership uses the
+    # true offsets, the <=127 lead samples are just extra context. win is
+    # rounded up to a lane multiple for the row gather — the extra tail
+    # samples only wrap into the discarded [0, l-1) prefix (nfft >= win).
+    off_al = block_off - block_off % 128
+    span = block + 128
+    win = -(-(span + l - 1) // 128) * 128
+
+    xpad = jnp.pad(source_audio.astype(jnp.float32), (l - 1, win))
+    windows = _take_windows_aligned(xpad, off_al, win)  # (NB, win)
+
+    # FFT every RIR once; each block gathers its segment's (start, end)
+    # kernel pair in the frequency domain. Overlap-save: only outputs
+    # [l-1, l-1+span) are consumed, where circular conv at nfft >= win is
+    # exact.
+    if use_mxu_fft is None:
+        use_mxu_fft = _on_tpu()
+    if use_mxu_fft:
+        from .mxu_fft import irfft_grid, pick_split, rfft_grid
+
+        n1, n2 = pick_split(win)
+        nfft = n1 * n2
+        sf = rfft_grid(windows, n1, n2)  # (NB, h, n2)
+        kf = rfft_grid(rirs.astype(jnp.float32), n1, n2)  # (P, C, h, n2)
+    else:
+        nfft = next_fast_len(win)
+        sf = jnp.fft.rfft(windows, nfft)  # (NB, F)
+        kf = jnp.fft.rfft(rirs.astype(jnp.float32), nfft)  # (P, C, F)
+    pair = jnp.stack(
+        [jnp.take(kf, block_seg, axis=0), jnp.take(kf, block_seg + 1, axis=0)],
+        axis=1,
+    )  # (NB, 2, C, ...)
+    if use_mxu_fft:
+        conv = irfft_grid(sf[:, None, None] * pair, n1, n2)
+    else:
+        conv = jnp.fft.irfft(sf[:, None, None, :] * pair, nfft)
+    conv = conv[..., l - 1 : l - 1 + span]  # (NB, 2, C, span)
+
+    # Gather combine: sample t belongs to exactly one block blk(t).
+    tt = jnp.arange(t, dtype=jnp.int32)
+    blk = jnp.clip(
+        jnp.searchsorted(block_off, tt, side="right") - 1, 0, nb - 1
+    )
+    within = jnp.clip(tt - off_al[blk], 0, span - 1)
+    flat_idx = blk * span + within  # (T,)
+    conv_flat = jnp.swapaxes(conv, 0, 1).swapaxes(1, 2).reshape(
+        2, c, nb * span
     )
     start = conv_flat[0, :, flat_idx].T  # (C, T)
     end = conv_flat[1, :, flat_idx].T

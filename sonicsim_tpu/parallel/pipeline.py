@@ -23,7 +23,11 @@ from functools import partial
 import jax
 import numpy as np
 
-from ..ops.fftconv import convolve_fixed_receiver, convolve_moving_segmented
+from ..ops.fftconv import (
+    convolve_fixed_receiver,
+    convolve_moving_blocked,
+    moving_block_plan,
+)
 from ..ops.loudness import lufs_norm
 from .mesh import batch_sharding
 
@@ -47,7 +51,12 @@ def pad_moving_plans(
     import jax.numpy as jnp
 
     t = int(weights[0].shape[-1])
-    p = max(b.shape[0] for b in banks)
+    # Quantize the static shapes (waypoint count up to a multiple of 8,
+    # segment bound to 8192 samples): every distinct (P, max_seg) pair is
+    # a fresh XLA compile of the fused render, and trajectory lengths
+    # vary per mixture. Extra waypoints are inert (offsets point past the
+    # end, lengths zero), and a larger segment bound only pads windows.
+    p = -(-max(b.shape[0] for b in banks) // 8) * 8
     on_device = any(isinstance(b, jax.Array) for b in banks)
     xp = jnp if on_device else np
     banks_p, off_p, len_p = [], [], []
@@ -63,6 +72,7 @@ def pad_moving_plans(
         off_p.append(np.concatenate([o, np.full(pad, t, o.dtype)]))
         len_p.append(np.concatenate([le, np.zeros(pad, le.dtype)]))
     max_seg = int(max(int(le.max()) for le in lengths))
+    max_seg = -(-max_seg // 8192) * 8192
     return (
         xp.stack(banks_p).astype(xp.float32),
         np.stack(weights).astype(np.float32),
@@ -74,30 +84,28 @@ def pad_moving_plans(
 
 @partial(
     jax.jit,
-    static_argnames=("max_seg", "sample_rate", "use_pallas", "use_mxu_fft"),
+    static_argnames=("block", "sample_rate", "use_mxu_fft"),
 )
 def _render_all(
     speech,  # (S, T)
     banks,  # (S, P, C, L)
     weights,  # (S, T)
-    offsets,  # (S, P-1)
-    lengths,  # (S, P-1)
+    block_off,  # (S, NB)
+    block_seg,  # (S, NB)
     static_audio,  # (K, T)
     static_rirs,  # (K, C, L)
     speech_lufs,  # (S,)
     static_lufs,  # (K,)
     *,
-    max_seg: int,
+    block: int,
     sample_rate: int,
-    use_pallas: bool = False,
     use_mxu_fft: bool | None = None,
 ):
     moving = jax.vmap(
-        lambda a, r, w, o, le: convolve_moving_segmented(
-            a, r, w, o, le, max_seg,
-            use_pallas=use_pallas, use_mxu_fft=use_mxu_fft,
+        lambda a, r, w, o, s: convolve_moving_blocked(
+            a, r, w, o, s, block, use_mxu_fft=use_mxu_fft,
         )
-    )(speech, banks, weights, offsets, lengths)  # (S, C, T)
+    )(speech, banks, weights, block_off, block_seg)  # (S, C, T)
     moving = jax.vmap(
         lambda x, tgt: lufs_norm(x, sample_rate, tgt)[0]
     )(moving, speech_lufs)
@@ -122,7 +130,6 @@ def render_mixture_sources(
     static_lufs: np.ndarray,
     sample_rate: int,
     mesh=None,
-    use_pallas: bool = False,
     use_mxu_fft: bool | None = None,
 ):
     """All of a mixture's sources → reverberant, LUFS-normalized tracks.
@@ -131,9 +138,29 @@ def render_mixture_sources(
     every source). With ``mesh``, the source axes are sharded over the mesh's
     'data' axis and params/plans travel with them — the multi-chip layout of
     the generation pipeline. Returns (moving (S,C,T), static (K,C,T)).
+
+    ``offsets``/``lengths`` (host np arrays from :func:`pad_moving_plans`)
+    are re-cut into a fixed-size block plan here: the compiled window span
+    is ``min(16384, max_seg)`` samples whatever the trajectory raggedness,
+    so every mixture of a split shares one executable (a whole-mixture
+    segment used to compile a 273 MB one — see moving_block_plan).
     """
     s, k = speech.shape[0], static_audio.shape[0]
-    moving_args = (speech, banks, weights, offsets, lengths, speech_lufs)
+    t = int(speech.shape[-1])
+    block = min(16384, int(max_seg))
+    offsets = np.asarray(offsets)
+    lengths = np.asarray(lengths)
+    n_seg = offsets.shape[1]
+    # Deterministic block count for (T, P): stable compiled shapes.
+    nb = -(-t // block) + n_seg
+    nb = -(-nb // 16) * 16
+    plans = [
+        moving_block_plan(offsets[i], lengths[i], t, block, nb)
+        for i in range(s)
+    ]
+    block_off = np.stack([p[0] for p in plans])
+    block_seg = np.stack([p[1] for p in plans])
+    moving_args = (speech, banks, weights, block_off, block_seg, speech_lufs)
     static_args = (static_audio, static_rirs, static_lufs)
     if mesh is not None:
         # GSPMD shardings need axis-0 divisible by the mesh; pad with zero
@@ -164,9 +191,8 @@ def render_mixture_sources(
         *static_args[:2],
         moving_args[5],
         static_args[2],
-        max_seg=max_seg,
+        block=block,
         sample_rate=sample_rate,
-        use_pallas=use_pallas,
         use_mxu_fft=use_mxu_fft,
     )
     return moving[:s], static[:k]

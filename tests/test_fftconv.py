@@ -7,10 +7,12 @@ from scipy import signal
 
 from sonicsim_tpu.ops import (
     convolve_fixed_receiver,
+    convolve_moving_blocked,
     convolve_moving_receiver,
     convolve_moving_segmented,
     dynamic_interp_plan,
     fft_convolve,
+    moving_block_plan,
     segment_plan,
 )
 
@@ -98,6 +100,63 @@ def test_convolve_moving_segmented_matches_dense(rng):
     )
     ref = _reference_moving(audio, rirs, idx, w)
     np.testing.assert_allclose(seg, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_convolve_moving_blocked_matches_dense(rng):
+    audio, rirs, idx, w = _make_case(rng, t=5000, p=8, c=3, l=256)
+    offsets, lengths, _ = segment_plan(idx)
+    block = 512  # forces multi-block segments
+    nb = -(-5000 // block) + len(offsets)
+    block_off, block_seg = moving_block_plan(offsets, lengths, 5000, block, nb)
+    out = np.asarray(
+        convolve_moving_blocked(
+            jnp.asarray(audio),
+            jnp.asarray(rirs),
+            jnp.asarray(w),
+            jnp.asarray(block_off),
+            jnp.asarray(block_seg),
+            block,
+        )
+    )
+    ref = _reference_moving(audio, rirs, idx, w)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_convolve_moving_blocked_one_giant_segment(rng):
+    # A near-static trajectory: one segment owns almost the whole signal
+    # (the case that made per-segment windows degenerate to full length).
+    t, p, c, l = 8000, 3, 2, 128
+    audio = rng.standard_normal(t).astype(np.float32)
+    rirs = rng.standard_normal((p, c, l)).astype(np.float32) * 0.1
+    idx = np.zeros(t, np.int32)
+    idx[-100:] = 1  # last 100 samples on the second pair
+    w = rng.uniform(0, 1, t).astype(np.float32)
+    offsets, lengths, _ = segment_plan(idx)
+    block = 1024
+    nb = -(-t // block) + len(offsets)
+    block_off, block_seg = moving_block_plan(offsets, lengths, t, block, nb)
+    out = np.asarray(
+        convolve_moving_blocked(
+            jnp.asarray(audio), jnp.asarray(rirs), jnp.asarray(w),
+            jnp.asarray(block_off), jnp.asarray(block_seg), block,
+        )
+    )
+    ref = _reference_moving(audio, rirs, idx, w)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_moving_block_plan_covers_and_pads(rng):
+    _, _, idx, _ = _make_case(rng)
+    offsets, lengths, _ = segment_plan(idx)
+    t, block = len(idx), 300
+    nb = -(-t // block) + len(offsets) + 5
+    block_off, block_seg = moving_block_plan(offsets, lengths, t, block, nb)
+    assert block_off.shape == block_seg.shape == (nb,)
+    assert np.all(np.diff(block_off) >= 0)  # sorted for searchsorted
+    # every sample owned by exactly the right segment
+    owner = np.clip(np.searchsorted(block_off, np.arange(t), "right") - 1,
+                    0, nb - 1)
+    np.testing.assert_array_equal(block_seg[owner], idx.clip(0, len(offsets) - 1))
 
 
 def test_segment_plan_covers_everything(rng):
