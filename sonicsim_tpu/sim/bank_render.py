@@ -47,7 +47,7 @@ from .image_source import (
     image_sources,
 )
 
-_CHUNK = 32  # item-axis padding quantum: bounds distinct compiled shapes
+_CHUNK = 64  # item-axis padding quantum: bounds distinct compiled shapes
 _BLOCK = 1024  # time-block quantum for the placement matmul
 _PLACE_BATCH = 8  # items per placement matmul (MXU batch)
 
@@ -333,24 +333,7 @@ def _assemble_core(
     return early + tail
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_bands",
-        "channel_type",
-        "channel_order",
-        "max_order",
-        "max_delay",
-        "sample_rate",
-        "ir_len",
-        "nfft",
-        "n_classes",
-        "n_keep",
-        "n_banks",
-        "peak_normalize",
-    ),
-)
-def _render_items_device(
+def _render_core(
     fpack,  # (P, 9) f32: srcs(3) | recvs(3) | normals(3)
     ipack,  # (P, 3) u32: chan_idx | seeds | bank_ids
     consts,  # (3 + 2*n_bands,) f32: dims(3) | beta | rt60_bands
@@ -365,13 +348,12 @@ def _render_items_device(
     ir_len: int,
     nfft: int,
     n_classes: int,
-    n_keep: int,
-    n_banks: int,
-    peak_normalize: bool,
 ):
-    """Fused geometry → gains → assembly → per-bank peak normalization:
-    ONE dispatch producing (n_keep, ir_len). Everything, tail-noise key
-    derivation included, lives inside the jit so the remote link sees a
+    """Fused geometry → gains → assembly: (P, ir_len) un-normalized RIRs.
+
+    Traceable body shared by the single-device jit and the shard_map mesh
+    path (where P is the per-shard item count). Everything, tail-noise key
+    derivation included, lives inside one trace so the remote link sees a
     single round trip. Per-item tables arrive as two packed arrays (and
     the per-room scalars as one) because each host→device transfer on
     the tunneled link costs ~5 ms of RTT regardless of size."""
@@ -380,7 +362,6 @@ def _render_items_device(
     srcs, recvs, normals = fpack[:, 0:3], fpack[:, 3:6], fpack[:, 6:9]
     chan_idx = ipack[:, 0].astype(jnp.int32)
     seeds = ipack[:, 1]
-    bank_ids = ipack[:, 2].astype(jnp.int32)
     dims = consts[0:3]
     beta = consts[3 : 3 + n_bands]
     rt60_bands = consts[3 + n_bands : 3 + 2 * n_bands]
@@ -407,7 +388,7 @@ def _render_items_device(
         0.0,
     ).astype(jnp.float32)
     noise_keys = jax.vmap(tail_noise_key)(seeds, chan_idx)
-    out = _assemble_core(
+    return _assemble_core(
         delays_s,
         hits,
         g,
@@ -420,6 +401,61 @@ def _render_items_device(
         ir_len,
         nfft,
         n_classes,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_bands",
+        "channel_type",
+        "channel_order",
+        "max_order",
+        "max_delay",
+        "sample_rate",
+        "ir_len",
+        "nfft",
+        "n_classes",
+        "n_keep",
+        "n_banks",
+        "peak_normalize",
+    ),
+)
+def _render_items_device(
+    fpack,
+    ipack,
+    consts,
+    masks,
+    *,
+    n_bands: int,
+    channel_type: str,
+    channel_order: int,
+    max_order: int,
+    max_delay: float,
+    sample_rate: int,
+    ir_len: int,
+    nfft: int,
+    n_classes: int,
+    n_keep: int,
+    n_banks: int,
+    peak_normalize: bool,
+):
+    """Single-device dispatch: core render → slice → per-bank peak norm."""
+    bank_ids = ipack[:, 2].astype(jnp.int32)
+    out = _render_core(
+        fpack,
+        ipack,
+        consts,
+        masks,
+        n_bands=n_bands,
+        channel_type=channel_type,
+        channel_order=channel_order,
+        max_order=max_order,
+        max_delay=max_delay,
+        sample_rate=sample_rate,
+        ir_len=ir_len,
+        nfft=nfft,
+        n_classes=n_classes,
     )[:n_keep]
     if peak_normalize:
         item_peak = jnp.max(jnp.abs(out), axis=1)  # (n_keep,)
@@ -429,6 +465,47 @@ def _render_items_device(
         peak = jnp.where(peak > 0, peak, 1.0)
         out = out / peak[bank_ids[:n_keep], None]
     return out
+
+
+@lru_cache(maxsize=16)
+def _render_items_mesh_fn(mesh, **statics):
+    """Build (and cache) the mesh-sharded renderer for one static config.
+
+    shard_map over the padded item axis — the multi-chip fan-out that
+    replaces the reference's mp.Pool over habitat Simulators
+    (SonicSim_rir.py:751-791). Each device renders its item shard with the
+    SAME fused core as the single-device path; per-bank peak normalization
+    is a local segment_max followed by one pmax over the mesh axis (padding
+    rows duplicate item 0, so they can never raise a bank's max)."""
+    from jax.sharding import PartitionSpec
+
+    n_banks = statics.pop("n_banks")
+    peak_normalize = statics.pop("peak_normalize")
+    axis = mesh.axis_names[0]
+    spec_items = PartitionSpec(axis)
+    spec_rep = PartitionSpec()
+
+    def local(fpack, ipack, consts, masks):
+        out = _render_core(fpack, ipack, consts, masks, **statics)
+        if peak_normalize:
+            bank_ids = ipack[:, 2].astype(jnp.int32)
+            item_peak = jnp.max(jnp.abs(out), axis=1)
+            peak = jax.ops.segment_max(
+                item_peak, bank_ids, num_segments=n_banks
+            )
+            peak = jax.lax.pmax(jnp.maximum(peak, 0.0), axis)
+            peak = jnp.where(peak > 0, peak, 1.0)
+            out = out / peak[bank_ids, None]
+        return out
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec_items, spec_items, spec_rep, spec_rep),
+            out_specs=spec_items,
+        )
+    )
 
 
 @lru_cache(maxsize=8)
@@ -510,11 +587,19 @@ def _flatten_items(oracle, source_positions, receiver_positions, channel,
 
 def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
                        seeds, channel, ir_params, peak_normalize: bool,
-                       bank_ids: np.ndarray | None = None):
-    """Pad the item axis to a _CHUNK multiple and run the fused dispatch."""
+                       bank_ids: np.ndarray | None = None, mesh=None):
+    """Pad the item axis to a _CHUNK multiple and run the fused dispatch.
+
+    With ``mesh``, the padded item axis is sharded over the mesh's first
+    axis (shard_map — see _render_items_mesh_fn) instead of running on the
+    default device."""
     (_, rt60_bands, ir_seconds, ir_len, nfft, beta, n_classes) = ir_params
     n_items = len(srcs_flat)
-    padn = (-n_items) % _CHUNK
+    quantum = _CHUNK
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        quantum = math.lcm(_CHUNK, n_dev)
+    padn = (-n_items) % quantum
 
     def padded(a):
         if padn:
@@ -551,11 +636,7 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
             np.asarray(rt60_bands, np.float32),
         ]
     ))
-    return _render_items_device(
-        fpack,
-        ipack,
-        consts,
-        _cached_masks(oracle.n_bands, nfft, oracle.sample_rate),
+    statics = dict(
         n_bands=oracle.n_bands,
         channel_type=channel.channel_type,
         channel_order=channel.channel_order,
@@ -565,9 +646,22 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         ir_len=ir_len,
         nfft=nfft,
         n_classes=n_classes,
+    )
+    masks_dev = _cached_masks(oracle.n_bands, nfft, oracle.sample_rate)
+    if mesh is not None:
+        fn = _render_items_mesh_fn(
+            mesh, n_banks=n_banks, peak_normalize=peak_normalize, **statics
+        )
+        return fn(fpack, ipack, consts, masks_dev)[:n_items]
+    return _render_items_device(
+        fpack,
+        ipack,
+        consts,
+        masks_dev,
         n_keep=n_items,
         n_banks=n_banks,
         peak_normalize=peak_normalize,
+        **statics,
     )
 
 
@@ -579,6 +673,7 @@ def render_bank_batched(
     receiver_rotations: list[float] | None = None,
     peak_normalize: bool = True,
     out_device: bool = False,
+    mesh=None,
 ):
     """All-pairs bank (S, R, C, L) via the batched multiband renderer.
 
@@ -595,7 +690,7 @@ def render_bank_batched(
     )
     out = _render_flat_items(
         oracle, srcs_flat, recvs_flat, normals, chan_idx, seeds, channel,
-        ir_params, peak_normalize,
+        ir_params, peak_normalize, mesh=mesh,
     )
     ir_len = ir_params[3]
     shape = (
@@ -617,6 +712,7 @@ def render_rir_banks(
     receiver_rotations: list[float] | None = None,
     peak_normalize: bool = True,
     out_device: bool = False,
+    mesh=None,
 ) -> list:
     """Render SEVERAL banks (e.g. one per speaker trajectory) in ONE fused
     device dispatch — the multi-speaker counterpart of the reference's
@@ -637,7 +733,7 @@ def render_rir_banks(
     )
     out = _render_flat_items(
         oracle, *cat, channel, ir_params,
-        peak_normalize=peak_normalize, bank_ids=bank_ids,
+        peak_normalize=peak_normalize, bank_ids=bank_ids, mesh=mesh,
     )
     ir_len = ir_params[3]
     n_recv, n_ch = len(receiver_positions), channel.count

@@ -40,6 +40,21 @@ def points_to_pixels(
     return np.stack([px, pz], axis=1)
 
 
+_MAP_CACHE: dict = {}
+
+
+def topdown_map_cached(nav: NavGrid, meters_per_pixel: float) -> np.ndarray:
+    """Per-scene memo of the navigability raster: the Python is_navigable
+    sweep costs ~100 ms and the map is identical for every mixture of a
+    scene."""
+    key = (id(nav), meters_per_pixel)
+    grid = _MAP_CACHE.get(key)
+    if grid is None:
+        grid = topdown_map(nav, meters_per_pixel)
+        _MAP_CACHE[key] = grid
+    return grid
+
+
 def save_trace_image(
     filename: str | Path,
     nav: NavGrid,
@@ -47,16 +62,73 @@ def save_trace_image(
     mic_points: np.ndarray | None = None,
     static_points: np.ndarray | None = None,
     meters_per_pixel: float = 0.05,
+    scale: int = 4,
 ) -> None:
     """Render the navigable area with speaker trajectories, mic and
     noise/music markers (save_trace_gif parity — a PNG per sample,
-    SonicSet_train.py:47)."""
+    SonicSet_train.py:47).
+
+    Drawn with PIL (a matplotlib figure+savefig measured ~300 ms per
+    mixture — a third of the generation budget); falls back to the
+    matplotlib path when PIL is unavailable."""
+    try:
+        from PIL import Image, ImageDraw
+    except ImportError:
+        return _save_trace_image_mpl(
+            filename, nav, trajectories, mic_points, static_points,
+            meters_per_pixel,
+        )
+
+    grid = topdown_map_cached(nav, meters_per_pixel)
+    h, w = grid.shape
+    base = np.where(grid[..., None], np.uint8(235), np.uint8(64)).repeat(
+        3, axis=2
+    )
+    img = Image.fromarray(base[::-1]).resize(  # origin="lower" parity
+        (w * scale, h * scale), Image.NEAREST
+    )
+    dr = ImageDraw.Draw(img)
+    colors = [(214, 39, 40), (31, 119, 180), (44, 160, 44), (255, 127, 14)]
+
+    def to_xy(points):
+        pix = points_to_pixels(np.atleast_2d(points), nav, meters_per_pixel)
+        return [
+            (float(p[0]) * scale, float(h - p[1]) * scale) for p in pix
+        ]
+
+    for k, traj in enumerate(trajectories or []):
+        xy = to_xy(np.asarray(traj))
+        c = colors[k % len(colors)]
+        if len(xy) > 1:
+            dr.line(xy, fill=c, width=2)
+        for x, y in xy:
+            dr.ellipse([x - 3, y - 3, x + 3, y + 3], fill=c)
+    if mic_points is not None:
+        for x, y in to_xy(mic_points):
+            dr.regular_polygon((x, y, 10), 5, rotation=0,
+                               fill=(255, 215, 0), outline=(0, 0, 0))
+    if static_points is not None:
+        for x, y in to_xy(static_points):
+            dr.rectangle([x - 5, y - 5, x + 5, y + 5], fill=(255, 0, 255),
+                         outline=(0, 0, 0))
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
+    img.save(filename)
+
+
+def _save_trace_image_mpl(
+    filename: str | Path,
+    nav: NavGrid,
+    trajectories: list[np.ndarray] | None = None,
+    mic_points: np.ndarray | None = None,
+    static_points: np.ndarray | None = None,
+    meters_per_pixel: float = 0.05,
+) -> None:
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    grid = topdown_map(nav, meters_per_pixel)
+    grid = topdown_map_cached(nav, meters_per_pixel)
     fig, ax = plt.subplots(figsize=(8, 8 * grid.shape[0] / max(grid.shape[1], 1)))
     ax.imshow(grid, cmap="gray", origin="lower", interpolation="nearest")
     colors = ["tab:red", "tab:blue", "tab:green", "tab:orange"]

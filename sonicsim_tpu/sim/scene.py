@@ -209,12 +209,15 @@ class Scene:
         receiver_positions: list[np.ndarray],
         receiver_rotations: list[float] | None = None,
         out_device: bool = False,
+        mesh=None,
     ) -> list:
         """Several banks (one per speaker trajectory) in ONE fused device
         dispatch when the oracle supports it — the multi-speaker
         counterpart of the reference's pooled render_rir_parallel calls
         (SonicSim_rir.py:751-791). Falls back to per-bank rendering for
-        bank/live oracles. Each bank keeps its own peak normalization."""
+        bank/live oracles. Each bank keeps its own peak normalization.
+        With ``mesh``, the flattened (src, recv, ch) item axis is sharded
+        over the mesh — the multi-chip RIR fan-out."""
         recvs = [self._elevate(p, self.sensor_height) for p in receiver_positions]
         if isinstance(self.oracle, SyntheticRirOracle) and self.oracle.n_bands > 0:
             from .bank_render import render_rir_banks
@@ -229,6 +232,7 @@ class Scene:
                 self.channel,
                 receiver_rotations,
                 out_device=out_device,
+                mesh=mesh,
             )
         return [
             render_rir_bank(

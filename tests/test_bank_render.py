@@ -147,3 +147,33 @@ def test_batched_rotations_and_custom_array(rng):
     # Rotation must change the result (offsets rotate with the receiver).
     other = render_bank_batched(oracle, srcs, recvs, channel, [90.0])
     assert np.abs(other - got).max() > 1e-4 * scale
+
+
+def test_mesh_sharded_matches_single_device(rng):
+    """The shard_map bank path (multi-chip fan-out) is numerically
+    identical to the single-device fused dispatch, per-bank peak
+    normalization (pmax across shards) included."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from sonicsim_tpu.parallel import make_mesh
+    from sonicsim_tpu.sim.bank_render import render_rir_banks
+
+    room = ShoeboxRoom((6.0, 3.0, 5.0), absorption=0.3)
+    oracle = SyntheticRirOracle(room, n_bands=8, max_order=2, seed=5)
+    srcs_a = [rng.uniform([1, 1, 1], [5, 2.5, 4]) for _ in range(3)]
+    srcs_b = [rng.uniform([1, 1, 1], [5, 2.5, 4]) for _ in range(2)]
+    recvs = [np.array([3.0, 1.5, 2.5])]
+    channel = ChannelModel("Binaural")
+
+    single = render_rir_banks(oracle, [srcs_a, srcs_b], recvs, channel)
+    mesh = make_mesh(8)
+    sharded = render_rir_banks(
+        oracle, [srcs_a, srcs_b], recvs, channel, mesh=mesh,
+        out_device=True,
+    )
+    assert len(sharded) == 2
+    # Lives distributed on the mesh (pre-slice parent is sharded).
+    for got, want in zip(sharded, single):
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)

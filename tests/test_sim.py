@@ -209,7 +209,14 @@ def test_trace_image(tmp_path, rng):
         mic_points=np.array([[5.0, 0.0, 4.0]]),
         meters_per_pixel=0.2,
     )
-    assert (tmp_path / "trace.png").stat().st_size > 1000
+    # decodes as an image and actually contains the drawn markers
+    from PIL import Image
+
+    img = np.asarray(Image.open(tmp_path / "trace.png").convert("RGB"))
+    assert img.shape[0] > 50 and img.shape[1] > 50
+    # trajectory color (tab:red) and mic marker (gold) both present
+    assert (np.abs(img.astype(int) - [214, 39, 40]).sum(-1) < 30).any()
+    assert (np.abs(img.astype(int) - [255, 215, 0]).sum(-1) < 30).any()
 
 
 def test_native_pathfinding_matches_python_contract(rng):
