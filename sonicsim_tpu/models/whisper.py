@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from pathlib import Path
 
 import flax.linen as nn
@@ -355,6 +355,181 @@ def greedy_decode(model: Whisper, params, mel: jax.Array,
     return tokens
 
 
+def beam_decode(model: Whisper, params, mel: jax.Array,
+                sot: np.ndarray, eot: int, beam: int = 5,
+                max_len: int | None = None,
+                suppress: np.ndarray | None = None,
+                length_penalty: float = 1.0) -> tuple[jax.Array, jax.Array]:
+    """Beam-search transcription of ONE mel chunk (HF-semantics).
+
+    Mirrors transformers' vectorized ``_beam_search`` (generation/utils.py,
+    the decoder faster-whisper's beam_size=5 default corresponds to,
+    reference: separation/look2hear/metrics/asr.py:3-12): 2·beam
+    continuations per step, eos/max-length candidates finalized with score
+    sum_logprobs / generated_len**length_penalty, running beams continue
+    until the early-stop heuristic (best attainable running score can no
+    longer beat the worst finished score). Parity-tested token-for-token
+    against torch ``generate(num_beams=5)`` in tests/test_whisper.py.
+
+    Returns ``(tokens (beam, max_len), scores (beam,))`` sorted best-first;
+    positions past a sequence's end repeat ``eot``. With the default
+    length_penalty=1.0, ``scores[0]`` is the best hypothesis' average
+    token log-probability (the faster-whisper fallback statistic).
+    """
+    cfg = model.cfg
+    max_len = max_len or cfg.max_target_positions
+    prompt_len = len(sot)
+    k = beam
+    enc = model.apply(params, mel, method=Whisper.encode)
+    enc = jnp.repeat(enc, k, axis=0)  # one beam per row
+    self_kv, cross_kv = model.apply(
+        params, enc, max_len, method=Whisper.init_cache
+    )
+    sup = None if suppress is None else jnp.asarray(suppress, bool)
+    neg = jnp.float32(-1e9)
+
+    run_seq = jnp.full((k, max_len), eot, jnp.int32)
+    run_seq = run_seq.at[:, :prompt_len].set(
+        jnp.asarray(sot, jnp.int32)[None]
+    )
+    run_scores = jnp.full((k,), -1e9, jnp.float32).at[0].set(0.0)
+    fin_seq = run_seq
+    fin_scores = jnp.full((k,), -1e9, jnp.float32)
+    fin_done = jnp.zeros((k,), bool)
+    top_mask = jnp.arange(2 * k) < k  # only top-k ranks may finalize
+
+    # Prompt phase: feed the forced tokens through the cache (identical on
+    # every beam); the last prompt position's logits seed the first free
+    # step inside the loop.
+    for pos in range(prompt_len - 1):
+        _, self_kv = model.apply(
+            params, run_seq[:, pos], pos, self_kv, cross_kv,
+            method=Whisper.decode_step,
+        )
+
+    def cond(state):
+        _, _, _, _, _, stop, pos, _ = state
+        return (pos + 1 < max_len) & ~stop
+
+    def body(state):
+        (run_seq, run_scores, fin_seq, fin_scores, fin_done, _, pos,
+         self_kv) = state
+        logits, self_kv = model.apply(
+            params, run_seq[:, pos], pos, self_kv, cross_kv,
+            method=Whisper.decode_step,
+        )  # (k, V)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if sup is not None:
+            logp = jnp.where(sup[None], -jnp.inf, logp)
+        v = logp.shape[-1]
+        acc = (run_scores[:, None] + logp).reshape(-1)  # (k*V,)
+        top_scores, top_idx = jax.lax.top_k(acc, 2 * k)
+        beam_src = top_idx // v
+        tok = (top_idx % v).astype(jnp.int32)
+        top_seq = run_seq[beam_src]
+        top_seq = jax.lax.dynamic_update_slice(
+            top_seq, tok[:, None], (0, pos + 1)
+        )  # (2k, max_len)
+        hits = (tok == eot) | (pos + 2 >= max_len)
+
+        # Running beams: best k non-finished continuations.
+        sel_scores, sel = jax.lax.top_k(
+            top_scores + hits.astype(jnp.float32) * neg, k
+        )
+        new_run_seq = top_seq[sel]
+        src = beam_src[sel]
+        new_kv = jax.tree_util.tree_map(lambda x: x[src], self_kv)
+
+        # Finished set: merge newly finalized candidates, keep best k.
+        gen_len = (pos + 2 - prompt_len).astype(jnp.float32)
+        cand = top_scores / gen_len ** length_penalty
+        cand = cand + (~(hits & top_mask)).astype(jnp.float32) * neg
+        merged_scores = jnp.concatenate([fin_scores, cand])
+        m_scores, msel = jax.lax.top_k(merged_scores, k)
+        merged_seq = jnp.concatenate([fin_seq, top_seq])
+        merged_done = jnp.concatenate([fin_done, hits & top_mask])
+        fin_seq, fin_scores, fin_done = (
+            merged_seq[msel], m_scores, merged_done[msel]
+        )
+
+        # Early-stop heuristic: can the best running beam still beat the
+        # worst finished hypothesis?
+        best_possible = sel_scores[0] / gen_len ** length_penalty
+        worst_fin = jnp.where(fin_done, jnp.min(fin_scores), neg)
+        unsat = jnp.any(best_possible > worst_fin)
+        stop = ~(unsat & ~jnp.all(hits))
+        return (new_run_seq, sel_scores, fin_seq, fin_scores, fin_done,
+                stop, pos + 1, new_kv)
+
+    state = (run_seq, run_scores, fin_seq, fin_scores, fin_done,
+             jnp.asarray(False), jnp.asarray(prompt_len - 1), self_kv)
+    (_, _, fin_seq, fin_scores, _, _, _, _) = jax.lax.while_loop(
+        cond, body, state
+    )
+    return fin_seq, fin_scores
+
+
+def sample_decode(model: Whisper, params, mel: jax.Array,
+                  sot: np.ndarray, eot: int, key: jax.Array,
+                  temperature: float, max_len: int | None = None,
+                  suppress: np.ndarray | None = None
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Temperature-sampled transcription (the faster-whisper fallback
+    path: at temperature > 0 decoding drops to single-sequence sampling).
+
+    Returns ``(tokens (B, max_len), avg_logprob (B,))`` where avg_logprob
+    averages the sampled tokens' log-probabilities (eot included), the
+    statistic the fallback thresholds on."""
+    cfg = model.cfg
+    max_len = max_len or cfg.max_target_positions
+    enc = model.apply(params, mel, method=Whisper.encode)
+    self_kv, cross_kv = model.apply(
+        params, enc, max_len, method=Whisper.init_cache
+    )
+    b = enc.shape[0]
+    tokens = jnp.full((b, max_len), eot, jnp.int32)
+    tokens = tokens.at[:, : len(sot)].set(jnp.asarray(sot, jnp.int32)[None])
+    sup = None if suppress is None else jnp.asarray(suppress, bool)
+
+    def cond(state):
+        _, pos, done, _, _, _ = state
+        return (pos + 1 < max_len) & ~jnp.all(done)
+
+    def body(state):
+        tokens, pos, done, self_kv, lp_sum, n_gen = state
+        logits, self_kv = model.apply(
+            params, tokens[:, pos], pos, self_kv, cross_kv,
+            method=Whisper.decode_step,
+        )
+        logits = logits.astype(jnp.float32)
+        if sup is not None:
+            logits = jnp.where(sup[None], -jnp.inf, logits)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        step_key = jax.random.fold_in(key, pos)
+        nxt = jax.random.categorical(
+            step_key, logits / jnp.float32(max(temperature, 1e-6)), axis=-1
+        ).astype(jnp.int32)
+        forced = pos + 1 < len(sot)
+        nxt = jnp.where(forced, tokens[:, pos + 1], nxt)
+        nxt = jnp.where(done & ~forced, eot, nxt)
+        tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+        live = ~done & ~forced
+        lp_sum = lp_sum + jnp.where(live, tok_lp, 0.0)
+        n_gen = n_gen + live.astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, nxt[:, None], (0, pos + 1)
+        )
+        done = done | (~forced & (nxt == eot))
+        return tokens, pos + 1, done, self_kv, lp_sum, n_gen
+
+    tokens, _, _, _, lp_sum, n_gen = jax.lax.while_loop(
+        cond, body,
+        (tokens, jnp.asarray(0), jnp.zeros((b,), bool), self_kv,
+         jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32)),
+    )
+    return tokens, lp_sum / jnp.maximum(n_gen, 1)
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint import
 # ---------------------------------------------------------------------------
@@ -626,12 +801,37 @@ class ByteBpeDecoder:
 # Transcriber factory (tracker extra_text contract)
 # ---------------------------------------------------------------------------
 
+def _compression_ratio(text: str) -> float:
+    """zlib compression ratio — the faster-whisper repetition detector
+    (ratios > ~2.4 mean the decoder is looping)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
 def make_whisper_transcriber(model_path: str | Path,
                              language: str = "en",
-                             max_new_tokens: int = 224):
+                             max_new_tokens: int = 224,
+                             beam_size: int | None = None,
+                             temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                             compression_ratio_threshold: float = 2.4,
+                             log_prob_threshold: float = -1.0):
     """Native replacement for sidecars.make_whisper_asr: loads a Whisper
     checkpoint (HF dir or OpenAI .pt; vocab.json beside it) and returns
-    ``fn(audio, sample_rate) -> str``. 30 s windows, greedy, no-timestamps."""
+    ``fn(audio, sample_rate) -> str``. Long audio runs a >30 s sliding-
+    window loop (one window per 30 s chunk, faster-whisper's seek step
+    with notimestamps).
+
+    ``beam_size=None`` is the fast greedy path; ``beam_size=5`` matches
+    faster-whisper's default decoder (metrics/asr.py:3-12): beam search at
+    temperature 0.0, then per-window TEMPERATURE FALLBACK — if the best
+    hypothesis' avg token log-prob is below ``log_prob_threshold`` or its
+    text zlib-compression ratio exceeds ``compression_ratio_threshold``,
+    re-decode by sampling at the next temperature in ``temperatures``.
+    """
     cfg, params, model_dir = load_whisper(model_path)
     tok = ByteBpeDecoder.from_dir(model_dir)
     model = Whisper(cfg)
@@ -645,20 +845,60 @@ def make_whisper_transcriber(model_path: str | Path,
             suppress, (0, cfg.vocab_size - len(suppress)),
             constant_values=True,
         )
+    sup = suppress[: cfg.vocab_size]
     max_len = min(cfg.max_target_positions, len(sot) + max_new_tokens)
     # 2 mel frames per encoder position (the stride-2 conv); released
     # models: 1500 positions ↔ 3000 frames ↔ 30 s at 16 kHz.
     chunk_samples = 2 * cfg.max_source_positions * HOP
 
-    # ONE jitted program per 30 s window: log-mel frontend + encoder +
-    # KV-cached greedy decode (the remote backend pays per round trip, so
-    # the frontend must not dispatch op-by-op).
+    # ONE jitted program per 30 s window per decode mode: log-mel
+    # frontend + encoder + KV-cached decode (the remote backend pays per
+    # round trip, so the frontend must not dispatch op-by-op).
     @jax.jit
-    def mel_and_decode(p, chunk):
+    def mel_and_greedy(p, chunk):
         mel = log_mel(chunk[None], cfg.n_mels)
-        return greedy_decode(
-            model, p, mel, sot, eot, max_len, suppress[: cfg.vocab_size]
+        return greedy_decode(model, p, mel, sot, eot, max_len, sup)
+
+    @jax.jit
+    def mel_and_beam(p, chunk):
+        mel = log_mel(chunk[None], cfg.n_mels)
+        return beam_decode(
+            model, p, mel, sot, eot, beam_size or 5, max_len, sup
         )
+
+    @partial(jax.jit, static_argnames=("temperature",))
+    def mel_and_sample(p, chunk, key, temperature):
+        mel = log_mel(chunk[None], cfg.n_mels)
+        return sample_decode(
+            model, p, mel, sot, eot, key, temperature, max_len, sup
+        )
+
+    def _trim(ids) -> str:
+        keep = np.asarray(ids)[len(sot):]
+        stop = np.nonzero(keep == eot)[0]
+        if stop.size:
+            keep = keep[: stop[0]]
+        return tok.decode(keep).strip()
+
+    def _decode_window(chunk, seed: int) -> str:
+        if beam_size is None:
+            return _trim(np.asarray(mel_and_greedy(params, chunk))[0])
+        for t_i, temp in enumerate(temperatures):
+            if temp == 0.0:
+                seqs, scores = mel_and_beam(params, chunk)
+                text = _trim(seqs[0])
+                avg_lp = float(scores[0])
+            else:
+                key = jax.random.PRNGKey(seed * 1009 + t_i)
+                seqs, lps = mel_and_sample(params, chunk, key, float(temp))
+                text = _trim(seqs[0])
+                avg_lp = float(lps[0])
+            if (
+                avg_lp >= log_prob_threshold
+                and _compression_ratio(text) <= compression_ratio_threshold
+            ):
+                return text
+        return text  # all temperatures failed: keep the last attempt
 
     def transcribe(audio, sample_rate: int = SAMPLE_RATE) -> str:
         audio = np.asarray(audio, np.float32).reshape(-1)
@@ -667,15 +907,13 @@ def make_whisper_transcriber(model_path: str | Path,
 
             audio = resample(audio, sample_rate, SAMPLE_RATE)
         texts = []
-        for start in range(0, max(len(audio), 1), chunk_samples):
-            chunk = pad_or_trim(audio[start: start + chunk_samples],
-                                chunk_samples)
-            ids = np.asarray(mel_and_decode(params, jnp.asarray(chunk)))[0]
-            keep = ids[len(sot):]
-            stop = np.nonzero(keep == eot)[0]
-            if stop.size:
-                keep = keep[: stop[0]]
-            texts.append(tok.decode(keep).strip())
+        for w, start in enumerate(
+            range(0, max(len(audio), 1), chunk_samples)
+        ):
+            chunk = jnp.asarray(pad_or_trim(
+                audio[start: start + chunk_samples], chunk_samples
+            ))
+            texts.append(_decode_window(chunk, w))
         return " ".join(t for t in texts if t).strip()
 
     return transcribe

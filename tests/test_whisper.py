@@ -241,3 +241,92 @@ def test_make_whisper_transcriber_end_to_end(tmp_path, rng):
             fn2(rng.standard_normal(4000).astype(np.float32) * 0.05, 16000),
             str,
         )
+
+
+def test_beam_decode_matches_torch_beam_search(rng):
+    """Token-for-token and score parity vs transformers' vectorized
+    _beam_search (generate(num_beams=5) — the decoder faster-whisper's
+    beam_size=5 default corresponds to)."""
+    from sonicsim_tpu.models.whisper import beam_decode
+
+    for seed in (2, 5, 7):
+        tmodel = _tiny_torch(seed=seed)
+        model, params, cfg = _tiny_flax(tmodel)
+        mel = rng.standard_normal(
+            (1, cfg.n_mels, 2 * cfg.max_source_positions)
+        ).astype(np.float32)
+        sot, eot, max_len, beam = [1], 2, 12, 5
+        with torch.no_grad():
+            out = tmodel.generate(
+                input_features=torch.from_numpy(mel),
+                num_beams=beam, max_length=max_len, do_sample=False,
+                length_penalty=1.0, early_stopping=False,
+                return_dict_in_generate=True, output_scores=True,
+            )
+        ref = out.sequences[0].numpy()
+        ref = ref[ref != 3]  # strip pad fill
+        seqs, scores = beam_decode(
+            model, params, jnp.asarray(mel), np.asarray(sot, np.int32),
+            eot, beam, max_len,
+        )
+        got = np.asarray(seqs[0])
+        # trim our eot-filled buffer to the hypothesis (keep a final eot)
+        gen = got[len(sot):]
+        stop = np.nonzero(gen == eot)[0]
+        got = got[: len(sot) + (int(stop[0]) + 1 if stop.size else len(gen))]
+        if ref[-1] != eot and got[-1] == eot and len(got) == len(ref) + 1:
+            # max-length-finished hyp: HF has no room to append eos
+            got = got[:-1]
+        np.testing.assert_array_equal(got, ref, err_msg=f"seed {seed}")
+        np.testing.assert_allclose(
+            float(scores[0]), float(out.sequences_scores[0]), atol=1e-4,
+            err_msg=f"seed {seed}",
+        )
+
+
+def test_sample_decode_contract(rng):
+    """Temperature sampling: valid tokens, finite avg logprob, and
+    determinism for a fixed key."""
+    from sonicsim_tpu.models.whisper import sample_decode
+
+    tmodel = _tiny_torch(seed=6)
+    model, params, cfg = _tiny_flax(tmodel)
+    mel = jnp.asarray(rng.standard_normal(
+        (1, cfg.n_mels, 2 * cfg.max_source_positions)
+    ).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    toks1, lp1 = sample_decode(model, params, mel, np.asarray([1], np.int32),
+                               2, key, 0.8, 10)
+    toks2, lp2 = sample_decode(model, params, mel, np.asarray([1], np.int32),
+                               2, key, 0.8, 10)
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+    assert np.isfinite(float(lp1[0]))
+    assert np.all(np.asarray(toks1) < TINY["vocab_size"])
+
+
+def test_transcriber_beam_and_fallback_long_audio(tmp_path, rng):
+    """beam_size path + >30s sliding window: multiple windows decode and
+    join; the temperature fallback chain runs when thresholds trip."""
+    tmodel = _tiny_torch(seed=8)
+    ckpt = tmp_path / "tiny"
+    ckpt.mkdir()
+    torch.save(tmodel.state_dict(), ckpt / "pytorch_model.bin")
+    (ckpt / "config.json").write_text(json.dumps(
+        {"decoder_attention_heads": 2}
+    ))
+    (ckpt / "vocab.json").write_text(json.dumps(_fake_vocab()))
+
+    fn = make_whisper_transcriber(ckpt, max_new_tokens=6, beam_size=2)
+    # tiny model: chunk = 2*40*160 = 12800 samples (0.8 s); 3 windows
+    audio = rng.standard_normal(30000).astype(np.float32) * 0.05
+    out = fn(audio, 16000)
+    assert isinstance(out, str)
+
+    # Impossible thresholds force the full temperature-fallback chain.
+    fn_fb = make_whisper_transcriber(
+        ckpt, max_new_tokens=6, beam_size=2,
+        log_prob_threshold=0.0,  # avg logprob can never exceed 0
+        temperatures=(0.0, 0.5, 1.0),
+    )
+    out_fb = fn_fb(audio[:12800], 16000)
+    assert isinstance(out_fb, str)
