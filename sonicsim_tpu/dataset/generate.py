@@ -101,7 +101,60 @@ def plan_mixture(
     )
 
 
-def render_mixture(
+import functools
+
+
+@functools.cache
+def _pack_tracks_jit():
+    """Jitted pcm16 pack: (S,C,T) moving + (K,C,T) static → one
+    (S+K,C,T) int16 buffer. Quantization is bit-identical to
+    utils/wavio.write_wav's host path. One jit-produced buffer matters
+    twice on the tunneled link: a single transfer amortizes per-call
+    overhead, and jit outputs fetch ~2× faster than eager-op outputs
+    (~40 vs ~22 MB/s measured)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.audio import pcm16_quantize
+
+    @jax.jit
+    def pack(moving, static):
+        return jnp.concatenate(
+            [pcm16_quantize(moving), pcm16_quantize(static)], axis=0
+        )
+
+    return pack
+
+
+def _pcm16_upload(x: np.ndarray) -> np.ndarray:
+    """Re-encode a float track block as int16 PCM for upload when every
+    sample fits: audio assembled from PCM16 WAVs is exactly i/32768, so
+    int16 halves the uplink bytes and the device-side ``* 2^-15``
+    conversion (parallel/pipeline.py:_render_all) reproduces the floats
+    bit-for-bit. Values at/over full scale (resample or overlap-add
+    overshoot) fall back to the float32 upload unchanged."""
+    peak = float(np.max(np.abs(x))) if x.size else 0.0
+    if peak < 32767.5 / 32768.0:
+        return np.rint(x * 32768.0).astype(np.int16)
+    return x
+
+
+def _copy_to_host_async(arr) -> None:
+    """Start a device→host copy in the background when the runtime
+    supports it (single-device jax.Array does; mesh-sharded arrays and
+    numpy fall through to the later blocking fetch). Transfers stream
+    over the link while subsequent device work executes — measured on
+    the tunneled TPU: 72 MB async + 1.2 s of matmuls completes in 1.6 s
+    vs 3.4 s serialized."""
+    fn = getattr(arr, "copy_to_host_async", None)
+    if fn is not None:
+        try:
+            fn()
+        except Exception:  # sharded/committed layouts: finalize fetches
+            pass
+
+
+def dispatch_mixture(
     scene: Scene,
     plan: MixturePlan,
     output_dir: str | Path,
@@ -110,11 +163,14 @@ def render_mixture(
     save_trace: bool = True,
     mesh=None,
 ) -> dict:
-    """Execute a MixturePlan → WAVs + metadata on disk
-    (SonicSet_train.py:50-138 execution half).
+    """Device half of :func:`render_mixture`: enqueue the RIR-bank render
+    and the fused source render, start async device→host copies of every
+    artifact, and return a handle for :func:`finalize_mixture`.
 
-    ``mesh``: optional jax.sharding.Mesh — shards the per-source render
-    across devices (parallel/pipeline.py); identical output either way."""
+    Splitting dispatch from finalize lets :func:`generate_split` overlap
+    mixture k's downloads (the tunneled link's dominant cost) with
+    mixture k+1's device compute on a single thread — the role the
+    reference fills with a process pool (SonicSet_train.py:153-219)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     sr = plan.sample_rate
@@ -140,22 +196,15 @@ def render_mixture(
     )
     banks = [b[:, 0] for b in all_banks[:-1]]  # (P, C, L) each
     rir_noise, rir_music = all_banks[-1][0, 0], all_banks[-1][1, 0]
+    bank_f16 = None
     if save_bank:
         # float16 halves the device→host download (~12 MB of f32 per
-        # mixture at ~23 MB/s measured); the quantization error (~5e-4
-        # rel) sits at the f32 tap-placement noise floor.
-        banks_np = [np.asarray(b.astype("float16")) for b in banks]
-        save_rir_bank(
-            out / f"rir_bank_{plan.channel_type}.npz",
-            np.stack(
-                [b[: min(x.shape[0] for x in banks_np)] for b in banks_np]
-            ) if len({b.shape for b in banks_np}) > 1 else np.stack(banks_np),
-            source_positions=np.asarray(
-                [t[0] for t in plan.trajectories], np.float64
-            ),
-            receiver_positions=mic[None, :],
-            sample_rate=sr,
-        )
+        # mixture); the quantization error (~5e-4 rel) sits at the f32
+        # tap-placement noise floor. The copies start streaming NOW and
+        # finalize_mixture collects them after the source render.
+        bank_f16 = [b.astype("float16") for b in banks]
+        for b in bank_f16:
+            _copy_to_host_async(b)
 
     # All sources render in ONE jitted, mesh-shardable device computation
     # (moving conv + static conv + LUFS — parallel/pipeline.py); the host
@@ -174,7 +223,7 @@ def render_mixture(
             weights.append(w)
             offs.append(o)
             lens.append(le)
-        banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
+        banks_p, _, off_p, len_p, max_seg = pad_moving_plans(
             banks, weights, offs, lens
         )
         # Both static RIRs come from the same bank render: same length,
@@ -186,20 +235,24 @@ def render_mixture(
             assemble_long_audio(plan.noise_plan)[0],
             assemble_long_audio(plan.music_plan)[0],
         ]).astype(np.float32)
+        # Upload audio as int16 PCM (half the f32 bytes; device converts
+        # back exactly — sources decoded from PCM16 WAVs round-trip
+        # bit-for-bit) and rebuild crossfade weights on device
+        # (weights=None): together ~21 MB less uplink per 60 s mixture.
         moving_t, static_t = render_mixture_sources(
-            np.stack(dry).astype(np.float32), banks_p, w_p, off_p, len_p,
-            max_seg, static_audio, static_rirs,
+            _pcm16_upload(np.stack(dry).astype(np.float32)),
+            banks_p, None, off_p, len_p,
+            max_seg, _pcm16_upload(static_audio), static_rirs,
             np.asarray(plan.lufs_speech, np.float32),
             np.asarray([plan.lufs_noise, plan.lufs_music], np.float32),
             sr, mesh=mesh,
+            weight_mask=np.asarray(
+                [1.0 if w.any() else 0.0 for w in weights], np.float32
+            ),
         )
-        # Quantize to int16 ON DEVICE before downloading: the WAVs are
-        # PCM16 anyway, and this halves the device→host transfer
-        # (bit-identical to write_wav's host quantization).
-        from ..utils.audio import pcm16_quantize
-
-        moving = [np.asarray(pcm16_quantize(m)) for m in moving_t]
-        noise, music = (np.asarray(pcm16_quantize(s)) for s in static_t)
+        tracks = _pack_tracks_jit()(moving_t, static_t)
+        _copy_to_host_async(tracks)
+        payload = {"tracks": tracks, "n_moving": len(banks)}
     else:
         # Degenerate single-waypoint trajectories: per-source host loop.
         moving = []
@@ -219,15 +272,60 @@ def render_mixture(
         )
         noise, _ = loudness_normalize_to(noise, sr, plan.lufs_noise)
         music, _ = loudness_normalize_to(music, sr, plan.lufs_music)
+        payload = {"moving": moving, "noise": noise, "music": music}
+    return {
+        **payload,
+        "scene": scene,
+        "plan": plan,
+        "out": out,
+        "mic": mic,
+        "transcripts": transcripts,
+        "bank_f16": bank_f16,
+        "save_trace": save_trace,
+    }
+
+
+def finalize_mixture(handle: dict) -> dict:
+    """Host half of :func:`render_mixture`: collect the (already
+    streaming) device→host copies and write WAVs + bank + trace +
+    metadata (SonicSet_train.py:50-138 artifact set)."""
+    out: Path = handle["out"]
+    plan: MixturePlan = handle["plan"]
+    mic = handle["mic"]
+    transcripts = handle["transcripts"]
+    sr = plan.sample_rate
+
+    if handle["bank_f16"] is not None:
+        banks_np = [np.asarray(b) for b in handle["bank_f16"]]
+        save_rir_bank(
+            out / f"rir_bank_{plan.channel_type}.npz",
+            np.stack(
+                [b[: min(x.shape[0] for x in banks_np)] for b in banks_np]
+            ) if len({b.shape for b in banks_np}) > 1 else np.stack(banks_np),
+            source_positions=np.asarray(
+                [t[0] for t in plan.trajectories], np.float64
+            ),
+            receiver_positions=mic[None, :],
+            sample_rate=sr,
+        )
+
+    if "tracks" in handle:
+        tracks = np.asarray(handle["tracks"])
+        n_moving = handle["n_moving"]
+        moving = [tracks[i] for i in range(n_moving)]
+        noise, music = tracks[n_moving], tracks[n_moving + 1]
+    else:
+        moving = handle["moving"]
+        noise, music = handle["noise"], handle["music"]
     for i, wet in enumerate(moving):
         write_wav(out / f"moving_audio_{i + 1}.wav", wet, sr)
     write_wav(out / "noise_audio.wav", noise, sr)
     write_wav(out / "music_audio.wav", music, sr)
 
-    if save_trace:
+    if handle["save_trace"]:
         save_trace_image(
             out / "trace.png",
-            scene.nav,
+            handle["scene"].nav,
             trajectories=[np.asarray(t) for t in plan.trajectories],
             mic_points=mic[None, :],
             static_points=np.stack(
@@ -264,6 +362,28 @@ def render_mixture(
     return meta
 
 
+def render_mixture(
+    scene: Scene,
+    plan: MixturePlan,
+    output_dir: str | Path,
+    transcripts: dict[str, str] | None = None,
+    save_bank: bool = True,
+    save_trace: bool = True,
+    mesh=None,
+) -> dict:
+    """Execute a MixturePlan → WAVs + metadata on disk
+    (SonicSet_train.py:50-138 execution half).
+
+    ``mesh``: optional jax.sharding.Mesh — shards the per-source render
+    across devices (parallel/pipeline.py); identical output either way."""
+    return finalize_mixture(
+        dispatch_mixture(
+            scene, plan, output_dir, transcripts, save_bank, save_trace,
+            mesh,
+        )
+    )
+
+
 def remove_existing_speakers(results_root: str | Path, speech_dirs: list[str]) -> list[str]:
     """Resume: drop speakers already present in any generated triple dir
     (removing_exist_speaker, SonicSet_train.py:140-151)."""
@@ -296,27 +416,24 @@ def generate_split(
     ``scene_factory(scene_name) -> Scene``; speech dirs are per-speaker
     folders whose WAV lengths are scanned into manifests.
 
-    With ``pipeline`` (default), mixture k's render + WAV writes run on a
-    worker thread while the main thread plans mixture k+1 — the host I/O /
-    device-compute overlap the reference gets from its process pool
-    (SonicSet_train.py:153-219), without the pool. Plans are seeded per
-    (scene, triple) so results are identical either way.
+    With ``pipeline`` (default), mixture k's device→host downloads (the
+    tunneled link's dominant cost) stream via async copies while mixture
+    k+1's bank render + source conv execute — the overlap the reference
+    gets from its process pool (SonicSet_train.py:153-219), on a single
+    thread (worker threads measurably HURT on the tunneled runtime:
+    concurrent fetch+compute from two threads ran 2× slower than
+    serial). Plans are seeded per (scene, triple) so results are
+    identical either way.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from .plan import scan_audio_lengths
 
     results_root = Path(results_root)
     produced: list[Path] = []
-    # Two workers: mixture k's device→host downloads (the tunneled
-    # link's ~1 s of WAV/bank transfer) overlap mixture k+1's device
-    # compute — JAX dispatch is async and transfers release the GIL.
-    executor = ThreadPoolExecutor(max_workers=2) if pipeline else None
-    pending: list = []  # [(future, out_dir, scene, name, t0), ...]
+    pending: list = []  # [(handle, out_dir, scene, name, t0), ...]
 
     def _finish(p) -> None:
-        fut, out_dir, scene_name_, name_, t0_ = p
-        fut.result()  # re-raises worker exceptions
+        handle, out_dir, scene_name_, name_, t0_ = p
+        finalize_mixture(handle)
         produced.append(out_dir)
         # per-mixture elapsed log (SonicSet_train.py:215 parity)
         logger.info(
@@ -357,17 +474,17 @@ def generate_split(
                     duration=duration,
                     seed=seed,
                 )
-                if executor is not None:
-                    while len(pending) >= 2:
-                        _finish(pending.pop(0))  # depth-2 pipeline
-                    fut = executor.submit(
-                        render_mixture, scene, plan, out_dir, transcripts
+                if pipeline:
+                    handle = dispatch_mixture(
+                        scene, plan, out_dir, transcripts
                     )
-                    # Clock from submission, not from planning: planning
-                    # overlaps the previous mixture's render, so t0 would
-                    # double-count a whole pipeline slot.
-                    pending.append((fut, out_dir, scene_name, name,
+                    # Dispatch k BEFORE finalizing k-1: k's device work +
+                    # async copies stream while the host blocks on k-1's
+                    # remaining bytes and writes its files.
+                    pending.append((handle, out_dir, scene_name, name,
                                     time.perf_counter()))
+                    while len(pending) >= 2:
+                        _finish(pending.pop(0))
                 else:
                     render_mixture(scene, plan, out_dir, transcripts)
                     produced.append(out_dir)
@@ -387,15 +504,11 @@ def generate_split(
             _finish(pending.pop(0))
         return produced
     finally:
-        if executor is not None:
-            while pending:
-                # Unwinding with renders in flight (main-thread error or
-                # interrupt): surface the workers' outcomes rather than
-                # silently discarding them.
-                try:
-                    _finish(pending.pop(0))
-                except Exception:
-                    logger.exception(
-                        "pipelined render failed while unwinding"
-                    )
-            executor.shutdown(wait=True)
+        while pending:
+            # Unwinding with renders in flight (main-thread error or
+            # interrupt): surface the dispatched mixtures' outcomes
+            # rather than silently discarding them.
+            try:
+                _finish(pending.pop(0))
+            except Exception:
+                logger.exception("pipelined render failed while unwinding")

@@ -82,17 +82,45 @@ def pad_moving_plans(
     )
 
 
+@partial(jax.jit, static_argnames=("t",))
+def _weights_from_segments(offsets, lengths, mask, *, t: int):
+    """Reconstruct dynamic_interp_plan's per-sample crossfade ramps ON
+    DEVICE from the (S, P-1) segment starts/lengths.
+
+    The host plan's weights are ``linspace(0, 1, len, endpoint=False)``
+    per segment, i.e. (t - seg_start)/seg_len — recomputing that here
+    from the already-needed segment table saves an (S, T) float32 upload
+    (11.5 MB per 60 s mixture) over the tunneled device link. ``mask``
+    zeroes rows whose host plan is degenerate (zero-distance trajectory:
+    dynamic_interp_plan returns all-zero weights there, not a ramp).
+    Matches the host float64 linspace to ~1e-7 (f32 division vs f64
+    step), far inside the conv's crossfade tolerance."""
+    import jax.numpy as jnp
+
+    ts = jnp.arange(t, dtype=jnp.int32)
+
+    def one(off, le, m):
+        ends = off + le  # sorted: segments are contiguous, pads end at T
+        seg = jnp.clip(
+            jnp.searchsorted(ends, ts, side="right"), 0, off.shape[0] - 1
+        )
+        num = jnp.maximum(le[seg], 1).astype(jnp.float32)
+        return (ts - off[seg]).astype(jnp.float32) / num * m
+
+    return jax.vmap(one)(offsets, lengths, mask)
+
+
 @partial(
     jax.jit,
     static_argnames=("block", "sample_rate", "use_mxu_fft"),
 )
 def _render_all(
-    speech,  # (S, T)
+    speech,  # (S, T) float32, or int16 PCM (converted here)
     banks,  # (S, P, C, L)
     weights,  # (S, T)
     block_off,  # (S, NB)
     block_seg,  # (S, NB)
-    static_audio,  # (K, T)
+    static_audio,  # (K, T) float32 or int16 PCM
     static_rirs,  # (K, C, L)
     speech_lufs,  # (S,)
     static_lufs,  # (K,)
@@ -101,6 +129,15 @@ def _render_all(
     sample_rate: int,
     use_mxu_fft: bool | None = None,
 ):
+    import jax.numpy as jnp
+
+    # int16 PCM uploads (half the bytes of f32 over the tunneled link)
+    # convert on device: i * 2^-15 is exact in f32, so PCM-exact sources
+    # reproduce the float path bit-for-bit.
+    if speech.dtype == jnp.int16:
+        speech = speech.astype(jnp.float32) * (1.0 / 32768.0)
+    if static_audio.dtype == jnp.int16:
+        static_audio = static_audio.astype(jnp.float32) * (1.0 / 32768.0)
     moving = jax.vmap(
         lambda a, r, w, o, s: convolve_moving_blocked(
             a, r, w, o, s, block, use_mxu_fft=use_mxu_fft,
@@ -120,7 +157,7 @@ def _render_all(
 def render_mixture_sources(
     speech: np.ndarray,
     banks: np.ndarray,
-    weights: np.ndarray,
+    weights: np.ndarray | None,
     offsets: np.ndarray,
     lengths: np.ndarray,
     max_seg: int,
@@ -131,6 +168,7 @@ def render_mixture_sources(
     sample_rate: int,
     mesh=None,
     use_mxu_fft: bool | None = None,
+    weight_mask: np.ndarray | None = None,
 ):
     """All of a mixture's sources → reverberant, LUFS-normalized tracks.
 
@@ -150,6 +188,15 @@ def render_mixture_sources(
     block = min(16384, int(max_seg))
     offsets = np.asarray(offsets)
     lengths = np.asarray(lengths)
+    if weights is None:
+        # Rebuild the crossfade ramps on device from the segment table
+        # instead of uploading (S, T) floats — see _weights_from_segments.
+        mask = (
+            np.ones(s, np.float32)
+            if weight_mask is None
+            else np.asarray(weight_mask, np.float32)
+        )
+        weights = _weights_from_segments(offsets, lengths, mask, t=t)
     n_seg = offsets.shape[1]
     # Deterministic block count for (T, P): stable compiled shapes.
     nb = -(-t // block) + n_seg

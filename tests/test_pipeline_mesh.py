@@ -180,3 +180,94 @@ def test_render_mixture_mesh_end_to_end(tmp_path, rng):
         b, _ = read_wav(tmp_path / "meshed" / f"{name}.wav")
         # Sharding changes XLA fusion; allow one int16 quantization step.
         np.testing.assert_allclose(a, b, atol=1.01 / 32768)
+
+
+def test_device_weights_match_host_plan(rng):
+    """weights=None reconstructs dynamic_interp_plan's ramps on device
+    (the upload-saving path generate.py uses) — same rendered output."""
+    data = _synthetic_mixture(rng)
+    speech, banks, weights, offs, lens, sa, sr_, sl, stl = data
+    banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
+        banks, weights, offs, lens
+    )
+    from sonicsim_tpu.parallel.pipeline import _weights_from_segments
+
+    w_dev = _weights_from_segments(
+        off_p, len_p, np.ones(len(banks), np.float32), t=speech.shape[-1]
+    )
+    np.testing.assert_allclose(np.asarray(w_dev), w_p, atol=2e-7)
+
+    host = render_mixture_sources(
+        speech, banks_p, w_p, off_p, len_p, max_seg, sa, sr_, sl, stl, SR,
+    )
+    dev = render_mixture_sources(
+        speech, banks_p, None, off_p, len_p, max_seg, sa, sr_, sl, stl, SR,
+    )
+    for a, b in zip(dev, host):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_degenerate_trajectory_device_weights(rng):
+    """A zero-distance trajectory (host plan: all-zero weights) must NOT
+    become a ramp on device — the weight_mask zeroes it."""
+    data = _synthetic_mixture(rng)
+    speech, banks, weights, offs, lens, sa, sr_, sl, stl = data
+    # Make source 0 degenerate the way dynamic_interp_plan reports it.
+    t = speech.shape[-1]
+    weights[0] = np.zeros(t, np.float32)
+    offs[0] = np.zeros(1, np.int32)
+    lens[0] = np.asarray([t], np.int32)
+    banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
+        banks, weights, offs, lens
+    )
+    mask = np.asarray(
+        [1.0 if w.any() else 0.0 for w in weights], np.float32
+    )
+    host = render_mixture_sources(
+        speech, banks_p, w_p, off_p, len_p, max_seg, sa, sr_, sl, stl, SR,
+    )
+    dev = render_mixture_sources(
+        speech, banks_p, None, off_p, len_p, max_seg, sa, sr_, sl, stl, SR,
+        weight_mask=mask,
+    )
+    for a, b in zip(dev, host):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_int16_pcm_upload_exact(rng):
+    """int16 PCM uploads decode to the identical float track on device
+    when the sources are PCM16-exact (the WAV-decoded case)."""
+    data = _synthetic_mixture(rng)
+    speech, banks, weights, offs, lens, sa, sr_, sl, stl = data
+    # PCM16-quantize the float sources so both paths see the same signal.
+    speech = np.rint(
+        np.clip(speech, -1, 0.999) * 32768.0
+    ).astype(np.int16).astype(np.float32) / 32768.0
+    sa = np.rint(
+        np.clip(sa, -1, 0.999) * 32768.0
+    ).astype(np.int16).astype(np.float32) / 32768.0
+    banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
+        banks, weights, offs, lens
+    )
+    from sonicsim_tpu.dataset.generate import _pcm16_upload
+
+    sp16, sa16 = _pcm16_upload(speech), _pcm16_upload(sa)
+    assert sp16.dtype == np.int16 and sa16.dtype == np.int16
+    f = render_mixture_sources(
+        speech, banks_p, w_p, off_p, len_p, max_seg, sa, sr_, sl, stl, SR,
+    )
+    i = render_mixture_sources(
+        sp16, banks_p, w_p, off_p, len_p, max_seg, sa16, sr_, sl, stl, SR,
+    )
+    for a, b in zip(i, f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pcm16_upload_fallback():
+    """Full-scale samples (clipping risk) keep the float32 upload."""
+    from sonicsim_tpu.dataset.generate import _pcm16_upload
+
+    x = np.asarray([[0.5, -1.0, 1.0]], np.float32)
+    assert _pcm16_upload(x).dtype == np.float32
+    y = np.asarray([[0.25, -0.5]], np.float32)
+    assert _pcm16_upload(y).dtype == np.int16
