@@ -23,7 +23,12 @@ from .image_source import (
 )
 from .entities import Receiver, Source
 from .grid_cache import grid_cache_path, load_room_grid, save_xy_grid_points
-from .maps import points_to_pixels, save_trace_image, topdown_map
+from .maps import (
+    points_to_pixels,
+    save_trace_gif,
+    save_trace_image,
+    topdown_map,
+)
 from .visual import (
     habitat_render_fn,
     interpolate_rgb_images,
@@ -88,6 +93,7 @@ __all__ = [
     "room_mean_absorption",
     "sample_trajectory",
     "save_rir_bank",
+    "save_trace_gif",
     "save_trace_image",
     "topdown_map",
 ]

@@ -79,6 +79,26 @@ def save_trace_image(
             meters_per_pixel,
         )
 
+    img, _ = _draw_trace_pil(
+        nav, trajectories, mic_points, static_points, meters_per_pixel,
+        scale,
+    )
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
+    img.save(filename)
+
+
+_TRACE_COLORS = [(214, 39, 40), (31, 119, 180), (44, 160, 44),
+                 (255, 127, 14)]
+
+
+def _draw_trace_pil(
+    nav, trajectories, mic_points, static_points, meters_per_pixel, scale
+):
+    """Shared PIL rendering for the static trace and the GIF frames:
+    navigable raster + full paths + mic/static markers. Returns the
+    image and the world→pixel mapper."""
+    from PIL import Image, ImageDraw
+
     grid = topdown_map_cached(nav, meters_per_pixel)
     h, w = grid.shape
     base = np.where(grid[..., None], np.uint8(235), np.uint8(64)).repeat(
@@ -88,7 +108,6 @@ def save_trace_image(
         (w * scale, h * scale), Image.NEAREST
     )
     dr = ImageDraw.Draw(img)
-    colors = [(214, 39, 40), (31, 119, 180), (44, 160, 44), (255, 127, 14)]
 
     def to_xy(points):
         pix = points_to_pixels(np.atleast_2d(points), nav, meters_per_pixel)
@@ -98,7 +117,7 @@ def save_trace_image(
 
     for k, traj in enumerate(trajectories or []):
         xy = to_xy(np.asarray(traj))
-        c = colors[k % len(colors)]
+        c = _TRACE_COLORS[k % len(_TRACE_COLORS)]
         if len(xy) > 1:
             dr.line(xy, fill=c, width=2)
         for x, y in xy:
@@ -111,8 +130,56 @@ def save_trace_image(
         for x, y in to_xy(static_points):
             dr.rectangle([x - 5, y - 5, x + 5, y + 5], fill=(255, 0, 255),
                          outline=(0, 0, 0))
+    return img, to_xy
+
+
+def save_trace_gif(
+    filename: str | Path,
+    nav: NavGrid,
+    trajectories: list[np.ndarray] | None = None,
+    mic_points: np.ndarray | None = None,
+    static_points: np.ndarray | None = None,
+    meters_per_pixel: float = 0.05,
+    scale: int = 4,
+    fps: float = 5.0,
+) -> None:
+    """Animated trajectory trace (save_trace_gif,
+    SonicSim_rir.py:990-1020): frame f highlights every speaker at its
+    f-th waypoint over the full-path base image; shorter trajectories
+    hold their final position. Falls back to the static PNG when PIL is
+    unavailable."""
+    try:
+        from PIL import ImageDraw
+    except ImportError:
+        return _save_trace_image_mpl(
+            filename, nav, trajectories, mic_points, static_points,
+            meters_per_pixel,
+        )
+
+    base, to_xy = _draw_trace_pil(
+        nav, trajectories, mic_points, static_points, meters_per_pixel,
+        scale,
+    )
+    trajs = [np.asarray(t) for t in (trajectories or [])]
+    n_frames = max((len(t) for t in trajs), default=1)
+    frames = []
+    for f in range(n_frames):
+        frame = base.copy()
+        dr = ImageDraw.Draw(frame)
+        for k, traj in enumerate(trajs):
+            x, y = to_xy(traj[min(f, len(traj) - 1)])[0]
+            c = _TRACE_COLORS[k % len(_TRACE_COLORS)]
+            dr.ellipse([x - 7, y - 7, x + 7, y + 7], fill=c,
+                       outline=(0, 0, 0), width=2)
+        frames.append(frame)
     Path(filename).parent.mkdir(parents=True, exist_ok=True)
-    img.save(filename)
+    frames[0].save(
+        filename,
+        save_all=True,
+        append_images=frames[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
 
 
 def _save_trace_image_mpl(

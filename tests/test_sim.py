@@ -219,6 +219,29 @@ def test_trace_image(tmp_path, rng):
     assert (np.abs(img.astype(int) - [255, 215, 0]).sum(-1) < 30).any()
 
 
+def test_trace_gif(tmp_path, rng):
+    """save_trace_gif (SonicSim_rir.py:990-1020 parity): animated GIF
+    with one frame per waypoint, speakers highlighted per frame."""
+    scene = Scene.synthetic(dims=(10.0, 3.0, 8.0), seed=8)
+    traj = scene.sample_trajectory(rng)
+    from sonicsim_tpu.sim import save_trace_gif
+
+    save_trace_gif(
+        tmp_path / "trace.gif",
+        scene.nav,
+        trajectories=[np.stack(traj)],
+        mic_points=np.array([[5.0, 0.0, 4.0]]),
+        meters_per_pixel=0.2,
+    )
+    from PIL import Image
+
+    img = Image.open(tmp_path / "trace.gif")
+    assert getattr(img, "n_frames", 1) == len(traj)
+    img.seek(len(traj) - 1)  # every frame decodes
+    frame = np.asarray(img.convert("RGB"))
+    assert (np.abs(frame.astype(int) - [214, 39, 40]).sum(-1) < 30).any()
+
+
 def test_native_pathfinding_matches_python_contract(rng):
     """Native A* (when built) must produce navigable simplified paths."""
     from sonicsim_tpu import native
