@@ -88,6 +88,13 @@ def main() -> None:
     iters = 5
     elapsed = min(timed_loop(iters) for _ in range(4))
 
+    # Stamp the record with the tunnel's health at measurement time: the
+    # shared link transiently degrades 10-100x, and a degraded stamp marks
+    # the value as a lower bound on the chip's real throughput.
+    from bench_all import _link_health
+
+    health = _link_health(verbose=False)
+
     audio_seconds = duration * n_src * iters
     value = audio_seconds / elapsed
     baseline = 50.0  # x real-time per chip (BASELINE.json north star)
@@ -109,6 +116,7 @@ def main() -> None:
                     "duration_s": duration,
                     "sample_rate": sr,
                 },
+                "link": health,
             }
         )
     )
