@@ -12,10 +12,13 @@ reproducible end-to-end from one seed.
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..utils.wavio import read_wav
 
@@ -170,6 +173,19 @@ def plan_long_audio(
             remaining.pop(i)
         else:
             break
+    if not plan.placements:
+        # Every candidate utterance is longer than the track buffer (e.g.
+        # a corpus of full-length recordings instead of utterances): the
+        # rendered speech track will be pure silence and every downstream
+        # eval row will be skipped as a silent reference. Loud, because
+        # this failure mode is otherwise invisible until metrics are NaN.
+        logger.warning(
+            "plan_long_audio: no utterance fits the %.1f s buffer "
+            "(shortest candidate: %.1f s) — this speech track will be "
+            "SILENT",
+            duration,
+            min(lengths.values()) / sample_rate if lengths else float("nan"),
+        )
     return plan
 
 

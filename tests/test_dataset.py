@@ -58,6 +58,19 @@ def test_plan_long_audio_structure(tmp_path, rng):
         assert np.abs(audio[0, :s0]).max() == 0  # leading silence is silent
 
 
+def test_plan_long_audio_oversized_utterances_warn(tmp_path, rng, caplog):
+    """A corpus whose every file exceeds the buffer yields an empty plan
+    (reference semantics, SonicSim_audio.py:153-229) — but must WARN: the
+    silent track otherwise surfaces only as all-NaN eval metrics."""
+    import logging
+
+    lengths = _make_corpus(tmp_path / "sp", 3, 12.0, rng)  # 12 s > 10 s buffer
+    with caplog.at_level(logging.WARNING, "sonicsim_tpu.dataset.plan"):
+        plan = plan_long_audio(lengths, 10.0, rng, SR)
+    assert plan.placements == []
+    assert any("SILENT" in r.message for r in caplog.records)
+
+
 def test_plan_background_covers_tail(tmp_path, rng):
     lengths = _make_corpus(tmp_path / "bg", 4, 3.0, rng)
     plan = plan_background_audio(lengths, 8.0, rng, SR)
