@@ -183,7 +183,13 @@ def main() -> None:
     out = REPO / f"EVAL_{args.tag}"
     out.mkdir(exist_ok=True)
     shutil.copy(exp_dir / "results" / "metrics.csv", out / "metrics.csv")
+    meta = exp_dir / "results" / "metrics.meta.json"
+    if meta.exists():  # which PESQ/sidecar backends produced the columns
+        shutil.copy(meta, out / "metrics.meta.json")
     devices = jax.devices()
+    from bench_all import _link_health
+
+    health = _link_health(verbose=False)
     (out / "README.md").write_text(
         f"""# EVAL_{args.tag} — on-chip eval-harness artifact
 
@@ -204,6 +210,8 @@ The model is **random-init**: scores certify the harness, not separation
 quality (expect negative SI-SDR improvements).
 
 Wall clock: {json.dumps({k: round(v, 1) for k, v in timings.items()})}
+Link health at run time (degraded tunnel inflates wall clock, not scores):
+{json.dumps(health)}
 """
     )
     print("timings:", json.dumps(timings))
