@@ -76,6 +76,11 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_mixtures", type=int, default=None)
     ap.add_argument("--transcripts_csv", default=None)
+    ap.add_argument("--wav_encoding", default="pcm16",
+                    choices=["pcm16", "float32"],
+                    help="pcm16: half-size files, peak-guarded (scales in "
+                    "json_data.json); float32: the reference's "
+                    "torchaudio.save format (SonicSet_train.py:102-106)")
     args = ap.parse_args()
 
     if args.scene_list:
@@ -116,6 +121,7 @@ def main() -> None:
         duration=args.duration,
         base_seed=args.seed,
         max_mixtures=args.max_mixtures,
+        wav_encoding=args.wav_encoding,
     )
     print(f"generated {len(produced)} mixtures under {args.results_root}/{args.mode}")
 

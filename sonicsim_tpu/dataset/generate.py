@@ -107,11 +107,16 @@ import functools
 @functools.cache
 def _pack_tracks_jit():
     """Jitted pcm16 pack: (S,C,T) moving + (K,C,T) static → one
-    (S+K,C,T) int16 buffer. Quantization is bit-identical to
-    utils/wavio.write_wav's host path. One jit-produced buffer matters
-    twice on the tunneled link: a single transfer amortizes per-call
-    overhead, and jit outputs fetch ~2× faster than eager-op outputs
-    (~40 vs ~22 MB/s measured)."""
+    (S+K,C,T) int16 buffer plus per-track peak-guard scales.
+    Quantization is bit-identical to utils/wavio.write_wav's host path
+    for in-range tracks; tracks whose peak exceeds the pcm16 ceiling are
+    scaled down by ``limit/peak`` FIRST (scale returned, recorded in
+    json_data.json) instead of hard-clipping — the reference writes
+    float32 WAVs (SonicSet_train.py:102-106) whose peaks survive, and a
+    -17 LUFS speech track can clip >3% of its samples at int16 full
+    scale. One jit-produced buffer matters twice on the tunneled link: a
+    single transfer amortizes per-call overhead, and jit outputs fetch
+    ~2× faster than eager-op outputs (~40 vs ~22 MB/s measured)."""
     import jax
     import jax.numpy as jnp
 
@@ -119,9 +124,13 @@ def _pack_tracks_jit():
 
     @jax.jit
     def pack(moving, static):
-        return jnp.concatenate(
-            [pcm16_quantize(moving), pcm16_quantize(static)], axis=0
-        )
+        x = jnp.concatenate([moving, static], axis=0)
+        limit = 1.0 - 1.0 / 32768.0
+        peak = jnp.max(jnp.abs(x), axis=(1, 2))
+        scale = jnp.where(
+            peak > limit, limit / jnp.maximum(peak, 1e-12), 1.0
+        ).astype(jnp.float32)
+        return pcm16_quantize(x * scale[:, None, None]), scale
 
     return pack
 
@@ -162,6 +171,7 @@ def dispatch_mixture(
     save_bank: bool = True,
     save_trace: bool = True,
     mesh=None,
+    wav_encoding: str = "pcm16",
 ) -> dict:
     """Device half of :func:`render_mixture`: enqueue the RIR-bank render
     and the fused source render, start async device→host copies of every
@@ -250,9 +260,17 @@ def dispatch_mixture(
                 [1.0 if w.any() else 0.0 for w in weights], np.float32
             ),
         )
-        tracks = _pack_tracks_jit()(moving_t, static_t)
+        if wav_encoding == "pcm16":
+            tracks, peak_scales = _pack_tracks_jit()(moving_t, static_t)
+        else:  # float32: reference-format output (no quantization)
+            tracks = jnp.concatenate([moving_t, static_t], axis=0)
+            peak_scales = None
         _copy_to_host_async(tracks)
-        payload = {"tracks": tracks, "n_moving": len(banks)}
+        payload = {
+            "tracks": tracks,
+            "peak_scales": peak_scales,
+            "n_moving": len(banks),
+        }
     else:
         # Degenerate single-waypoint trajectories: per-source host loop.
         moving = []
@@ -282,6 +300,7 @@ def dispatch_mixture(
         "transcripts": transcripts,
         "bank_f16": bank_f16,
         "save_trace": save_trace,
+        "wav_encoding": wav_encoding,
     }
 
 
@@ -309,18 +328,35 @@ def finalize_mixture(handle: dict) -> dict:
             sample_rate=sr,
         )
 
+    encoding = handle.get("wav_encoding", "pcm16")
+    peak_scales = None
     if "tracks" in handle:
         tracks = np.asarray(handle["tracks"])
         n_moving = handle["n_moving"]
         moving = [tracks[i] for i in range(n_moving)]
         noise, music = tracks[n_moving], tracks[n_moving + 1]
+        if handle.get("peak_scales") is not None:
+            peak_scales = np.asarray(handle["peak_scales"])
     else:
-        moving = handle["moving"]
+        moving = list(handle["moving"])
         noise, music = handle["noise"], handle["music"]
-    for i, wet in enumerate(moving):
-        write_wav(out / f"moving_audio_{i + 1}.wav", wet, sr)
-    write_wav(out / "noise_audio.wav", noise, sr)
-    write_wav(out / "music_audio.wav", music, sr)
+        if encoding == "pcm16":
+            # Host twin of _pack_tracks_jit's peak guard: scale tracks
+            # whose peak exceeds the pcm16 ceiling instead of clipping.
+            limit = 1.0 - 1.0 / 32768.0
+            all_tracks = moving + [noise, music]
+            peak_scales = np.ones(len(all_tracks), np.float32)
+            for i, tr in enumerate(all_tracks):
+                peak = float(np.max(np.abs(tr))) if np.size(tr) else 0.0
+                if peak > limit:
+                    peak_scales[i] = limit / peak
+            moving = [t * s for t, s in zip(moving, peak_scales)]
+            noise = noise * peak_scales[len(moving)]
+            music = music * peak_scales[len(moving) + 1]
+    track_names = [f"moving_audio_{i + 1}.wav" for i in range(len(moving))]
+    track_names += ["noise_audio.wav", "music_audio.wav"]
+    for name, wet in zip(track_names, moving + [noise, music]):
+        write_wav(out / name, wet, sr, encoding=encoding)
 
     if handle["save_trace"]:
         save_trace_image(
@@ -356,6 +392,16 @@ def finalize_mixture(handle: dict) -> dict:
             "start_end_points": plan.music_plan.start_end_points,
         },
     }
+    if peak_scales is not None:
+        applied = {
+            name: float(s)
+            for name, s in zip(track_names, peak_scales)
+            if s != 1.0
+        }
+        if applied:
+            # Tracks scaled below the plan's LUFS target to fit int16
+            # full scale without clipping; original = written / scale.
+            meta["pcm16_peak_scale"] = applied
     with open(out / "json_data.json", "w") as f:
         json.dump(meta, f)
     plan.save(out / "mixture_plan.json")
@@ -370,16 +416,20 @@ def render_mixture(
     save_bank: bool = True,
     save_trace: bool = True,
     mesh=None,
+    wav_encoding: str = "pcm16",
 ) -> dict:
     """Execute a MixturePlan → WAVs + metadata on disk
     (SonicSet_train.py:50-138 execution half).
 
     ``mesh``: optional jax.sharding.Mesh — shards the per-source render
-    across devices (parallel/pipeline.py); identical output either way."""
+    across devices (parallel/pipeline.py); identical output either way.
+    ``wav_encoding``: "pcm16" (half-size downloads/files; peak-guarded,
+    scales recorded in json_data.json) or "float32" (the reference's
+    torchaudio.save format, SonicSet_train.py:102-106)."""
     return finalize_mixture(
         dispatch_mixture(
             scene, plan, output_dir, transcripts, save_bank, save_trace,
-            mesh,
+            mesh, wav_encoding,
         )
     )
 
@@ -409,6 +459,7 @@ def generate_split(
     base_seed: int = 0,
     max_mixtures: int | None = None,
     pipeline: bool = True,
+    wav_encoding: str = "pcm16",
 ) -> list[Path]:
     """Outer generation loop (SonicSet_train.py:153-219): per scene, consume
     speaker directories in random triples until exhausted, with resume.
@@ -476,7 +527,8 @@ def generate_split(
                 )
                 if pipeline:
                     handle = dispatch_mixture(
-                        scene, plan, out_dir, transcripts
+                        scene, plan, out_dir, transcripts,
+                        wav_encoding=wav_encoding,
                     )
                     # Dispatch k BEFORE finalizing k-1: k's device work +
                     # async copies stream while the host blocks on k-1's
@@ -486,7 +538,10 @@ def generate_split(
                     while len(pending) >= 2:
                         _finish(pending.pop(0))
                 else:
-                    render_mixture(scene, plan, out_dir, transcripts)
+                    render_mixture(
+                        scene, plan, out_dir, transcripts,
+                        wav_encoding=wav_encoding,
+                    )
                     produced.append(out_dir)
                     logger.info(
                         "%s/%s: %.1f s elapsed (%d generated)",

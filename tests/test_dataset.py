@@ -128,12 +128,93 @@ def test_generation_lufs_levels(tmp_path, rng):
     plan = plan_mixture(scene, speech, noise, music, rng, duration=6.0, seed=3)
     out = tmp_path / "o2"
     render_mixture(scene, plan, out, save_trace=False, save_bank=False)
+    with open(out / "json_data.json") as f:
+        scales = json.load(f).get("pcm16_peak_scale", {})
+
+    def undo_scale(name, lufs):
+        # peak-guarded pcm16: written = original * scale (clip-free)
+        return lufs - 20.0 * np.log10(scales.get(name, 1.0))
+
     wav, _ = read_wav(out / "moving_audio_1.wav")
-    lufs = float(integrated_loudness(jnp.asarray(wav), SR))
+    lufs = undo_scale(
+        "moving_audio_1.wav", float(integrated_loudness(jnp.asarray(wav), SR))
+    )
     assert abs(lufs - plan.lufs_speech[0]) < 0.7
     wavn, _ = read_wav(out / "noise_audio.wav")
-    lufs_n = float(integrated_loudness(jnp.asarray(wavn), SR))
+    lufs_n = undo_scale(
+        "noise_audio.wav", float(integrated_loudness(jnp.asarray(wavn), SR))
+    )
     assert abs(lufs_n - plan.lufs_noise) < 0.7
+
+
+def test_generation_pcm16_peak_guard_and_float32_parity(tmp_path, rng):
+    """Hot tracks must not hard-clip at int16 full scale: the pcm16 path
+    scales them (recording the factor in json_data.json), and the
+    float32 path reproduces the reference's torchaudio.save format
+    (SonicSet_train.py:102-106) with peaks intact."""
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.ops import integrated_loudness
+
+    scene = Scene.synthetic(
+        dims=(8.0, 3.0, 6.0), channel_type="Mono", seed=2, max_order=2
+    )
+
+    def spiky_corpus(root, n, secs, prefix):
+        """Speech-like crest factor, exaggerated: quiet bed + sparse loud
+        clicks. -17 LUFS normalization then pushes peaks past int16 full
+        scale, guaranteeing the guard branch is exercised."""
+        root.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            t = int(secs * SR)
+            x = 0.02 * np.sin(2 * np.pi * 180 * np.arange(t) / SR)
+            x[:: SR // 2] = 0.95  # clicks at 2 Hz
+            from sonicsim_tpu.utils import write_wav as _ww
+
+            _ww(root / f"{prefix}{i}.wav", x.astype(np.float32), SR)
+        return scan_audio_lengths(root)
+
+    speech = [
+        spiky_corpus(tmp_path / f"spk{i}", 3, 1.5, f"s{i}_")
+        for i in range(3)
+    ]
+    noise = _make_corpus(tmp_path / "noise", 2, 2.0, rng, prefix="n_")
+    music = _make_corpus(tmp_path / "music", 2, 2.0, rng, prefix="m_")
+    plan = plan_mixture(scene, speech, noise, music, rng, duration=6.0, seed=3)
+
+    out16 = tmp_path / "pcm16"
+    render_mixture(scene, plan, out16, save_trace=False, save_bank=False)
+    outf = tmp_path / "f32"
+    render_mixture(
+        scene, plan, outf, save_trace=False, save_bank=False,
+        wav_encoding="float32",
+    )
+
+    with open(out16 / "json_data.json") as f:
+        scales = json.load(f).get("pcm16_peak_scale", {})
+    assert scales, "spiky corpus must trip the peak guard on some track"
+    full = 1.0 - 1.0 / 32768.0
+    for name in [f"moving_audio_{i}.wav" for i in (1, 2, 3)] + [
+        "noise_audio.wav", "music_audio.wav"
+    ]:
+        w16, _ = read_wav(out16 / name)
+        wf, _ = read_wav(outf / name)
+        # float32 keeps the true (possibly >1) peak; LUFS matches the plan
+        if name == "moving_audio_1.wav":
+            lufs_f = float(integrated_loudness(jnp.asarray(wf), SR))
+            assert abs(lufs_f - plan.lufs_speech[0]) < 0.25
+        if float(np.abs(wf).max()) > full:
+            # ...and the pcm16 twin must have been scaled, not clipped:
+            # written/scale returns the float track to quantization noise
+            s = scales[name]
+            assert 0.0 < s < 1.0
+            err = np.abs(w16 / s - wf).max()
+            assert err < 1.5 / 32768.0 / s
+            # guarded quantization never saturates a run of samples
+            assert np.mean(np.abs(w16) >= full) < 1e-4
+        else:
+            assert name not in scales
+            assert np.abs(w16 - wf).max() < 1.0 / 32768.0
 
 
 def test_generate_split_resume(tmp_path, rng):
