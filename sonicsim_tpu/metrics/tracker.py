@@ -47,6 +47,7 @@ class MetricsTracker:
         self.extra = extra_metrics or {}
         self.extra_text = extra_text or {}
         self.rows: list[dict] = []
+        self.skipped_silent = 0
         self.columns = (
             self.COLUMNS + sorted(self.extra) + sorted(self.extra_text)
         )
@@ -67,8 +68,15 @@ class MetricsTracker:
         mix = np.asarray(mix, np.float32).reshape(-1)
         clean = np.atleast_2d(np.asarray(clean, np.float32))
         estimate = np.atleast_2d(np.asarray(estimate, np.float32))
-        # Skip silent references (wrapper.py:25-26,66).
+        # Skip silent references (wrapper.py:25-26,66) — but count them:
+        # a systematically-silent corpus otherwise surfaces only as an
+        # empty all-NaN CSV with no hint why.
         if bool(np.any(np.abs(clean).max(axis=-1) < 1e-6)):
+            self.skipped_silent += 1
+            logger.warning(
+                "segment %r skipped: silent reference source "
+                "(%d skipped so far)", key, self.skipped_silent,
+            )
             return
         try:
             # PIT alignment on SNR (wrapper.py:62-66 convention).
@@ -140,6 +148,11 @@ class MetricsTracker:
 
     def final(self) -> dict:
         """Write CSV with avg and std footer rows (wrapper.py:156-199)."""
+        if self.skipped_silent:
+            logger.warning(
+                "%d/%d segments skipped for silent references",
+                self.skipped_silent, self.skipped_silent + len(self.rows),
+            )
         self.save_file.parent.mkdir(parents=True, exist_ok=True)
         avg = {"snt_id": "avg"}
         std = {"snt_id": "std"}

@@ -65,6 +65,7 @@ def test_tracker_csv(tmp_path, rng):
     tr2 = MetricsTracker(tmp_path / "m2.csv")
     tr2(mix, np.zeros_like(ref), ref, "silent")
     assert tr2.rows == []
+    assert tr2.skipped_silent == 1  # counted + warned, not silently lost
 
 
 def test_wav_chunk_inference_identity(rng):
