@@ -86,7 +86,21 @@ class MovingDataModule:
 
             def __getitem__(self, i):
                 mix, tgt = ds[i]
-                if crop is not None:
+                if crop is not None and mix.shape[-1] > crop:
+                    # Deterministic max-energy window, NOT the leading
+                    # samples: generated mixtures open with random 0-10 s
+                    # silences (plan_long_audio), so a head crop can score
+                    # pure silence (neg-SI-SDR pinned at the 80 dB eps cap)
+                    # and the val signal goes blind.
+                    energy = (
+                        np.square(tgt).reshape(-1, tgt.shape[-1]).sum(axis=0)
+                    )
+                    windows = np.cumsum(np.concatenate([[0.0], energy]))
+                    windows = windows[crop:] - windows[:-crop]
+                    start = int(np.argmax(windows))
+                    mix = mix[..., start : start + crop]
+                    tgt = tgt[..., start : start + crop]
+                elif crop is not None:
                     mix, tgt = mix[..., :crop], tgt[..., :crop]
                 return mix, tgt
 

@@ -116,6 +116,38 @@ def test_datamodule_workers_match_sync(tmp_path):
         np.testing.assert_array_equal(ta, tb)
 
 
+def test_val_crop_seeks_active_audio(tmp_path):
+    """val_batches(crop=N) must crop the max-energy window, not the head:
+    generated mixtures open with random silences (plan_long_audio), so a
+    head crop can validate against pure silence (neg-SI-SDR pinned at the
+    eps cap) and the early-stop/plateau signal goes blind."""
+    from sonicsim_tpu.dataset.datamodule import MovingDataModule
+
+    rng = np.random.default_rng(2)
+    sr = 16000
+    d = tmp_path / "val" / "leaf"
+    d.mkdir(parents=True)
+    # 4 s samples: first 2 s silent, speech lives in [2, 4) s
+    active = (rng.standard_normal(2 * sr) * 0.2).astype(np.float32)
+    s1 = np.concatenate([np.zeros(2 * sr, np.float32), active])
+    s2 = np.concatenate([np.zeros(2 * sr, np.float32), active[::-1]])
+    write_wav(d / "s1.wav", s1, sr)
+    write_wav(d / "s2.wav", s2, sr)
+    write_wav(d / "mix.wav", s1 + s2, sr)
+
+    dm = MovingDataModule(
+        train_dir=str(tmp_path / "val"), val_dir=str(tmp_path / "val"),
+        test_dir=str(tmp_path / "val"), batch_size=1,
+    )
+    (mix, tgt), = list(dm.val_batches(crop=sr))
+    assert mix.shape[-1] == sr and tgt.shape[-1] == sr
+    assert np.abs(tgt).max() > 0.01  # landed on the active region
+    # the chosen second must carry (nearly) the most target energy
+    full_energy = float(np.square(np.stack([s1, s2])).sum())
+    crop_energy = float(np.square(tgt).sum())
+    assert crop_energy > 0.4 * full_energy
+
+
 def test_pooled_loader_bounds_inflight_decode():
     """Workers must not race ahead of the consumer: in-flight __getitem__
     submissions stay within num_workers + batch_size (ADVICE r2: eager
