@@ -12,6 +12,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import (
+    block_plan_sizes,
     convolve_fixed_receiver,
     convolve_moving_blocked,
     dynamic_interp_plan,
@@ -57,9 +58,8 @@ def render_moving_source(
     offsets, lengths, max_seg = segment_plan(idx)
     # Fixed-size block plan: bounds the compiled FFT span at 16384 samples
     # whatever the segment raggedness (see fftconv.moving_block_plan).
-    block = min(16384, -(-max_seg // 8192) * 8192)
     t = audio.shape[-1]
-    nb = -(-(-(-t // block) + len(offsets)) // 16) * 16
+    block, nb = block_plan_sizes(max_seg, t, len(offsets))
     block_off, block_seg = moving_block_plan(offsets, lengths, t, block, nb)
     out = convolve_moving_blocked(
         jnp.asarray(audio),

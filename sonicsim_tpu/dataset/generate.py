@@ -140,11 +140,16 @@ def _pcm16_upload(x: np.ndarray) -> np.ndarray:
     sample fits: audio assembled from PCM16 WAVs is exactly i/32768, so
     int16 halves the uplink bytes and the device-side ``* 2^-15``
     conversion (parallel/pipeline.py:_render_all) reproduces the floats
-    bit-for-bit. Values at/over full scale (resample or overlap-add
-    overshoot) fall back to the float32 upload unchanged."""
+    bit-for-bit. Anything the round trip would not reproduce exactly —
+    at/over full scale (resample or overlap-add overshoot) or off the
+    PCM16 grid (float corpora, resampled/downmixed audio, quiet tracks
+    whose quantization would otherwise be silently amplified by LUFS) —
+    falls back to the float32 upload unchanged."""
     peak = float(np.max(np.abs(x))) if x.size else 0.0
     if peak < 32767.5 / 32768.0:
-        return np.rint(x * 32768.0).astype(np.int16)
+        q = np.rint(x * 32768.0)
+        if np.array_equal(q.astype(np.float32) * np.float32(2.0**-15), x):
+            return q.astype(np.int16)
     return x
 
 

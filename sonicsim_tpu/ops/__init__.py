@@ -1,4 +1,5 @@
 from .fftconv import (
+    block_plan_sizes,
     convolve_fixed_receiver,
     convolve_moving_blocked,
     convolve_moving_receiver,
@@ -29,6 +30,7 @@ from .stft import hann_window, istft, sqrt_hann_window, stft
 
 __all__ = [
     "biquad",
+    "block_plan_sizes",
     "convolve_fixed_receiver",
     "convolve_moving_blocked",
     "convolve_moving_receiver",

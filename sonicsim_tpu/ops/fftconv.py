@@ -249,6 +249,22 @@ def convolve_moving_segmented(
     return (1.0 - w) * start + w * end
 
 
+def block_plan_sizes(max_seg: int, t: int, n_seg: int) -> tuple[int, int]:
+    """One source of truth for the blocked-conv compiled shape.
+
+    ``block`` is the longest segment rounded up to an 8192-sample quantum,
+    capped at 16384; ``nb`` covers ``t`` plus one boundary block per
+    segment, rounded up to a multiple of 16. Both callers
+    (dataset/assemble.py and parallel/pipeline.py) must agree or the
+    shared executable cache and moving_block_plan's capacity check
+    desynchronize.
+    """
+    block = min(16384, -(-int(max_seg) // 8192) * 8192)
+    nb = -(-int(t) // block) + int(n_seg)
+    nb = -(-nb // 16) * 16
+    return block, nb
+
+
 def moving_block_plan(
     offsets: np.ndarray,
     lengths: np.ndarray,

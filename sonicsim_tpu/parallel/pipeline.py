@@ -24,6 +24,7 @@ import jax
 import numpy as np
 
 from ..ops.fftconv import (
+    block_plan_sizes,
     convolve_fixed_receiver,
     convolve_moving_blocked,
     moving_block_plan,
@@ -185,9 +186,12 @@ def render_mixture_sources(
     """
     s, k = speech.shape[0], static_audio.shape[0]
     t = int(speech.shape[-1])
-    block = min(16384, int(max_seg))
     offsets = np.asarray(offsets)
     lengths = np.asarray(lengths)
+    # Deterministic (block, nb) for (T, P, max_seg): stable compiled
+    # shapes, shared formula with dataset/assemble.py (max_seg arrives
+    # 8192-quantized from pad_moving_plans; the helper's ceil is a no-op).
+    block, nb = block_plan_sizes(max_seg, t, int(offsets.shape[1]))
     if weights is None:
         # Rebuild the crossfade ramps on device from the segment table
         # instead of uploading (S, T) floats — see _weights_from_segments.
@@ -197,10 +201,6 @@ def render_mixture_sources(
             else np.asarray(weight_mask, np.float32)
         )
         weights = _weights_from_segments(offsets, lengths, mask, t=t)
-    n_seg = offsets.shape[1]
-    # Deterministic block count for (T, P): stable compiled shapes.
-    nb = -(-t // block) + n_seg
-    nb = -(-nb // 16) * 16
     plans = [
         moving_block_plan(offsets[i], lengths[i], t, block, nb)
         for i in range(s)

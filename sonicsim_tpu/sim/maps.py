@@ -40,18 +40,20 @@ def points_to_pixels(
     return np.stack([px, pz], axis=1)
 
 
-_MAP_CACHE: dict = {}
-
-
 def topdown_map_cached(nav: NavGrid, meters_per_pixel: float) -> np.ndarray:
     """Per-scene memo of the navigability raster: the Python is_navigable
     sweep costs ~100 ms and the map is identical for every mixture of a
-    scene."""
-    key = (id(nav), meters_per_pixel)
-    grid = _MAP_CACHE.get(key)
+    scene. Stored on the NavGrid instance so the memo's lifetime tracks
+    the scene's (a module-level id(nav) key can serve a stale raster once
+    the address is recycled, and never frees)."""
+    cache = getattr(nav, "_topdown_cache", None)
+    if cache is None:
+        cache = {}
+        nav._topdown_cache = cache
+    grid = cache.get(meters_per_pixel)
     if grid is None:
         grid = topdown_map(nav, meters_per_pixel)
-        _MAP_CACHE[key] = grid
+        cache[meters_per_pixel] = grid
     return grid
 
 
