@@ -168,6 +168,62 @@ def _copy_to_host_async(arr) -> None:
             pass
 
 
+class ArtifactWriter:
+    """Single background thread draining disk writes (WAVs, bank npz,
+    trace, metadata) in FIFO order.
+
+    The generation loop's host time is link waits (GIL released) plus
+    light numpy; file writes also release the GIL, so one writer thread
+    overlaps ~0.6 s/mixture of disk I/O with the next mixture's
+    dispatch on a single core. Device fetches stay on the main thread —
+    concurrent device access from threads measurably HURTS on the
+    tunneled runtime. FIFO order preserves the resume contract
+    (json_data.json, the existence marker, is queued after the WAVs).
+    The first error aborts the queue and re-raises on the next submit
+    or on close()."""
+
+    def __init__(self) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args, kwargs = item
+            if self._error is None:
+                try:
+                    fn(*args, **kwargs)
+                except BaseException as e:  # noqa: BLE001 — re-raised on main thread
+                    self._error = e
+            self._q.task_done()
+
+    def _check(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        self._check()
+        self._q.put((fn, args, kwargs))
+
+    def barrier(self) -> None:
+        """Block until everything queued so far is on disk."""
+        self._q.join()
+        self._check()
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+        self._check()
+
+
 def dispatch_mixture(
     scene: Scene,
     plan: MixturePlan,
@@ -267,6 +323,12 @@ def dispatch_mixture(
         )
         if wav_encoding == "pcm16":
             tracks, peak_scales = _pack_tracks_jit()(moving_t, static_t)
+            # The axon backend materializes each OUTPUT lazily: without
+            # an explicit flush the tiny peak_scales read in
+            # finalize_mixture blocked ~1.2 s (profiled) waiting on
+            # deferred work even though the sibling tracks array had
+            # already streamed its copy.
+            _copy_to_host_async(peak_scales)
         else:  # float32: reference-format output (no quantization)
             tracks = jnp.concatenate([moving_t, static_t], axis=0)
             peak_scales = None
@@ -309,19 +371,36 @@ def dispatch_mixture(
     }
 
 
-def finalize_mixture(handle: dict) -> dict:
+def _write_json(path: Path, obj: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def finalize_mixture(handle: dict, writer: "ArtifactWriter | None" = None) -> dict:
     """Host half of :func:`render_mixture`: collect the (already
     streaming) device→host copies and write WAVs + bank + trace +
-    metadata (SonicSet_train.py:50-138 artifact set)."""
+    metadata (SonicSet_train.py:50-138 artifact set).
+
+    Device fetches happen here on the calling thread; with ``writer``
+    the pure-disk writes are queued to its background thread instead of
+    blocking the pipeline (call ``writer.barrier()`` before relying on
+    the files)."""
     out: Path = handle["out"]
     plan: MixturePlan = handle["plan"]
     mic = handle["mic"]
     transcripts = handle["transcripts"]
     sr = plan.sample_rate
 
+    def do(fn, *args, **kwargs):
+        if writer is not None:
+            writer.submit(fn, *args, **kwargs)
+        else:
+            fn(*args, **kwargs)
+
     if handle["bank_f16"] is not None:
         banks_np = [np.asarray(b) for b in handle["bank_f16"]]
-        save_rir_bank(
+        do(
+            save_rir_bank,
             out / f"rir_bank_{plan.channel_type}.npz",
             np.stack(
                 [b[: min(x.shape[0] for x in banks_np)] for b in banks_np]
@@ -361,10 +440,11 @@ def finalize_mixture(handle: dict) -> dict:
     track_names = [f"moving_audio_{i + 1}.wav" for i in range(len(moving))]
     track_names += ["noise_audio.wav", "music_audio.wav"]
     for name, wet in zip(track_names, moving + [noise, music]):
-        write_wav(out / name, wet, sr, encoding=encoding)
+        do(write_wav, out / name, wet, sr, encoding=encoding)
 
     if handle["save_trace"]:
-        save_trace_image(
+        do(
+            save_trace_image,
             out / "trace.png",
             handle["scene"].nav,
             trajectories=[np.asarray(t) for t in plan.trajectories],
@@ -407,9 +487,8 @@ def finalize_mixture(handle: dict) -> dict:
             # Tracks scaled below the plan's LUFS target to fit int16
             # full scale without clipping; original = written / scale.
             meta["pcm16_peak_scale"] = applied
-    with open(out / "json_data.json", "w") as f:
-        json.dump(meta, f)
-    plan.save(out / "mixture_plan.json")
+    do(_write_json, out / "json_data.json", meta)
+    do(plan.save, out / "mixture_plan.json")
     return meta
 
 
@@ -486,10 +565,11 @@ def generate_split(
     results_root = Path(results_root)
     produced: list[Path] = []
     pending: list = []  # [(handle, out_dir, scene, name, t0), ...]
+    writer = ArtifactWriter() if pipeline else None
 
     def _finish(p) -> None:
         handle, out_dir, scene_name_, name_, t0_ = p
-        finalize_mixture(handle)
+        finalize_mixture(handle, writer)
         produced.append(out_dir)
         # per-mixture elapsed log (SonicSet_train.py:215 parity)
         logger.info(
@@ -572,3 +652,18 @@ def generate_split(
                 _finish(pending.pop(0))
             except Exception:
                 logger.exception("pipelined render failed while unwinding")
+        if writer is not None:
+            # All queued artifacts are on disk before the caller sees
+            # `produced`; a deferred write error surfaces here — unless
+            # another exception is already unwinding, which must not be
+            # masked.
+            import sys as _sys
+
+            unwinding = _sys.exc_info()[0] is not None
+            try:
+                writer.close()
+            except Exception:
+                if unwinding:
+                    logger.exception("artifact writer failed while unwinding")
+                else:
+                    raise

@@ -416,7 +416,6 @@ def _render_core(
         "ir_len",
         "nfft",
         "n_classes",
-        "n_keep",
         "n_banks",
         "peak_normalize",
     ),
@@ -436,11 +435,17 @@ def _render_items_device(
     ir_len: int,
     nfft: int,
     n_classes: int,
-    n_keep: int,
     n_banks: int,
     peak_normalize: bool,
 ):
-    """Single-device dispatch: core render → slice → per-bank peak norm."""
+    """Single-device dispatch: core render → per-bank peak norm.
+
+    Operates on the FULL padded item axis so the compiled executable is
+    keyed only by the _CHUNK-quantized bucket — the exact item count
+    used to be a static arg, retracing + recompiling for every distinct
+    mixture geometry. Padding rows duplicate item 0 (see
+    _render_flat_items), so they can never raise a bank's max; the
+    caller slices the valid prefix off the returned device array."""
     bank_ids = ipack[:, 2].astype(jnp.int32)
     out = _render_core(
         fpack,
@@ -456,14 +461,14 @@ def _render_items_device(
         ir_len=ir_len,
         nfft=nfft,
         n_classes=n_classes,
-    )[:n_keep]
+    )
     if peak_normalize:
-        item_peak = jnp.max(jnp.abs(out), axis=1)  # (n_keep,)
+        item_peak = jnp.max(jnp.abs(out), axis=1)  # (padded,)
         peak = jax.ops.segment_max(
-            item_peak, bank_ids[:n_keep], num_segments=n_banks
+            item_peak, bank_ids, num_segments=n_banks
         )
         peak = jnp.where(peak > 0, peak, 1.0)
-        out = out / peak[bank_ids[:n_keep], None]
+        out = out / peak[bank_ids, None]
     return out
 
 
@@ -658,11 +663,10 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         ipack,
         consts,
         masks_dev,
-        n_keep=n_items,
         n_banks=n_banks,
         peak_normalize=peak_normalize,
         **statics,
-    )
+    )[:n_items]
 
 
 def render_bank_batched(
