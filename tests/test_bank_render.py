@@ -177,3 +177,27 @@ def test_mesh_sharded_matches_single_device(rng):
     # Lives distributed on the mesh (pre-slice parent is sharded).
     for got, want in zip(sharded, single):
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_varying_item_counts_share_one_executable(rng):
+    """Mixture geometries whose item counts land in the same _CHUNK
+    bucket must reuse ONE compiled renderer: the exact item count used
+    to be a static jit arg, retracing per mixture (profiled ~1 s of
+    host time per 60 s mixture in generation)."""
+    from sonicsim_tpu.sim.bank_render import (
+        _render_items_device,
+        render_rir_banks,
+    )
+
+    room = ShoeboxRoom((6.0, 3.0, 5.0), absorption=0.3)
+    oracle = SyntheticRirOracle(room, n_bands=8, max_order=2, seed=5)
+    recvs = [np.array([3.0, 1.5, 2.5])]
+    channel = ChannelModel("Binaural")
+    _render_items_device._clear_cache()
+    for counts in ((5, 4), (4, 6), (6, 6)):  # items 2*(5+4)=18..24, bucket 64
+        lists = [
+            [rng.uniform([1, 1, 1], [5, 2.5, 4]) for _ in range(c)]
+            for c in counts
+        ]
+        render_rir_banks(oracle, lists, recvs, channel, out_device=True)
+    assert _render_items_device._cache_size() == 1
