@@ -360,3 +360,35 @@ def test_load_split_manifest_committed():
 
     with pytest.raises(KeyError, match="bogus"):
         load_split_manifest(path, "bogus")
+
+
+def test_artifact_writer_fifo_and_error_propagation(tmp_path):
+    """ArtifactWriter drains in FIFO order (json_data.json must land
+    after the WAVs for the resume contract) and re-raises the first
+    worker error on close()."""
+    import time as _time
+
+    from sonicsim_tpu.dataset.generate import ArtifactWriter
+
+    order: list[int] = []
+    w = ArtifactWriter()
+    for i in range(16):
+        w.submit(lambda i=i: (order.append(i), _time.sleep(0.001)))
+    w.barrier()
+    assert order == list(range(16))
+    w.close()
+
+    w2 = ArtifactWriter()
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w2.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w2.barrier()
+    w2.close()  # error already consumed; close is clean
+
+    w3 = ArtifactWriter()
+    w3.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w3.close()
