@@ -245,7 +245,8 @@ def main() -> None:
             float(b.ravel()[0])
     dt_bank = time.perf_counter() - t0
     results.append(("RIR bank render (3x40 pairs, binaural)", ir_sec / dt_bank,
-                    {"n_src": 3, "p": 40, "channels": 2, "rir_len": sr}))
+                    {"n_src": 3, "p": 40, "channels": 2,
+                     "rir_len": int(banks[0].shape[-1])}))
 
     # --- 5. harness inference: ConvTasNet on 4 s batches ------------------
     model = ConvTasNet()
