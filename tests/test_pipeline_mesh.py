@@ -271,3 +271,27 @@ def test_pcm16_upload_fallback():
     assert _pcm16_upload(x).dtype == np.float32
     y = np.asarray([[0.25, -0.5]], np.float32)
     assert _pcm16_upload(y).dtype == np.int16
+
+
+def test_same_bucket_mixtures_share_one_executable(rng):
+    """Mixtures whose trajectory raggedness lands in the same
+    (P-quantum, segment-bucket) must reuse ONE compiled fused render —
+    per-mixture recompiles of _render_all cost tens of seconds through
+    the tunnel (pad_moving_plans quantizes P to 8 and max_seg to 8192
+    precisely so this holds)."""
+    from sonicsim_tpu.parallel.pipeline import _render_all
+
+    _render_all._clear_cache()
+    for seed in (0, 1, 2):
+        r = np.random.default_rng(seed)
+        (speech, banks, weights, offs, lens, static_audio, static_rirs,
+         speech_lufs, static_lufs) = _synthetic_mixture(r)
+        banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
+            banks, weights, offs, lens
+        )
+        moving, static = render_mixture_sources(
+            speech, banks_p, w_p, off_p, len_p, max_seg,
+            static_audio, static_rirs, speech_lufs, static_lufs, SR,
+        )
+        np.asarray(moving), np.asarray(static)
+    assert _render_all._cache_size() == 1
