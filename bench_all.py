@@ -373,7 +373,7 @@ def main() -> None:
                 write_wav(p / f"{prefix}{i}.wav", x, sr)
             return p
 
-        n_spk = 15  # 1 warmup + 4 timed mixtures of 3 speakers
+        n_spk = 21  # 1 warmup + 6 timed mixtures of 3 speakers
         for i in range(n_spk):
             corpus(root / "speech" / f"spk{i}", 6, 8.0, f"s{i}_")
         corpus(root / "noise", 4, 12.0, "n_")
@@ -395,7 +395,7 @@ def main() -> None:
         t0 = time.perf_counter()
         produced = generate_split(
             factory, ["room0"], dirs[3:], noise_m, music_m, root / "out",
-            duration=60.0, base_seed=5, max_mixtures=4,
+            duration=60.0, base_seed=5, max_mixtures=6,
         )
         dt_gen = time.perf_counter() - t0
         results.append((
