@@ -388,6 +388,14 @@ def main() -> None:
                 max_order=4,
             )
 
+        def artifact_mb(out_dir: Path, n: int) -> float:
+            """Actual bytes written per mixture == the tunneled downlink
+            payload (pcm16 tracks + f16 RIR bank + trace/json)."""
+            total = sum(
+                f.stat().st_size for f in out_dir.rglob("*") if f.is_file()
+            )
+            return total / n / 1e6
+
         generate_split(  # warmup mixture (compile + kernel builds)
             factory, ["warm"], dirs[:3], noise_m, music_m, root / "warm",
             duration=60.0, base_seed=1, max_mixtures=1,
@@ -402,7 +410,38 @@ def main() -> None:
             "generation end-to-end (60 s mixtures)",
             60.0 * len(produced) / dt_gen,
             {"n_src": 3, "duration_s": 60, "channels": 2,
-             "s_per_mixture": round(dt_gen / len(produced), 2)},
+             "s_per_mixture": round(dt_gen / len(produced), 2),
+             "artifact_MB_per_mixture": round(
+                 artifact_mb(root / "out", len(produced)), 1)},
+        ))
+
+        # Mono variant — the reference's demo-split generator geometry
+        # (SonicSet.py:155 channel_type='Mono'). Half the downlink bytes
+        # of binaural, so it isolates compute throughput from the
+        # tunnel-bound artifact download.
+        def factory_mono(name):
+            return Scene.synthetic(
+                dims=(10.0, 3.0, 8.0), channel_type="Mono", seed=11,
+                max_order=4,
+            )
+
+        generate_split(  # mono warmup (fresh channel-count compile)
+            factory_mono, ["warm_m"], dirs[:3], noise_m, music_m,
+            root / "warm_m", duration=60.0, base_seed=2, max_mixtures=1,
+        )
+        t0 = time.perf_counter()
+        produced_m = generate_split(
+            factory_mono, ["room0"], dirs[3:], noise_m, music_m,
+            root / "out_m", duration=60.0, base_seed=7, max_mixtures=6,
+        )
+        dt_m = time.perf_counter() - t0
+        results.append((
+            "generation end-to-end (60 s mixtures, mono)",
+            60.0 * len(produced_m) / dt_m,
+            {"n_src": 3, "duration_s": 60, "channels": 1,
+             "s_per_mixture": round(dt_m / len(produced_m), 2),
+             "artifact_MB_per_mixture": round(
+                 artifact_mb(root / "out_m", len(produced_m)), 1)},
         ))
     finally:
         _shutil.rmtree(root, ignore_errors=True)
