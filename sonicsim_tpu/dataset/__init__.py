@@ -5,6 +5,7 @@ from .assemble import (
     render_static_source,
 )
 from .datamodule import MovingDataModule
+from .device_assembly import UtteranceCache, assemble_plans_on_device
 from .generate import (
     generate_split,
     plan_mixture,
@@ -46,6 +47,8 @@ __all__ = [
     "apply_sir",
     "apply_snr",
     "assemble_long_audio",
+    "assemble_plans_on_device",
+    "UtteranceCache",
     "find_bottom_directories",
     "generate_split",
     "load_length_manifest",

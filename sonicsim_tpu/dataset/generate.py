@@ -37,6 +37,7 @@ from .assemble import (
     render_moving_source,
     render_static_source,
 )
+from .device_assembly import UtteranceCache, assemble_plans_on_device
 from .plan import (
     LUFS_JITTER,
     LUFS_MUSIC,
@@ -233,6 +234,7 @@ def dispatch_mixture(
     save_trace: bool = True,
     mesh=None,
     wav_encoding: str = "pcm16",
+    cache=None,
 ) -> dict:
     """Device half of :func:`render_mixture`: enqueue the RIR-bank render
     and the fused source render, start async device→host copies of every
@@ -241,7 +243,11 @@ def dispatch_mixture(
     Splitting dispatch from finalize lets :func:`generate_split` overlap
     mixture k's downloads (the tunneled link's dominant cost) with
     mixture k+1's device compute on a single thread — the role the
-    reference fills with a process pool (SonicSet_train.py:153-219)."""
+    reference fills with a process pool (SonicSet_train.py:153-219).
+
+    ``cache``: optional :class:`.device_assembly.UtteranceCache` — long
+    audio is then assembled ON DEVICE from cached utterance rows
+    (bit-identical output; steady-state uplink drops to cache misses)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     sr = plan.sample_rate
@@ -285,12 +291,14 @@ def dispatch_mixture(
     if all(b.shape[0] >= 2 for b in banks):
         dry, weights, offs, lens = [], [], [], []
         for sp, traj in zip(plan.speech_plans, plan.trajectories):
-            audio = assemble_long_audio(sp)[0]
-            idx, w = dynamic_interp_plan(
-                np.asarray(traj), audio.shape[-1], rng=rng
-            )
+            if cache is None:
+                audio = assemble_long_audio(sp)[0]
+                n = audio.shape[-1]
+                dry.append(audio)
+            else:
+                n = sp.total_samples
+            idx, w = dynamic_interp_plan(np.asarray(traj), n, rng=rng)
             o, le, _ = segment_plan(idx)
-            dry.append(audio)
             weights.append(w)
             offs.append(o)
             lens.append(le)
@@ -302,18 +310,33 @@ def dispatch_mixture(
         import jax.numpy as jnp
 
         static_rirs = jnp.stack([rir_noise, rir_music])
-        static_audio = np.stack([
-            assemble_long_audio(plan.noise_plan)[0],
-            assemble_long_audio(plan.music_plan)[0],
-        ]).astype(np.float32)
-        # Upload audio as int16 PCM (half the f32 bytes; device converts
-        # back exactly — sources decoded from PCM16 WAVs round-trip
-        # bit-for-bit) and rebuild crossfade weights on device
-        # (weights=None): together ~21 MB less uplink per 60 s mixture.
+        if cache is not None:
+            # Device-side assembly from cached utterance rows: dry audio
+            # never crosses the link once its utterances are cached
+            # (device_assembly.py; bit-identical to the host path).
+            assembled = assemble_plans_on_device(
+                list(plan.speech_plans)
+                + [plan.noise_plan, plan.music_plan],
+                cache,
+            )
+            speech_in = assembled[: len(plan.speech_plans)]
+            static_in = assembled[len(plan.speech_plans) :]
+        else:
+            static_audio = np.stack([
+                assemble_long_audio(plan.noise_plan)[0],
+                assemble_long_audio(plan.music_plan)[0],
+            ]).astype(np.float32)
+            # Upload audio as int16 PCM (half the f32 bytes; device
+            # converts back exactly — sources decoded from PCM16 WAVs
+            # round-trip bit-for-bit).
+            speech_in = _pcm16_upload(np.stack(dry).astype(np.float32))
+            static_in = _pcm16_upload(static_audio)
+        # Crossfade weights rebuild on device (weights=None): with the
+        # int16 uploads together ~21 MB less uplink per 60 s mixture.
         moving_t, static_t = render_mixture_sources(
-            _pcm16_upload(np.stack(dry).astype(np.float32)),
+            speech_in,
             banks_p, None, off_p, len_p,
-            max_seg, _pcm16_upload(static_audio), static_rirs,
+            max_seg, static_in, static_rirs,
             np.asarray(plan.lufs_speech, np.float32),
             np.asarray([plan.lufs_noise, plan.lufs_music], np.float32),
             sr, mesh=mesh,
@@ -501,6 +524,7 @@ def render_mixture(
     save_trace: bool = True,
     mesh=None,
     wav_encoding: str = "pcm16",
+    cache=None,
 ) -> dict:
     """Execute a MixturePlan → WAVs + metadata on disk
     (SonicSet_train.py:50-138 execution half).
@@ -513,7 +537,7 @@ def render_mixture(
     return finalize_mixture(
         dispatch_mixture(
             scene, plan, output_dir, transcripts, save_bank, save_trace,
-            mesh, wav_encoding,
+            mesh, wav_encoding, cache,
         )
     )
 
@@ -544,6 +568,7 @@ def generate_split(
     max_mixtures: int | None = None,
     pipeline: bool = True,
     wav_encoding: str = "pcm16",
+    utterance_cache: bool = True,
 ) -> list[Path]:
     """Outer generation loop (SonicSet_train.py:153-219): per scene, consume
     speaker directories in random triples until exhausted, with resume.
@@ -559,6 +584,12 @@ def generate_split(
     concurrent fetch+compute from two threads ran 2× slower than
     serial). Plans are seeded per (scene, triple) so results are
     identical either way.
+
+    With ``utterance_cache`` (default), decoded utterances stay
+    device-resident across mixtures and long audio assembles on device
+    (device_assembly.py) — bit-identical output, steady-state uplink
+    reduced to cache misses (speakers recur across triples,
+    SonicSet_train.py:180-218).
     """
     from .plan import scan_audio_lengths
 
@@ -566,6 +597,7 @@ def generate_split(
     produced: list[Path] = []
     pending: list = []  # [(handle, out_dir, scene, name, t0), ...]
     writer = ArtifactWriter() if pipeline else None
+    cache: UtteranceCache | None = None
 
     def _finish(p) -> None:
         handle, out_dir, scene_name_, name_, t0_ = p
@@ -610,10 +642,12 @@ def generate_split(
                     duration=duration,
                     seed=seed,
                 )
+                if utterance_cache and cache is None:
+                    cache = UtteranceCache(sample_rate=plan.sample_rate)
                 if pipeline:
                     handle = dispatch_mixture(
                         scene, plan, out_dir, transcripts,
-                        wav_encoding=wav_encoding,
+                        wav_encoding=wav_encoding, cache=cache,
                     )
                     # Dispatch k BEFORE finalizing k-1: k's device work +
                     # async copies stream while the host blocks on k-1's
@@ -625,7 +659,7 @@ def generate_split(
                 else:
                     render_mixture(
                         scene, plan, out_dir, transcripts,
-                        wav_encoding=wav_encoding,
+                        wav_encoding=wav_encoding, cache=cache,
                     )
                     produced.append(out_dir)
                     logger.info(
