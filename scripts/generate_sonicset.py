@@ -81,6 +81,10 @@ def main() -> None:
                     help="pcm16: half-size files, peak-guarded (scales in "
                     "json_data.json); float32: the reference's "
                     "torchaudio.save format (SonicSet_train.py:102-106)")
+    ap.add_argument("--no_utterance_cache", action="store_true",
+                    help="disable the device-resident utterance cache "
+                    "(on-device long-audio assembly; output is "
+                    "bit-identical either way)")
     args = ap.parse_args()
 
     if args.scene_list:
@@ -122,6 +126,7 @@ def main() -> None:
         base_seed=args.seed,
         max_mixtures=args.max_mixtures,
         wav_encoding=args.wav_encoding,
+        utterance_cache=not args.no_utterance_cache,
     )
     print(f"generated {len(produced)} mixtures under {args.results_root}/{args.mode}")
 
