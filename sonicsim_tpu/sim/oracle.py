@@ -126,6 +126,10 @@ class BankRirOracle:
     def __post_init__(self):
         with np.load(self.path) as z:
             self._data = {k: z[k] for k in z.files}
+        # Banks may be stored float16 (generation saves them that way);
+        # downstream convolution math expects f32.
+        if self._data["rirs"].dtype != np.float32:
+            self._data["rirs"] = self._data["rirs"].astype(np.float32)
         self.sample_rate = int(self._data.get("sample_rate", self.sample_rate))
 
     def render(
@@ -325,9 +329,17 @@ def save_rir_bank(
     **metadata,
 ) -> None:
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(
+    # Uncompressed, dtype-preserving: RIR tails are noise-like, so zlib
+    # bought ~10% size at ~100x the host CPU cost (3.5 s/bank measured on
+    # the 1-core generation host, enough to stall the artifact-writer
+    # thread); float16 banks (the generation default) also stay half the
+    # bytes of the old forced-f32 upcast.
+    rirs = np.asarray(rirs)
+    if rirs.dtype not in (np.float16, np.float32):
+        rirs = rirs.astype(np.float32)
+    np.savez(
         path,
-        rirs=np.asarray(rirs, np.float32),
+        rirs=rirs,
         source_positions=np.asarray(source_positions, np.float64),
         receiver_positions=np.asarray(receiver_positions, np.float64),
         sample_rate=sample_rate,

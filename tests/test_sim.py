@@ -195,6 +195,15 @@ def test_bank_oracle_roundtrip(tmp_path, rng):
     oracle = BankRirOracle(tmp_path / "bank.npz")
     got = oracle.render(srcs[1], rcvs[0], scene.channel)
     np.testing.assert_allclose(got, bank[1, 0], atol=1e-7)
+    # float16 banks (the generation pipeline's save format) round-trip
+    # with the stored dtype and load as f32 for downstream math.
+    save_rir_bank(
+        tmp_path / "bank16.npz", np.asarray(bank, np.float16), srcs, rcvs, SR
+    )
+    o16 = BankRirOracle(tmp_path / "bank16.npz")
+    got16 = o16.render(srcs[1], rcvs[0], scene.channel)
+    assert got16.dtype == np.float32
+    np.testing.assert_allclose(got16, bank[1, 0], atol=2e-3)
 
 
 def test_trace_image(tmp_path, rng):
