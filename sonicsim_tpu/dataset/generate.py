@@ -598,6 +598,15 @@ def generate_split(
     pending: list = []  # [(handle, out_dir, scene, name, t0), ...]
     writer = ArtifactWriter() if pipeline else None
     cache: UtteranceCache | None = None
+    length_memo: dict[str, dict] = {}
+
+    def scan_lengths_memo(c: str) -> dict:
+        # Speaker dirs recur across scenes; re-reading every WAV header
+        # per mixture costs ~1 ms/file on real corpora (100+ files/dir).
+        got = length_memo.get(c)
+        if got is None:
+            got = length_memo[c] = scan_audio_lengths(c)
+        return got
 
     def _finish(p) -> None:
         handle, out_dir, scene_name_, name_, t0_ = p
@@ -635,7 +644,7 @@ def generate_split(
                 t0 = time.perf_counter()
                 plan = plan_mixture(
                     scene,
-                    [scan_audio_lengths(c) for c in chosen],
+                    [scan_lengths_memo(c) for c in chosen],
                     noise_manifest,
                     music_manifest,
                     rng,
