@@ -85,6 +85,11 @@ def main() -> None:
                     help="disable the device-resident utterance cache "
                     "(on-device long-audio assembly; output is "
                     "bit-identical either way)")
+    ap.add_argument("--no_save_bank", action="store_true",
+                    help="skip the per-mixture rir_bank_*.npz artifact "
+                    "(the reference's rir_save_*.pt, SonicSet_train.py:52) "
+                    "— ~30%% less download per binaural mixture when banks "
+                    "aren't needed downstream")
     args = ap.parse_args()
 
     if args.scene_list:
@@ -127,6 +132,7 @@ def main() -> None:
         max_mixtures=args.max_mixtures,
         wav_encoding=args.wav_encoding,
         utterance_cache=not args.no_utterance_cache,
+        save_bank=not args.no_save_bank,
     )
     print(f"generated {len(produced)} mixtures under {args.results_root}/{args.mode}")
 

@@ -569,6 +569,7 @@ def generate_split(
     pipeline: bool = True,
     wav_encoding: str = "pcm16",
     utterance_cache: bool = True,
+    save_bank: bool = True,
 ) -> list[Path]:
     """Outer generation loop (SonicSet_train.py:153-219): per scene, consume
     speaker directories in random triples until exhausted, with resume.
@@ -656,6 +657,7 @@ def generate_split(
                 if pipeline:
                     handle = dispatch_mixture(
                         scene, plan, out_dir, transcripts,
+                        save_bank=save_bank,
                         wav_encoding=wav_encoding, cache=cache,
                     )
                     # Dispatch k BEFORE finalizing k-1: k's device work +
@@ -668,6 +670,7 @@ def generate_split(
                 else:
                     render_mixture(
                         scene, plan, out_dir, transcripts,
+                        save_bank=save_bank,
                         wav_encoding=wav_encoding, cache=cache,
                     )
                     produced.append(out_dir)
