@@ -113,32 +113,23 @@ class UtteranceCache:
         return self._zeros
 
     def _load(self, path: str) -> tuple[list, int]:
+        from ..utils.audio import pcm16_exact
+
         wav, sr = read_wav(path)
-        exact = True
         if sr != self.sample_rate:
             wav = resample(wav, sr, self.sample_rate)
-            exact = False
         if self.mono_downmix and wav.shape[0] > 1:
             wav = wav.mean(axis=0, keepdims=True)
-            exact = False
         x = np.ascontiguousarray(wav[0], np.float32)
-        if exact:
-            # Decoded PCM16 is exactly i/32768; re-check rather than
-            # trust the container (float WAVs also land here).
-            q = np.rint(x * 32768.0)
-            exact = bool(
-                np.max(np.abs(q)) < 32768
-                and np.array_equal(q.astype(np.float32) * np.float32(2**-15), x)
-            )
+        # Decoded PCM16 is exactly i/32768 (and resample/downmix leaves
+        # that grid); the shared predicate decides int16-vs-f32 uplink.
+        q = pcm16_exact(x)
         rows = []
         for c0 in range(0, max(x.shape[0], 1), self.lmax):
-            chunk = x[c0 : c0 + self.lmax]
-            payload = (
-                np.rint(chunk * 32768.0).astype(np.int16) if exact else chunk
-            )
+            chunk = (x if q is None else q)[c0 : c0 + self.lmax]
             b = _bucket(len(chunk), floor=min(1 << 14, self.lmax))
             rows.append(
-                _expand_row(np.pad(payload, (0, b - len(chunk))), self.lmax)
+                _expand_row(np.pad(chunk, (0, b - len(chunk))), self.lmax)
             )
         return rows, x.shape[0]
 

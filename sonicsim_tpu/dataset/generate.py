@@ -146,12 +146,10 @@ def _pcm16_upload(x: np.ndarray) -> np.ndarray:
     PCM16 grid (float corpora, resampled/downmixed audio, quiet tracks
     whose quantization would otherwise be silently amplified by LUFS) —
     falls back to the float32 upload unchanged."""
-    peak = float(np.max(np.abs(x))) if x.size else 0.0
-    if peak < 32767.5 / 32768.0:
-        q = np.rint(x * 32768.0)
-        if np.array_equal(q.astype(np.float32) * np.float32(2.0**-15), x):
-            return q.astype(np.int16)
-    return x
+    from ..utils.audio import pcm16_exact
+
+    q = pcm16_exact(x)
+    return x if q is None else q
 
 
 def _copy_to_host_async(arr) -> None:
@@ -189,6 +187,11 @@ class ArtifactWriter:
 
         self._q: "queue.Queue" = queue.Queue()
         self._error: BaseException | None = None
+        # Latched separately from _error: _check hands the error to the
+        # caller (clearing _error), but the worker must keep skipping —
+        # otherwise a json_data.json queued behind a failed WAV write
+        # could still land, minting a resume marker for a broken mixture.
+        self._failed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -198,11 +201,12 @@ class ArtifactWriter:
             if item is None:
                 return
             fn, args, kwargs = item
-            if self._error is None:
+            if not self._failed:
                 try:
                     fn(*args, **kwargs)
                 except BaseException as e:  # noqa: BLE001 — re-raised on main thread
                     self._error = e
+                    self._failed = True
             self._q.task_done()
 
     def _check(self) -> None:
@@ -303,7 +307,7 @@ def dispatch_mixture(
             offs.append(o)
             lens.append(le)
         banks_p, _, off_p, len_p, max_seg = pad_moving_plans(
-            banks, weights, offs, lens
+            banks, weights, offs, lens, stack_weights=False
         )
         # Both static RIRs come from the same bank render: same length,
         # already stacked and device-resident.

@@ -38,12 +38,17 @@ def pad_moving_plans(
     weights: list[np.ndarray],
     offsets: list[np.ndarray],
     lengths: list[np.ndarray],
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    stack_weights: bool = True,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray, np.ndarray, int]:
     """Stack ragged per-source moving plans into common static shapes.
 
     banks[i]: (P_i, C, L); weights[i]: (T,); offsets/lengths[i]: (P_i-1,).
     Returns (banks (S,P,C,L), weights (S,T), offsets (S,P-1),
     lengths (S,P-1), max_seg) with P = max_i P_i.
+
+    ``stack_weights=False`` returns None in the weights slot: callers
+    that rebuild crossfade ramps on device (render_mixture_sources
+    ``weights=None``) skip the ~11.5 MB (S, T) f32 host materialization.
 
     Banks may be device-resident ``jax.Array``s (the fused bank renderer's
     ``out_device=True`` output) — they are then padded/stacked with jnp and
@@ -76,7 +81,7 @@ def pad_moving_plans(
     max_seg = -(-max_seg // 8192) * 8192
     return (
         xp.stack(banks_p).astype(xp.float32),
-        np.stack(weights).astype(np.float32),
+        np.stack(weights).astype(np.float32) if stack_weights else None,
         np.stack(off_p).astype(np.int32),
         np.stack(len_p).astype(np.int32),
         max_seg,

@@ -74,6 +74,24 @@ def all_pairs(list1: Sequence[Any], list2: Sequence[Any]) -> tuple[list, list]:
     return list(a), list(b)
 
 
+def pcm16_exact(x: np.ndarray) -> np.ndarray | None:
+    """int16 codes reproducing float array ``x`` EXACTLY (``q * 2^-15``
+    round-trips bit-for-bit in f32), or None if any sample is off the
+    PCM16 grid / at-or-over full scale. The single home of the
+    "may this audio cross the link as int16?" predicate — used by both
+    the assembled-track upload (dataset/generate.py) and the utterance
+    cache (dataset/device_assembly.py)."""
+    x = np.asarray(x)
+    if x.size == 0:
+        return x.astype(np.int16)
+    if float(np.max(np.abs(x))) >= 32767.5 / 32768.0:
+        return None
+    q = np.rint(x * 32768.0)
+    if np.array_equal(q.astype(np.float32) * np.float32(2.0**-15), x):
+        return q.astype(np.int16)
+    return None
+
+
 def pcm16_quantize(x):
     """Float waveform → int16 PCM samples, ON DEVICE when given a
     ``jax.Array`` — bit-identical to utils/wavio.write_wav's host

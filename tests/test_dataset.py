@@ -392,3 +392,57 @@ def test_artifact_writer_fifo_and_error_propagation(tmp_path):
     w3.submit(boom)
     with pytest.raises(RuntimeError, match="disk full"):
         w3.close()
+
+
+def test_artifact_writer_failure_latches(tmp_path):
+    """After a write fails, items already queued behind it must NOT run
+    even once _check hands the error to the caller — otherwise a
+    json_data.json queued after a failed WAV write could land and mint a
+    resume marker for a broken mixture."""
+    import threading
+
+    from sonicsim_tpu.dataset.generate import ArtifactWriter
+
+    w = ArtifactWriter()
+    gate = threading.Event()
+    ran: list[str] = []
+
+    w.submit(gate.wait)  # hold the worker so the queue builds up
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w.submit(boom)
+    w.submit(lambda: ran.append("json"))  # queued BEHIND the failure
+    gate.set()
+    # consume the error on the main thread (as generate_split's next
+    # submit/_check would)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w.barrier()
+    w.close()
+    assert ran == []  # the trailing write was skipped, not executed
+
+
+def test_pcm16_exact_predicate():
+    from sonicsim_tpu.utils.audio import pcm16_exact
+
+    on_grid = np.array([0.0, 1 / 32768.0, -5 / 32768.0], np.float32)
+    q = pcm16_exact(on_grid)
+    assert q is not None and q.dtype == np.int16
+    assert np.array_equal(q.astype(np.float32) * np.float32(2**-15), on_grid)
+    assert pcm16_exact(np.array([0.3333], np.float32)) is None  # off-grid
+    assert pcm16_exact(np.array([1.0], np.float32)) is None  # full scale
+    empty = pcm16_exact(np.zeros(0, np.float32))
+    assert empty is not None and empty.size == 0  # no crash on empty
+
+
+def test_utterance_cache_empty_wav(tmp_path, rng):
+    """A zero-length corpus WAV must not crash the cache (the host
+    assembly path tolerates it)."""
+    from sonicsim_tpu.dataset.device_assembly import UtteranceCache
+    from sonicsim_tpu.utils import write_wav
+
+    write_wav(tmp_path / "empty.wav", np.zeros(0, np.float32), SR)
+    cache = UtteranceCache(sample_rate=SR, lmax=1 << 14)
+    rows, n = cache.get(tmp_path / "empty.wav")
+    assert n == 0 and len(rows) == 1
