@@ -416,23 +416,37 @@ def main() -> None:
             )
             return total / n / 1e6
 
+        # One device-resident utterance cache across warmup + timed runs
+        # (production shape: one cache per corpus; the dry-audio rows are
+        # mono and channel-type independent). The timed runs span TWO
+        # scenes over the same 9 speaker dirs — the speaker pool resets
+        # per scene (SonicSet_train.py:180-218 semantics), so mixtures
+        # 4-6 re-use every utterance: the bench covers both the cold and
+        # the steady-state warm uplink regimes.
+        from sonicsim_tpu.dataset.device_assembly import UtteranceCache
+
+        ucache = UtteranceCache()
         generate_split(  # warmup mixture (compile + kernel builds)
             factory, ["warm"], dirs[:3], noise_m, music_m, root / "warm",
             duration=60.0, base_seed=1, max_mixtures=1,
+            utterance_cache=ucache,
         )
         t0 = time.perf_counter()
         produced = generate_split(
-            factory, ["room0"], dirs[3:], noise_m, music_m, root / "out",
-            duration=60.0, base_seed=5, max_mixtures=6,
+            factory, ["room0", "room1"], dirs[3:12], noise_m, music_m,
+            root / "out", duration=60.0, base_seed=5, max_mixtures=6,
+            utterance_cache=ucache,
         )
         dt_gen = time.perf_counter() - t0
         results.append((
             "generation end-to-end (60 s mixtures)",
             60.0 * len(produced) / dt_gen,
-            {"n_src": 3, "duration_s": 60, "channels": 2,
+            {"n_src": 3, "duration_s": 60, "channels": 2, "scenes": 2,
              "s_per_mixture": round(dt_gen / len(produced), 2),
              "artifact_MB_per_mixture": round(
-                 artifact_mb(root / "out", len(produced)), 1)},
+                 artifact_mb(root / "out", len(produced)), 1),
+             "utterance_cache_hit_rate": round(
+                 ucache.hits / max(ucache.hits + ucache.misses, 1), 2)},
         ))
 
         # Mono variant — the reference's demo-split generator geometry
@@ -448,17 +462,19 @@ def main() -> None:
         generate_split(  # mono warmup (fresh channel-count compile)
             factory_mono, ["warm_m"], dirs[:3], noise_m, music_m,
             root / "warm_m", duration=60.0, base_seed=2, max_mixtures=1,
+            utterance_cache=ucache,
         )
         t0 = time.perf_counter()
         produced_m = generate_split(
-            factory_mono, ["room0"], dirs[3:], noise_m, music_m,
-            root / "out_m", duration=60.0, base_seed=7, max_mixtures=6,
+            factory_mono, ["room0_m", "room1_m"], dirs[12:21], noise_m,
+            music_m, root / "out_m", duration=60.0, base_seed=7,
+            max_mixtures=6, utterance_cache=ucache,
         )
         dt_m = time.perf_counter() - t0
         results.append((
             "generation end-to-end (60 s mixtures, mono)",
             60.0 * len(produced_m) / dt_m,
-            {"n_src": 3, "duration_s": 60, "channels": 1,
+            {"n_src": 3, "duration_s": 60, "channels": 1, "scenes": 2,
              "s_per_mixture": round(dt_m / len(produced_m), 2),
              "artifact_MB_per_mixture": round(
                  artifact_mb(root / "out_m", len(produced_m)), 1)},

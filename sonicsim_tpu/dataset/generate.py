@@ -572,7 +572,7 @@ def generate_split(
     max_mixtures: int | None = None,
     pipeline: bool = True,
     wav_encoding: str = "pcm16",
-    utterance_cache: bool = True,
+    utterance_cache: "bool | UtteranceCache" = True,
     save_bank: bool = True,
 ) -> list[Path]:
     """Outer generation loop (SonicSet_train.py:153-219): per scene, consume
@@ -593,8 +593,10 @@ def generate_split(
     With ``utterance_cache`` (default), decoded utterances stay
     device-resident across mixtures and long audio assembles on device
     (device_assembly.py) — bit-identical output, steady-state uplink
-    reduced to cache misses (speakers recur across triples,
-    SonicSet_train.py:180-218).
+    reduced to cache misses (the speaker pool resets per scene, so every
+    speaker recurs across scenes — SonicSet_train.py:180-218). Pass an
+    :class:`UtteranceCache` instance to share the warm cache across
+    several generate_split calls (e.g. train + val of one corpus).
     """
     from .plan import scan_audio_lengths
 
@@ -602,7 +604,9 @@ def generate_split(
     produced: list[Path] = []
     pending: list = []  # [(handle, out_dir, scene, name, t0), ...]
     writer = ArtifactWriter() if pipeline else None
-    cache: UtteranceCache | None = None
+    cache: UtteranceCache | None = (
+        utterance_cache if isinstance(utterance_cache, UtteranceCache) else None
+    )
     length_memo: dict[str, dict] = {}
 
     def scan_lengths_memo(c: str) -> dict:
