@@ -174,12 +174,23 @@ def test_render_mixture_mesh_end_to_end(tmp_path, rng):
         scene, plan, tmp_path / "meshed", save_trace=False,
         mesh=make_mesh(min(8, len(jax.devices()))),
     )
+    # Device-assembled speech (UtteranceCache) through the sharded path:
+    # the assembled jax.Array must survive pad_to/device_put resharding.
+    from sonicsim_tpu.dataset.device_assembly import UtteranceCache
+
+    render_mixture(
+        scene, plan, tmp_path / "meshed_cache", save_trace=False,
+        mesh=make_mesh(min(8, len(jax.devices()))),
+        cache=UtteranceCache(sample_rate=SR),
+    )
     for name in ["moving_audio_1", "moving_audio_2", "noise_audio",
                  "music_audio"]:
         a, _ = read_wav(tmp_path / "single" / f"{name}.wav")
         b, _ = read_wav(tmp_path / "meshed" / f"{name}.wav")
+        c, _ = read_wav(tmp_path / "meshed_cache" / f"{name}.wav")
         # Sharding changes XLA fusion; allow one int16 quantization step.
         np.testing.assert_allclose(a, b, atol=1.01 / 32768)
+        np.testing.assert_allclose(a, c, atol=1.01 / 32768)
 
 
 def test_device_weights_match_host_plan(rng):
