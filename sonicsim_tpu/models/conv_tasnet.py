@@ -72,6 +72,17 @@ class ConvTasNet(BaseModel):
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:  # (B, T) → (B, spks, T)
+        if self.N != self.H:
+            # The mask is sized H per speaker but multiplies the N-channel
+            # encoder output — the reference carries the same implicit
+            # contract (`x * m[i]`, ConvTasnet.py:196,211-222) and every
+            # shipped config sets N == H. Fail with a clear message
+            # instead of a broadcast error deep in the masking multiply.
+            raise ValueError(
+                f"ConvTasNet requires N == H (got N={self.N}, H={self.H}); "
+                "the H-sized masks multiply the N-channel encoder output "
+                "(ConvTasnet.py:196,211-222)"
+            )
         if wav.ndim == 1:
             wav = wav[None, :]
         nsample = wav.shape[-1]
