@@ -547,14 +547,23 @@ def render_mixture(
 
 
 def remove_existing_speakers(results_root: str | Path, speech_dirs: list[str]) -> list[str]:
-    """Resume: drop speakers already present in any generated triple dir
-    (removing_exist_speaker, SonicSet_train.py:140-151)."""
+    """Resume: drop speakers already present in a COMPLETED triple dir
+    (removing_exist_speaker, SonicSet_train.py:140-151).
+
+    Stricter than the reference, which counts any existing folder: a dir
+    left partial by a crash (no ``json_data.json`` — the marker the
+    artifact writer lands LAST) would orphan its speakers forever. Here
+    those speakers return to the pool, and when the same triple re-forms
+    the per-mixture json gate in :func:`generate_split` regenerates the
+    partial dir in place (plans are seeded by (scene, triple), so the
+    redone mixture is identical)."""
     root = Path(results_root)
     if not root.exists():
         return list(speech_dirs)
     used: set[str] = set()
     for folder in root.iterdir():
-        used.update(folder.name.split("-"))
+        if (folder / "json_data.json").exists():
+            used.update(folder.name.split("-"))
     return [s for s in speech_dirs if Path(s).name not in used]
 
 
@@ -631,6 +640,21 @@ def generate_split(
         for s_idx, scene_name in enumerate(scene_names):
             scene = scene_factory(scene_name)
             scene_root = results_root / scene_name
+            if scene_root.exists():
+                # A crash between artifact writes leaves a dir without
+                # json_data.json (the writer lands it last). Clean it so
+                # its speakers re-enter the pool AND no datamodule scans
+                # a half-written sample.
+                import shutil
+
+                for folder in scene_root.iterdir():
+                    if folder.is_dir() and not (
+                        folder / "json_data.json"
+                    ).exists():
+                        logger.warning(
+                            "removing partial mixture dir %s", folder
+                        )
+                        shutil.rmtree(folder)
             pool = remove_existing_speakers(scene_root, speech_dirs)
             rng_outer = np.random.default_rng(base_seed + s_idx)
             while len(pool) >= speakers_per_mixture:

@@ -362,6 +362,50 @@ def test_load_split_manifest_committed():
         load_split_manifest(path, "bogus")
 
 
+def test_generate_split_regenerates_partial_mixture(tmp_path, rng):
+    """Crash recovery: a dir left WITHOUT json_data.json (the completion
+    marker the artifact writer lands last) must be cleaned and its
+    mixture regenerated identically on the next run — the reference
+    orphans those speakers forever (removing_exist_speaker counts any
+    existing folder, SonicSet_train.py:140-151)."""
+
+    def factory(name):
+        return Scene.synthetic(
+            room=name, dims=(8.0, 3.0, 6.0), channel_type="Mono", seed=4,
+            max_order=2,
+        )
+
+    spk_dirs = []
+    for i in range(3):
+        _make_corpus(tmp_path / "speech" / f"spk{i}", 2, 1.0, rng, prefix=f"u{i}_")
+        spk_dirs.append(str(tmp_path / "speech" / f"spk{i}"))
+    noise = _make_corpus(tmp_path / "noise", 2, 1.5, rng, prefix="n_")
+    music = _make_corpus(tmp_path / "music", 2, 1.5, rng, prefix="m_")
+
+    produced = generate_split(
+        factory, ["roomA"], spk_dirs, noise, music, tmp_path / "set",
+        duration=4.0, base_seed=0,
+    )
+    assert len(produced) == 1
+    out = produced[0]
+    golden = {
+        p.name: p.read_bytes() for p in out.iterdir() if p.suffix == ".wav"
+    }
+
+    # Simulate a crash between the WAV writes and the json marker.
+    (out / "json_data.json").unlink()
+    (out / "moving_audio_2.wav").unlink()
+
+    again = generate_split(
+        factory, ["roomA"], spk_dirs, noise, music, tmp_path / "set",
+        duration=4.0, base_seed=0,
+    )
+    assert [p.name for p in again] == [out.name]  # same triple re-formed
+    assert (out / "json_data.json").exists()
+    for name, blob in golden.items():
+        assert (out / name).read_bytes() == blob, name
+
+
 def test_artifact_writer_fifo_and_error_propagation(tmp_path):
     """ArtifactWriter drains in FIFO order (json_data.json must land
     after the WAVs for the resume contract) and re-raises the first
