@@ -336,6 +336,35 @@ trainer:
     )
 
 
+def test_cli_import_rir_banks(tmp_path):
+    """rir_save_*.pt (the reference generator's bank artifact,
+    SonicSet_train.py:52,68) converts to loadable .npz banks."""
+    import torch
+
+    from sonicsim_tpu.sim import BankRirOracle
+    from sonicsim_tpu.sim.channels import ChannelModel
+
+    rng = np.random.default_rng(0)
+    samp = tmp_path / "set" / "room" / "a-b-c"
+    samp.mkdir(parents=True)
+    banks = [torch.from_numpy(
+        (rng.standard_normal((5, 1, 2, 400)) * 0.1).astype(np.float32)
+    ) for _ in range(3)]
+    torch.save(banks, samp / "rir_save_train_Binaural.pt")
+    (samp / "json_data.json").write_text("{}")
+
+    out = _run_script("scripts/import_rir_banks.py", [
+        "--sonicset_root", str(tmp_path / "set"),
+        "--out_root", str(tmp_path / "npz"),
+    ])
+    assert "converted 3 banks" in out
+    npz = tmp_path / "npz" / "room" / "a-b-c" / "rir_save_train_Binaural_spk2.npz"
+    oracle = BankRirOracle(npz)
+    got = oracle.render(np.zeros(3), np.zeros(3), ChannelModel("Binaural"))
+    np.testing.assert_allclose(got, banks[1].numpy()[0, 0], atol=1e-7)
+    assert (tmp_path / "npz" / "room" / "a-b-c" / "json_data.json").exists()
+
+
 def test_cli_stream(tmp_path):
     """Streaming separation demo: chunked SkiMStreamer over a WAV with
     latency stats (SkiM forward_stream serving role)."""
