@@ -336,6 +336,50 @@ trainer:
     )
 
 
+@pytest.mark.slow
+def test_cli_generate_sonicset_and_fixed_eval(tmp_path):
+    """The generation CLI end-to-end (SonicSet_train.py replacement) with
+    the new flags wired, chained into the fixed-eval materializer
+    (generate_fixed_validation.py role)."""
+    from sonicsim_tpu.utils.wavio import write_wav
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    for i in range(3):
+        d = tmp_path / "speech" / f"spk{i}"
+        d.mkdir(parents=True)
+        for j in range(2):
+            write_wav(d / f"u{i}_{j}.wav",
+                      (rng.standard_normal(sr) * 0.1).astype(np.float32), sr)
+    for name in ("noise", "music"):
+        d = tmp_path / name
+        d.mkdir()
+        write_wav(d / "x0.wav",
+                  (rng.standard_normal(int(1.5 * sr)) * 0.05).astype(np.float32), sr)
+
+    out = _run_script("scripts/generate_sonicset.py", [
+        "--mode", "train", "--results_root", str(tmp_path / "Set"),
+        "--speech_root", str(tmp_path / "speech"),
+        "--noise_dir", str(tmp_path / "noise"),
+        "--music_dir", str(tmp_path / "music"),
+        "--channel_type", "Mono", "--duration", "4.0",
+        "--max_mixtures", "1", "--no_save_bank",
+    ])
+    assert "generated 1 mixtures" in out
+    (samp,) = list((tmp_path / "Set" / "train").glob("*/*"))
+    names = {p.name for p in samp.iterdir()}
+    assert {"moving_audio_1.wav", "noise_audio.wav", "json_data.json"} <= names
+    assert not any("rir_bank" in n for n in names)
+
+    out = _run_script("scripts/generate_fixed_eval.py", [
+        "--in_dir", str(tmp_path / "Set" / "train"),
+        "--out_dir", str(tmp_path / "fixed"),
+        "--task", "separation",
+    ])
+    fixed = list((tmp_path / "fixed").glob("sample*/mix.wav"))
+    assert fixed, out
+
+
 def test_cli_import_rir_banks(tmp_path):
     """rir_save_*.pt (the reference generator's bank artifact,
     SonicSet_train.py:52,68) converts to loadable .npz banks."""
