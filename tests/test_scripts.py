@@ -409,6 +409,22 @@ def test_cli_import_rir_banks(tmp_path):
     assert (tmp_path / "npz" / "room" / "a-b-c" / "json_data.json").exists()
 
 
+@pytest.mark.skipif(
+    not Path("/root/reference/SonicSim-SonicSet/data").exists(),
+    reason="reference absent",
+)
+def test_cli_import_split_manifests_reproduces_committed(tmp_path):
+    """Re-importing the reference's split manifests must reproduce the
+    committed data/sonicset_splits.json exactly (provenance check)."""
+    _run_script("scripts/import_split_manifests.py", [
+        "--reference", "/root/reference/SonicSim-SonicSet/data",
+        "--out", str(tmp_path / "splits.json"),
+    ])
+    got = json.loads((tmp_path / "splits.json").read_text())
+    committed = json.loads(Path("data/sonicset_splits.json").read_text())
+    assert got == committed
+
+
 def test_cli_stream(tmp_path):
     """Streaming separation demo: chunked SkiMStreamer over a WAV with
     latency stats (SkiM forward_stream serving role)."""
