@@ -27,10 +27,12 @@ Missing third-party deps are stubbed:
                            one numeric stub; matches the library's
                            default 'lang' convention).
 
-MossFormer (v1) is the single exception: its reference file imports its
-blocks from ``modelscope`` (mossformer.py:11-14), which is not present
-anywhere in the image, so the replica test in test_torch_import.py
-remains the evidence for that family.
+MossFormer (v1) imports its blocks from ``modelscope``
+(mossformer.py:11-14), which is absent — but the reference tree VENDORS
+the same block code in mossformer_block.py (MossformerBlock:491 is the
+v1 FLASH stack), so the modelscope stub aliases the reference's own
+source and only the tiny speechbrain LayerNorm wrapper is synthetic
+(see _install_mossformer_v1_stubs).
 """
 
 from __future__ import annotations
@@ -384,6 +386,85 @@ def test_ref_mossformer2(rng):
                        fsmn_inner=256)
     x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
     _parity(tm, ours, x, "MossFormer2")
+
+
+def _install_mossformer_v1_stubs() -> None:
+    """Seed `modelscope` / `speechbrain` for mossformer.py (v1).
+
+    mossformer.py:11-16 imports MossFormerModule / ScaledSinuEmbedding
+    from modelscope and the layer norms from its conv module; the image
+    has neither package. The reference tree, however, VENDORS the same
+    block code: `MossformerBlock` (mossformer_block.py:491) is the v1
+    FLASH stack (`self.layers` of FLASH_ShareA_FFConvM — identical
+    attribute path and math to modelscope's MossFormerModule), and
+    conv_module.py:11/83 carry the layer norms. So every numeric path
+    here is the reference's own source; the only synthetic code is the
+    speechbrain LayerNorm wrapper (norm.norm nesting, eps pass-through),
+    mirroring speechbrain.nnet.normalization.LayerNorm.
+    """
+    if "modelscope" in sys.modules:
+        return
+    blk = ref_model_module("separation", "mossformer_block")
+    conv = ref_model_module("separation", "conv_module")
+
+    ms = _mk_module("modelscope")
+    ms_models = _mk_module("modelscope.models")
+    ms_audio = _mk_module("modelscope.models.audio")
+    ms_sep = _mk_module("modelscope.models.audio.separation")
+    ms_blk = _mk_module("modelscope.models.audio.separation.mossformer_block")
+    ms_cnv = _mk_module(
+        "modelscope.models.audio.separation.mossformer_conv_module")
+    ms_base = _mk_module("modelscope.models.base")
+    ms.models = ms_models
+    ms_models.audio = ms_audio
+    ms_models.base = ms_base
+    ms_audio.separation = ms_sep
+    ms_sep.mossformer_block = ms_blk
+    ms_sep.mossformer_conv_module = ms_cnv
+    ms_blk.MossFormerModule = blk.MossformerBlock
+    ms_blk.ScaledSinuEmbedding = blk.ScaledSinuEmbedding
+    ms_cnv.CumulativeLayerNorm = conv.CumulativeLayerNorm
+    ms_cnv.GlobalLayerNorm = conv.GlobalLayerNorm
+    ms_base.Tensor = torch.Tensor
+
+    sb_mod = _mk_module("speechbrain")
+    sb_nnet = _mk_module("speechbrain.nnet")
+    sb_norm = _mk_module("speechbrain.nnet.normalization")
+    sb_mod.nnet = sb_nnet
+    sb_nnet.normalization = sb_norm
+
+    class LayerNorm(tnn.Module):
+        def __init__(self, input_size=None, input_shape=None, eps=1e-05,
+                     elementwise_affine=True):
+            super().__init__()
+            if input_shape is not None:
+                input_size = input_shape[-1]
+            self.norm = tnn.LayerNorm(
+                input_size, eps=eps, elementwise_affine=elementwise_affine)
+
+        def forward(self, x):
+            return self.norm(x)
+
+    sb_norm.LayerNorm = LayerNorm
+
+
+def test_ref_mossformer(rng):
+    _install_mossformer_v1_stubs()
+    mod = ref_model_module("separation", "mossformer")
+    from sonicsim_tpu.models import MossFormer
+
+    torch.manual_seed(19)
+    tm = mod.MossFormer(
+        kernel_size=16, stride=8, bias=False, out_channels=16,
+        in_channels=16, num_blocks=2, d_model=16, attn_dropout=0.0,
+        group_size=10, query_key_dim=8, expansion_factor=4.0,
+        causal=False, norm="ln", num_spks=2,
+    )
+    ours = MossFormer(kernel_size=16, stride=8, out_channels=16,
+                      in_channels=16, num_blocks=2, d_model=16,
+                      query_key_dim=8, group_size=10, num_spks=2)
+    x = rng.standard_normal((2, 800)).astype(np.float32) * 0.3
+    _parity(tm, ours, x, "MossFormer")
 
 
 # --------------------------------------------------------------------------
