@@ -185,7 +185,10 @@ class ArtifactWriter:
         import queue
         import threading
 
-        self._q: "queue.Queue" = queue.Queue()
+        # Bounded: each mixture queues ~20-25 MB of track/bank payloads;
+        # without backpressure a slow disk lets pending writes grow to
+        # an epoch of audio. 32 items ≈ 2-3 mixtures in flight.
+        self._q: "queue.Queue" = queue.Queue(maxsize=32)
         self._error: BaseException | None = None
         # Latched separately from _error: _check hands the error to the
         # caller (clearing _error), but the worker must keep skipping —
@@ -514,8 +517,11 @@ def finalize_mixture(handle: dict, writer: "ArtifactWriter | None" = None) -> di
             # Tracks scaled below the plan's LUFS target to fit int16
             # full scale without clipping; original = written / scale.
             meta["pcm16_peak_scale"] = applied
-    do(_write_json, out / "json_data.json", meta)
+    # json_data.json is the resume/completion marker — it must be the
+    # LAST artifact queued (generate_split's partial-dir cleanup and
+    # remove_existing_speakers both key on its existence).
     do(plan.save, out / "mixture_plan.json")
+    do(_write_json, out / "json_data.json", meta)
     return meta
 
 
@@ -544,6 +550,19 @@ def render_mixture(
             mesh, wav_encoding, cache,
         )
     )
+
+
+def looks_like_partial_mixture(folder: Path) -> bool:
+    """True for dirs this pipeline plausibly created and left incomplete:
+    empty (crash right after mkdir) or holding a recognizable mixture
+    artifact. Unrelated user dirs (plots/, logs/, …) are preserved by the
+    resume cleanup in :func:`generate_split`."""
+    entries = list(folder.iterdir())
+    if not entries:
+        return True
+    marks = ("moving_audio_", "noise_audio", "music_audio",
+             "rir_bank_", "mixture_plan", "trace.")
+    return any(e.name.startswith(marks) for e in entries)
 
 
 def remove_existing_speakers(results_root: str | Path, speech_dirs: list[str]) -> list[str]:
@@ -648,13 +667,20 @@ def generate_split(
                 import shutil
 
                 for folder in scene_root.iterdir():
-                    if folder.is_dir() and not (
+                    if not folder.is_dir() or (
                         folder / "json_data.json"
                     ).exists():
+                        continue
+                    if looks_like_partial_mixture(folder):
                         logger.warning(
                             "removing partial mixture dir %s", folder
                         )
                         shutil.rmtree(folder)
+                    else:
+                        logger.warning(
+                            "ignoring non-mixture dir %s (no pipeline "
+                            "artifacts)", folder
+                        )
             pool = remove_existing_speakers(scene_root, speech_dirs)
             rng_outer = np.random.default_rng(base_seed + s_idx)
             while len(pool) >= speakers_per_mixture:

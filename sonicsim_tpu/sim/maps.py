@@ -113,8 +113,14 @@ def _draw_trace_pil(
 
     def to_xy(points):
         pix = points_to_pixels(np.atleast_2d(points), nav, meters_per_pixel)
+        # Cell centers of the vertically-flipped raster: row p[1] of an
+        # h-row grid lands at flipped row h-1-p[1]; +0.5 centers within
+        # the scale-pixel cell (matches the mpl path's origin="lower"
+        # pixel-center plotting).
         return [
-            (float(p[0]) * scale, float(h - p[1]) * scale) for p in pix
+            ((float(p[0]) + 0.5) * scale,
+             (float(h - 1 - p[1]) + 0.5) * scale)
+            for p in pix
         ]
 
     for k, traj in enumerate(trajectories or []):
@@ -153,8 +159,11 @@ def save_trace_gif(
     try:
         from PIL import ImageDraw
     except ImportError:
+        # matplotlib's Agg writer cannot encode GIF — degrade to a
+        # static PNG sibling instead of crashing on fig.savefig(.gif).
+        png = Path(filename).with_suffix(".png")
         return _save_trace_image_mpl(
-            filename, nav, trajectories, mic_points, static_points,
+            png, nav, trajectories, mic_points, static_points,
             meters_per_pixel,
         )
 

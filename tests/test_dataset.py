@@ -396,14 +396,39 @@ def test_generate_split_regenerates_partial_mixture(tmp_path, rng):
     (out / "json_data.json").unlink()
     (out / "moving_audio_2.wav").unlink()
 
+    # An unrelated user dir under the scene root must NOT be swept up
+    # by the partial-mixture cleanup.
+    keep = out.parent / "plots"
+    keep.mkdir()
+    (keep / "notes.txt").write_text("user data")
+
     again = generate_split(
         factory, ["roomA"], spk_dirs, noise, music, tmp_path / "set",
         duration=4.0, base_seed=0,
     )
     assert [p.name for p in again] == [out.name]  # same triple re-formed
     assert (out / "json_data.json").exists()
+    assert (keep / "notes.txt").read_text() == "user data"
     for name, blob in golden.items():
         assert (out / name).read_bytes() == blob, name
+
+
+def test_looks_like_partial_mixture(tmp_path):
+    from sonicsim_tpu.dataset.generate import looks_like_partial_mixture
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert looks_like_partial_mixture(empty)  # crash right after mkdir
+
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    (partial / "moving_audio_1.wav").write_bytes(b"\0")
+    assert looks_like_partial_mixture(partial)
+
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "analysis.ipynb").write_text("{}")
+    assert not looks_like_partial_mixture(foreign)
 
 
 def test_artifact_writer_fifo_and_error_propagation(tmp_path):
