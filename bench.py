@@ -25,7 +25,41 @@ from sonicsim_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache()  # persistent XLA cache: ~8x faster cold starts
 
 
+def _device_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe the (tunneled) device in a SUBPROCESS with a hard timeout.
+
+    A hard-down tunnel makes the first device call hang indefinitely —
+    inside this process that would hang the whole benchmark run. The
+    probe only checks reachability (any latency accepted); per-line
+    health stamping stays with bench_all._link_health."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax.numpy as jnp; print(float(jnp.float32(1.0) + 41.0))"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _device_reachable():
+        # Emit an honest, machine-readable record instead of hanging the
+        # driver: the chip was unreachable at measurement time.
+        print(json.dumps({
+            "metric": "moving-source render throughput",
+            "value": 0.0,
+            "unit": "audio-seconds/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU tunnel unreachable at measurement time "
+                     "(device probe timed out); see BENCH_ALL_r03.json "
+                     "for the stamped battery",
+        }))
+        return
     import jax
     import jax.numpy as jnp
 
