@@ -107,6 +107,15 @@ def _link_health(verbose: bool = True):
 
 
 def main() -> None:
+    from bench import _device_reachable
+
+    if not _device_reachable():
+        print(json.dumps({
+            "error": "TPU tunnel unreachable at measurement time "
+                     "(device probe timed out); battery not run",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
