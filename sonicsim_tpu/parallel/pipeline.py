@@ -57,6 +57,18 @@ def pad_moving_plans(
     import jax.numpy as jnp
 
     t = int(weights[0].shape[-1])
+    # Normalize single-waypoint (static) banks to their exact 2-waypoint
+    # equivalent: the RIR duplicated and one segment owning the whole
+    # signal. Crossfading between identical RIRs IS the static conv, so
+    # no special case leaks downstream (previously lengths[i] was empty
+    # and the max_seg reduction crashed).
+    banks, offsets, lengths = list(banks), list(offsets), list(lengths)
+    for i, b in enumerate(banks):
+        if b.shape[0] == 1:
+            xp_i = jnp if isinstance(b, jax.Array) else np
+            banks[i] = xp_i.concatenate([b, b])
+            offsets[i] = np.zeros(1, np.int32)
+            lengths[i] = np.full(1, t, np.int32)
     # Quantize the static shapes (waypoint count up to a multiple of 8,
     # segment bound to 8192 samples): every distinct (P, max_seg) pair is
     # a fresh XLA compile of the fused render, and trajectory lengths

@@ -204,8 +204,12 @@ def render_shoebox_rir_multiband(
         if native_out is None:  # pure-python fallback: broadband per band
             imgs, hits = image_sources(room, source_position, max_order)
             diff = imgs - recv[c_idx][None, :]
-            dist = np.maximum(np.linalg.norm(diff, axis=1), 1e-3)
-            keep = dist / SPEED_OF_SOUND < ir_seconds
+            dist = np.linalg.norm(diff, axis=1)
+            # Same validity window as the native kernel
+            # (sonicsim_native.cpp image_sources: d <= maxd, d >= 1e-6)
+            # and the batched bank renderer (bank_render._lattice) — all
+            # three paths must agree on edge-case images.
+            keep = (dist / SPEED_OF_SOUND <= ir_seconds) & (dist >= 1e-6)
             delays = dist[keep] / SPEED_OF_SOUND
             dirs = diff[keep] / dist[keep, None]
             amps = (

@@ -10,8 +10,11 @@ early stopping, top-k checkpointing and CSV logging.
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
+import math
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -139,6 +142,14 @@ def make_eval_step(model: BaseModel, metric_fn: Callable) -> Callable:
     return step
 
 
+def _replicate_tree(tree: Any, rep) -> Any:
+    """Place every array leaf of ``tree`` on the replicated sharding
+    (non-array leaves — step counts, schedules — pass through)."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a, tree
+    )
+
+
 @dataclass
 class Trainer:
     """Epoch-driven fit loop with plateau LR, early stop, top-k checkpoints."""
@@ -194,7 +205,12 @@ class Trainer:
             return {k: v for k, v in obj.__dict__.items()
                     if isinstance(v, (int, float, str, bool))}
 
-        with open(last / "meta.json", "w") as f:
+        # meta.json is the resume commit marker: written LAST (after the
+        # orbax state) and atomically (tmp + os.replace), so a crash at
+        # any point leaves either the previous complete resume point or
+        # the new one — never a truncated/desynchronized marker.
+        tmp = last / "meta.json.tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "epoch": epoch,
@@ -206,6 +222,7 @@ class Trainer:
                 },
                 f,
             )
+        os.replace(tmp, last / "meta.json")
 
     def _restore_last(self, exp_dir: Path, template_params, template_opt,
                       plateau, stopper):
@@ -245,10 +262,19 @@ class Trainer:
 
         # Mesh size must divide the batch; peek the first batch to choose the
         # largest compatible device count (ragged trailing batches are
-        # dropped below, standard drop_last semantics).
-        first = next(iter(train_batches(0)), None)
+        # dropped below, standard drop_last semantics). The peeked batch is
+        # chained back into epoch 0 below so single-iterator loaders are not
+        # short one batch and factory loaders don't render it twice.
+        first_iter = iter(train_batches(0))
+        first = next(first_iter, None)
         batch_dim = len(first[0]) if first is not None else 1
-        limit = self.n_devices or len(jax.devices())
+        avail = len(jax.devices())
+        limit = min(self.n_devices, avail) if self.n_devices else avail
+        if self.n_devices and self.n_devices > avail:
+            logger.warning(
+                "n_devices=%d exceeds available devices (%d); clamping",
+                self.n_devices, avail,
+            )
         n_dev = max(d for d in range(1, limit + 1) if batch_dim % d == 0)
         mesh = make_mesh(n_dev)
         self._batch_divisor = n_dev
@@ -263,9 +289,7 @@ class Trainer:
         )
         opt_state = optimizer.init(params)
         params = replicate(params, mesh)
-        opt_state = jax.tree.map(
-            lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a, opt_state
-        )
+        opt_state = _replicate_tree(opt_state, rep)
 
         raw_step = make_train_step(
             self.model, self.loss_fn, optimizer, precision=self.precision
@@ -298,11 +322,7 @@ class Trainer:
                 r_params, r_opt, start_epoch, step, best_k = hit
                 state = TrainState(
                     replicate(r_params, mesh),
-                    jax.tree.map(
-                        lambda a: jax.device_put(a, rep)
-                        if hasattr(a, "shape") else a,
-                        r_opt,
-                    ),
+                    _replicate_tree(r_opt, rep),
                 )
                 state.step = step
 
@@ -310,7 +330,15 @@ class Trainer:
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             losses = []
-            for i, (mix, targets) in enumerate(train_batches(epoch)):
+            if epoch == 0 and first_iter is not None:
+                # Re-attach the peeked batch: single-iterator loaders keep
+                # their first batch, factory loaders don't produce it twice.
+                batches = (itertools.chain([first], first_iter)
+                           if first is not None else iter(()))
+            else:
+                batches = train_batches(epoch)
+            first_iter = None
+            for i, (mix, targets) in enumerate(batches):
                 if len(mix) % self._batch_divisor:
                     # drop_last semantics, but never silently: with a small
                     # fixed eval set whole batches can vanish otherwise.
@@ -363,7 +391,12 @@ class Trainer:
                 wb.log(rec)
 
             ckpt = exp_dir / "checkpoints" / f"epoch={epoch}-val_loss={val_loss:.4f}.pkl"
-            if len(best_k) < self.save_top_k or val_loss < best_k[-1][0]:
+            # NaN/inf epochs never enter top-k: a NaN entry defeats the
+            # sort (every comparison is False) and could sit at best_k[0]
+            # forever, exporting a diverged best_model.pkl.
+            if math.isfinite(val_loss) and (
+                len(best_k) < self.save_top_k or val_loss < best_k[-1][0]
+            ):
                 save_model(self.model, state.params, ckpt)
                 best_k.append((val_loss, str(ckpt)))
                 best_k.sort(key=lambda kv: kv[0])

@@ -306,3 +306,24 @@ def test_same_bucket_mixtures_share_one_executable(rng):
         )
         np.asarray(moving), np.asarray(static)
     assert _render_all._cache_size() == 1
+
+
+def test_static_single_waypoint_bank(rng):
+    """A 1-waypoint (static) bank normalizes inside pad_moving_plans to the
+    duplicated-RIR 2-waypoint form and renders exactly the static conv."""
+    data = _synthetic_mixture(rng)
+    speech, banks, weights, offs, lens, sa, sr_, sl, stl = data
+    banks[1] = banks[1][:1]  # (1, C, L): a static source
+    weights[1] = np.zeros(SR, np.float32)
+    offs[1] = np.zeros(0, np.int32)
+    lens[1] = np.zeros(0, np.int32)
+
+    banks_p, w_p, off_p, len_p, max_seg = pad_moving_plans(
+        banks, weights, offs, lens
+    )
+    moving, _ = render_mixture_sources(
+        speech, banks_p, w_p, off_p, len_p, max_seg, sa, sr_, sl, stl, SR,
+    )
+    want = render_static_source(speech[1], banks[1][0])
+    want, _ = loudness_normalize_to(want, SR, float(sl[1]))
+    np.testing.assert_allclose(np.asarray(moving[1]), want, atol=2e-4)

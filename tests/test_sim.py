@@ -356,3 +356,30 @@ def test_interpolate_receiver_poses():
     d = [np.linalg.norm(p) for p, _ in poses]
     assert all(b >= a for a, b in zip(d, d[1:]))
     assert poses[-1][1] < 40.0  # endpoint excluded (linspace endpoint=False)
+
+
+def test_python_fallback_matches_native_multiband(monkeypatch):
+    """The pure-python image-source fallback must agree with the native
+    enumeration: same validity window (d <= maxd, d >= 1e-6, no distance
+    clamp) and per-band amplitudes."""
+    import sonicsim_tpu.native as native
+    from sonicsim_tpu.sim import render_shoebox_rir_multiband
+
+    room = ShoeboxRoom((8.0, 3.0, 6.0), absorption=0.3)
+    src = np.array([2.0, 1.1, 2.2])
+    # Receiver 0.5 mm from the source: exercises the old fallback's 1e-3
+    # distance clamp, which diverged ~2x from the native amplitude.
+    for recv in (np.array([5.0, 1.4, 3.7]), src + np.array([5e-4, 0.0, 0.0])):
+        kw = dict(
+            channel=ChannelModel("Mono"),
+            band_absorption=room.band_absorption(8),
+            sample_rate=SR, seed=3, max_order=2,
+        )
+        ref = render_shoebox_rir_multiband(room, src, recv, **kw)
+        if ref is None:
+            pytest.skip("native library unavailable")
+        with monkeypatch.context() as m:
+            m.setattr(native, "image_sources_multiband",
+                      lambda *a, **k: None)
+            got = render_shoebox_rir_multiband(room, src, recv, **kw)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-7)

@@ -236,3 +236,63 @@ def test_custom_exponential_lr_torch_parity():
         ref.step()
         torch_lr = opt.param_groups[0]["lr"]
         assert ours.step() == pytest.approx(torch_lr), f"step {step}"
+
+
+def test_nan_val_epoch_never_enters_top_k(tmp_path, rng):
+    """A diverged (NaN) validation epoch must not claim a top-k slot: a NaN
+    entry defeats the sort (all comparisons False) and could be exported as
+    best_model.pkl."""
+    model = ConvTasNet(**SMALL)
+    pit = PITLossWrapper(PairwiseNegSDR("snr"), threshold_byloss=False)
+    mix, tgt = _data(np.random.default_rng(0), n=8, t=1600)
+    calls = {"n": 0}
+
+    def train_batches(epoch):
+        yield mix, tgt
+
+    def val_batches():
+        calls["n"] += 1
+        if calls["n"] == 1:  # epoch 0 diverges
+            yield np.full_like(mix, np.nan), tgt
+        else:
+            yield mix, tgt
+
+    trainer = Trainer(
+        model=model, loss_fn=pit, metric_fn=pit, lr=1e-3,
+        max_epochs=2, save_top_k=2, exp_dir=tmp_path,
+    )
+    trainer.fit(train_batches, val_batches, example_len=1600)
+    assert not np.isfinite(trainer.history[0]["val_loss"])
+    bk = json.load(open(tmp_path / "best_k_models.json"))
+    assert len(bk) == 1  # only the finite epoch made it
+    assert all(np.isfinite(v) for v in bk.values())
+
+
+def test_single_iterator_loader_trains_all_batches(tmp_path, rng):
+    """The mesh-sizing peek must not eat the first batch of a loader that
+    returns one shared iterator object."""
+    model = ConvTasNet(**SMALL)
+    pit = PITLossWrapper(PairwiseNegSDR("snr"), threshold_byloss=False)
+    mix, tgt = _data(np.random.default_rng(1), n=8, t=1600)
+    stream = iter([(mix, tgt), (mix, tgt)])
+
+    trainer = Trainer(
+        model=model, loss_fn=pit, lr=1e-3, max_epochs=1, exp_dir=tmp_path,
+    )
+    state = trainer.fit(lambda epoch: stream, example_len=1600)
+    assert state.step == 2  # both batches trained, none double-trained
+
+
+def test_n_devices_clamped_to_available(tmp_path, rng):
+    """n_devices beyond the real device count must clamp, not build a mesh
+    smaller than the batch divisor and crash the first step."""
+    model = ConvTasNet(**SMALL)
+    pit = PITLossWrapper(PairwiseNegSDR("snr"), threshold_byloss=False)
+    mix, tgt = _data(np.random.default_rng(2), n=16, t=1600)
+
+    trainer = Trainer(
+        model=model, loss_fn=pit, lr=1e-3, max_epochs=1,
+        n_devices=16, exp_dir=tmp_path,
+    )
+    trainer.fit(lambda epoch: iter([(mix, tgt)]), example_len=1600)
+    assert trainer._batch_divisor <= len(jax.devices())
