@@ -25,14 +25,21 @@ def _spec_mag(wav, n_fft: int):
     return jnp.abs(stft(jnp.asarray(wav), n_fft, 128, hann_window(n_fft)))
 
 
+_SPEC_MAG_JIT = None  # one shared jit wrapper: per-call jax.jit() retraces
+
+
 def spectral_embedding(wav: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
     """Cheap speaker signature: time-averaged log band energies (64 bands)."""
     import jax
 
+    global _SPEC_MAG_JIT
+    if _SPEC_MAG_JIT is None:
+        # jit rather than eager op-by-op: remote TPU backends reject some
+        # ops outside a compiled computation.
+        _SPEC_MAG_JIT = jax.jit(_spec_mag, static_argnums=1)
+
     n_fft = 512
-    # jit rather than eager op-by-op: remote TPU backends reject some ops
-    # outside a compiled computation.
-    spec = np.asarray(jax.jit(_spec_mag, static_argnums=1)(wav, n_fft))
+    spec = np.asarray(_SPEC_MAG_JIT(wav, n_fft))
     bands = spec.reshape(-1, spec.shape[-1])  # (F, frames)
     # Pool 257 bins → 64 log bands.
     f = bands.shape[0]

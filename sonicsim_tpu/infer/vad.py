@@ -43,6 +43,11 @@ def energy_vad(
         # tests/test_reference_fixtures.py (IoU >= 0.85 measured 0.94).
         loud = np.percentile(energy, 95)
         thr = max(loud - 25.0, threshold_db)
+        if not np.any(energy > thr):
+            # Quiet (un-normalized) recording: every frame sits under the
+            # static floor even though speech is well above ITS noise
+            # floor — adapt below the floor rather than returning nothing.
+            thr = loud - 25.0
         if np.median(energy) < -55:
             thr = max(thr, np.median(energy) + 6.0)
     active = energy > thr

@@ -173,8 +173,22 @@ def _conv(x, w, b, attrs):
     dil = tuple(attrs.get("dilations", [1] * (w.ndim - 2)))
     group = int(attrs.get("group", 1))
     spatial = w.ndim - 2
-    if attrs.get("auto_pad") in ("SAME_UPPER", "SAME_LOWER"):
-        padding = "SAME"
+    auto = attrs.get("auto_pad")
+    if auto in ("SAME_UPPER", "SAME_LOWER"):
+        # Explicit asymmetric pads: ONNX puts the surplus cell at the END
+        # for SAME_UPPER (== XLA "SAME") and at the BEGINNING for
+        # SAME_LOWER (XLA has no equivalent string).
+        padding = []
+        for i in range(spatial):
+            in_i = x.shape[2 + i]
+            eff_k = (w.shape[2 + i] - 1) * dil[i] + 1
+            total = max(
+                (-(-in_i // strides[i]) - 1) * strides[i] + eff_k - in_i, 0
+            )
+            small, big = total // 2, total - total // 2
+            padding.append(
+                (small, big) if auto == "SAME_UPPER" else (big, small)
+            )
     elif pads:
         padding = [(pads[i], pads[i + spatial]) for i in range(spatial)]
     else:
@@ -253,21 +267,29 @@ class OnnxJaxModel:
             elif op == "Log":
                 out = jnp.log(ins[0])
             elif op == "Clip":
-                lo = ins[1] if len(ins) > 2 and ins[1] is not None else at.get("min")
+                # opset 11+: min/max are optional INPUTS 1 and 2
+                lo = ins[1] if len(ins) > 1 and ins[1] is not None else at.get("min")
                 hi = ins[2] if len(ins) > 2 and ins[2] is not None else at.get("max")
                 out = jnp.clip(ins[0], lo, hi)
             elif op == "MaxPool":
+                k = at["kernel_shape"]
                 out = _pool2d(
-                    ins[0], at["kernel_shape"],
-                    at.get("strides", at["kernel_shape"]), at.get("pads"),
-                    jax.lax.max, -jnp.inf,
+                    ins[0], k, at.get("strides", [1] * len(k)),
+                    at.get("pads"), jax.lax.max, -jnp.inf,
                 )
             elif op == "AveragePool":
                 k = at["kernel_shape"]
-                out = _pool2d(
-                    ins[0], k, at.get("strides", k), at.get("pads"),
-                    jax.lax.add, 0.0,
-                ) / float(np.prod(k))
+                strides = at.get("strides", [1] * len(k))
+                pads = at.get("pads")
+                summed = _pool2d(ins[0], k, strides, pads, jax.lax.add, 0.0)
+                if pads and any(pads) and not at.get("count_include_pad", 0):
+                    # ONNX default excludes padded cells from the mean:
+                    # divide by the per-position count of real cells.
+                    ones = jnp.ones_like(ins[0])
+                    count = _pool2d(ones, k, strides, pads, jax.lax.add, 0.0)
+                    out = summed / count
+                else:
+                    out = summed / float(np.prod(k))
             elif op == "GlobalAveragePool":
                 out = jnp.mean(ins[0], axis=tuple(range(2, ins[0].ndim)),
                                keepdims=True)
@@ -284,12 +306,20 @@ class OnnxJaxModel:
             elif op == "Concat":
                 out = jnp.concatenate([i for i in ins], axis=at.get("axis", 0))
             elif op == "Squeeze":
-                axes = at.get("axes") or [int(v) for v in np.asarray(ins[1])]
+                axes = at.get("axes")
+                if axes is None and len(ins) > 1 and ins[1] is not None:
+                    axes = [int(v) for v in np.asarray(ins[1])]
+                if axes is None:  # axes omitted: squeeze ALL unit dims
+                    axes = [i for i, s in enumerate(ins[0].shape) if s == 1]
                 out = ins[0]
                 for ax in sorted(axes, reverse=True):
                     out = jnp.squeeze(out, axis=ax)
             elif op == "Unsqueeze":
-                axes = at.get("axes") or [int(v) for v in np.asarray(ins[1])]
+                axes = at.get("axes")
+                if axes is None and len(ins) > 1 and ins[1] is not None:
+                    axes = [int(v) for v in np.asarray(ins[1])]
+                if axes is None:
+                    raise ValueError("Unsqueeze node without axes")
                 out = ins[0]
                 for ax in sorted(axes):
                     out = jnp.expand_dims(out, axis=ax)
@@ -303,21 +333,17 @@ class OnnxJaxModel:
                 out = ins[0]
                 for other in ins[1:]:
                     out = jnp.minimum(out, other)
-            elif op == "ReduceMax":
-                axes = at.get("axes")
-                axes = tuple(axes) if axes else None
-                out = jnp.max(ins[0], axis=axes,
-                              keepdims=bool(at.get("keepdims", 1)))
-            elif op == "ReduceSum":
+            elif op in ("ReduceMax", "ReduceSum", "ReduceMean"):
+                # opset 18 moved axes from attribute to input 2 for all
+                # Reduce* ops; absent axes means reduce everything.
                 axes = at.get("axes")
                 if axes is None and len(ins) > 1 and ins[1] is not None:
                     axes = np.asarray(ins[1]).tolist()
-                out = jnp.sum(ins[0], axis=tuple(axes) if axes else None,
-                              keepdims=bool(at.get("keepdims", 1)))
-            elif op == "ReduceMean":
-                axes = tuple(at.get("axes", range(ins[0].ndim)))
-                out = jnp.mean(ins[0], axis=axes,
-                               keepdims=bool(at.get("keepdims", 1)))
+                axes = tuple(axes) if axes else None
+                fn = {"ReduceMax": jnp.max, "ReduceSum": jnp.sum,
+                      "ReduceMean": jnp.mean}[op]
+                out = fn(ins[0], axis=axes,
+                         keepdims=bool(at.get("keepdims", 1)))
             elif op == "BatchNormalization":
                 x, scale, bias, mean, var = ins[:5]
                 eps = at.get("epsilon", 1e-5)

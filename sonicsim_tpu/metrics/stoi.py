@@ -15,11 +15,11 @@ from ..utils.wavio import resample
 
 FS = 10000  # internal rate
 N_FFT = 512
-HOP = 256
+HOP = 128  # 50% overlap (classic STOI / pystoi framing)
 WIN = 256
 NUM_BANDS = 15
 MIN_FREQ = 150.0
-SEG_LEN = 30  # frames per segment (384 ms)
+SEG_LEN = 30  # frames per segment (384 ms at hop 128: 30 x 12.8 ms)
 BETA = -15.0  # clipping: -15 dB SDR bound
 DYN_RANGE = 40.0  # silent-frame removal threshold
 

@@ -117,6 +117,25 @@ def test_energy_vad_finds_speech_spans(rng):
     assert segment_mixture(np.zeros(sr, np.float32), sr) == []
 
 
+def test_energy_vad_quiet_recording(rng):
+    """An un-normalized quiet mixture (every frame under the -35 dB static
+    floor) must still adapt and find speech well above ITS noise floor."""
+    from sonicsim_tpu.infer import energy_vad
+
+    sr = 16000
+    x = np.zeros(sr * 6, np.float32)
+    t = np.arange(sr) / sr
+    # Speech at ~-45 dB frame energy, noise floor ~-80 dB.
+    x[sr : 2 * sr] = (np.sin(2 * np.pi * 300 * t) * 0.008).astype(np.float32)
+    x += 1e-4 * rng.standard_normal(len(x)).astype(np.float32)
+    spans = energy_vad(x, sr)
+    assert len(spans) == 1
+    s, e = spans[0]
+    assert abs(s - sr) < sr * 0.2 and abs(e - 2 * sr) < sr * 0.3
+    # True silence still yields nothing.
+    assert energy_vad(np.zeros(sr * 2, np.float32), sr) == []
+
+
 def test_onnx_jax_dnsmos_if_weights_present(rng):
     """Run the committed DNSMOS graphs through the ONNX→JAX executor."""
     from pathlib import Path
