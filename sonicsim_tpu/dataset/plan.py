@@ -20,7 +20,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-from ..utils.wavio import read_wav
+from ..utils.wavio import wav_num_frames
 
 
 @dataclass
@@ -61,10 +61,9 @@ def scan_audio_lengths(audio_dir: str | Path) -> dict[str, int]:
     for p in sorted(Path(audio_dir).rglob("*")):
         if p.is_file() and not p.suffix == ".txt":
             try:
-                wav, _ = read_wav(p)
+                out[str(p)] = wav_num_frames(p)
             except (ValueError, OSError):
                 continue
-            out[str(p)] = wav.shape[-1]
     return out
 
 
@@ -129,7 +128,15 @@ def select_files_to_fill(
     min_len = target_samples * threshold
     while pool and current < min_len:
         path = pool[rng.integers(len(pool))]
-        if current + lengths[path] < target_samples:
+        # Reference quirk: the walk-dir variant accepts an exactly-filling
+        # file (<=, SonicSim_audio.py:184) while the from_json variant
+        # treats it as overflow (<, :220).
+        fits = (
+            current + lengths[path] <= target_samples
+            if stop_on_overflow
+            else current + lengths[path] < target_samples
+        )
+        if fits:
             selected.append(path)
             current += lengths[path]
         else:
@@ -213,9 +220,10 @@ def plan_background_audio(
         padded_len = n + silence  # silence after the clip (ref :314-315)
         window = total - cursor
         if padded_len >= window:
-            # Final clip: random inset from both edges of what remains.
-            r_start = int(rng.integers(0, max(int(window * 0.1), 1)))
-            r_end = int(rng.integers(0, max(int(window * 0.1), 1)))
+            # Final clip: random inset from both edges of what remains
+            # (+1: random.randint's upper bound is inclusive, :316-318).
+            r_start = int(rng.integers(0, int(window * 0.1) + 1))
+            r_end = int(rng.integers(0, int(window * 0.1) + 1))
             dest_start = cursor + r_start
             dest_end = total - r_end
             avail = min(n - r_start, dest_end - dest_start)

@@ -4,7 +4,9 @@ Parity: enhancement/look2hear/datas/movingdatamodule_remix.py:77-160 —
 trains from a precomputed segment manifest mapping
 ``"<sample_dir>/<spk>-<spk>[-...]" -> [[start, end], ...]`` over separated
 ``s{idx}.wav`` sources; noise tracks are densified with ``overlap_audio``;
-SNR is applied at the recorded segment boundaries.
+mix = speech + raw noise (the reference's "Random SIR and SNR" comment at
+movingdatamodule_remix.py:141 has no code under it — no scaling is
+applied). Pass ``snr_range`` explicitly to opt into SNR scaling.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ class RemixTrainDataset:
     num_spks: int = 1
     is_mono: bool = True
     noise_type: str = "noise"
-    snr_range: tuple[float, float] = (10.0, 20.0)
+    snr_range: tuple[float, float] | None = None  # parity default: raw sum
     seed: int = 0
     epoch: int = 0
     segments: dict = field(default_factory=dict)
@@ -53,7 +55,13 @@ class RemixTrainDataset:
         key = self.keys[rng.integers(len(self.keys))]
         spk_ids = sorted(int(i) for i in key.split("/")[-1].split("-"))
         folder = key[: -(len(key.split("/")[-1]) + 1)]
-        chosen = [spk_ids[rng.integers(len(spk_ids))] for _ in range(self.num_spks)]
+        # Without replacement: the same s{i}.wav twice would make a
+        # degenerate duplicated-target example (reference draws k=1 only,
+        # movingdatamodule_remix.py:110).
+        chosen = list(
+            rng.choice(spk_ids, size=min(self.num_spks, len(spk_ids)),
+                       replace=False)
+        )
         speakers = np.stack(
             [_load_mono(f"{folder}/s{i}.wav", self.is_mono) for i in chosen]
         )
@@ -72,9 +80,11 @@ class RemixTrainDataset:
         noise = noise[:, start:end]
 
         all_speech = speakers.sum(axis=0)
-        all_noise = apply_snr(
-            all_speech, noise.sum(axis=0), float(rng.uniform(*self.snr_range))
-        )
+        all_noise = noise.sum(axis=0)
+        if self.snr_range is not None:  # opt-in; reference applies none
+            all_noise = apply_snr(
+                all_speech, all_noise, float(rng.uniform(*self.snr_range))
+            )
         mix = (all_speech + all_noise).astype(np.float32)
         targets = speakers.astype(np.float32)
         if self.num_spks == 1:

@@ -122,7 +122,9 @@ class MovingTrainDataset:
         t = speakers.shape[-1]
         start = 0
         for _ in range(101):
-            start = int(rng.integers(0, max(t - crop, 1)))
+            # +1: the reference's random.randint(0, t - crop) is
+            # INCLUSIVE of the final valid window (movingdatamodule.py:87).
+            start = int(rng.integers(0, max(t - crop + 1, 1)))
             seg = speakers[..., start : start + crop]
             if all(rms_db(seg[i]) >= self.silence_db for i in range(self.num_spks)):
                 break

@@ -38,8 +38,12 @@ def ssnr(ref: np.ndarray, deg: np.ndarray, srate: int = 16000, eps: float = 1e-1
     clean = ref - ref.mean()
     proc = deg - deg.mean()
     proc = proc * (np.max(np.abs(clean)) / (np.max(np.abs(proc)) + eps))
-    dif = ref - deg
-    overall = 10 * np.log10(np.sum(ref**2) / (np.sum(dif**2) + 1e-19))
+    # The reference removes DC / rescales IN PLACE before taking dif
+    # (wrapper_vctk.py:73-80), so the overall SNR sees the mutated
+    # signals — a pure gain mismatch therefore scores near-infinite SNR,
+    # not ~6 dB.
+    dif = clean - proc
+    overall = 10 * np.log10(np.sum(clean**2) / (np.sum(dif**2) + 1e-19))
 
     winlength = int(np.round(30 * srate / 1000))
     skiprate = winlength // 4
@@ -113,7 +117,14 @@ def wss(ref: np.ndarray, deg: np.ndarray, srate: int = 16000) -> float:
         w = (w_clean + w_proc) / 2
         d = np.sum(w * (clean_slope[: num_crit - 1] - processed_slope[: num_crit - 1]) ** 2)
         distortion.append(d / np.sum(w))
-    return float(np.mean(distortion)) if distortion else float("nan")
+    if not distortion:
+        return float("nan")
+    # The reference composites average only the lowest 95% of frame
+    # distortions (wrapper_vctk.py:344-349); that trimmed mean is the
+    # only wss value they ever consume.
+    distortion = np.sort(np.nan_to_num(np.asarray(distortion)))
+    keep = distortion[: int(round(len(distortion) * 0.95))]
+    return float(np.mean(keep)) if len(keep) else float("nan")
 
 
 def _lpcoeff(frame: np.ndarray, order: int):
@@ -154,6 +165,11 @@ def llr(ref: np.ndarray, deg: np.ndarray, srate: int = 16000) -> float:
         den = a_clean @ toeplitz @ a_clean
         if den > 0 and num / den > 0:
             vals.append(np.log(num / den))
+        else:
+            # Reference parity: invalid frames become 0.0 via
+            # np.nan_to_num (wrapper_vctk.py:316) and ARE included in
+            # the sorted/trimmed mean, not dropped.
+            vals.append(0.0)
     vals = np.sort(vals)
     vals = vals[: int(round(len(vals) * 0.95))]  # standard 95% trimming
     return float(np.mean(vals)) if len(vals) else float("nan")

@@ -13,7 +13,6 @@ from pathlib import Path
 
 import numpy as np
 
-from ..utils.wavio import resample
 
 
 SAMPLING_RATE = 48_000
@@ -88,7 +87,15 @@ class SigMOS:
     def __call__(self, audio: np.ndarray, sr: int | None = None) -> dict:
         audio = np.asarray(audio, np.float32).reshape(-1)
         if sr is not None and sr != self.SAMPLING_RATE:
-            audio = resample(audio, sr, self.SAMPLING_RATE)
+            # Fourier-method resample, matching the reference's
+            # librosa res_type='fft' (sigmos/sigmos.py:30,70) —
+            # librosa maps it to scipy.signal.resample with
+            # ceil(n * ratio) output samples; polyphase would give
+            # slightly different 48 kHz signals and thus different MOS.
+            from scipy.signal import resample as _fft_resample
+
+            n_out = int(np.ceil(len(audio) * self.SAMPLING_RATE / sr))
+            audio = _fft_resample(audio, n_out).astype(np.float32)
         feats = sigmos_features(sigmos_stft(audio, self.window))
         out = np.asarray(self.model(feats)[0])[0]
         return {name: float(out[i]) for i, name in enumerate(self.AXES)}

@@ -82,6 +82,36 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     return x[: n_frames * n_ch].reshape(n_frames, n_ch).T.copy(), sr
 
 
+def wav_num_frames(path: str | Path) -> int:
+    """Frame count from the RIFF header alone (fmt block_align + data
+    chunk size) — no sample decode. Length-manifest scans over large
+    corpora stay I/O-bound instead of decode-bound."""
+    import os
+
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        size = os.fstat(f.fileno()).st_size
+        block_align = data_size = None
+        while block_align is None or data_size is None:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            (csize,) = struct.unpack("<I", hdr[4:])
+            if hdr[:4] == b"fmt ":
+                body = f.read(csize + (csize & 1))
+                block_align = struct.unpack_from("<HHIIHH", body, 0)[4]
+            else:
+                if hdr[:4] == b"data":
+                    # clamp: a truncated file's data header may overclaim
+                    data_size = min(csize, size - f.tell())
+                f.seek(csize + (csize & 1), 1)
+    if not block_align or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    return data_size // block_align
+
+
 def write_wav(
     path: str | Path,
     waveform: np.ndarray,

@@ -70,3 +70,13 @@ def test_raw_measures_sane(speech):
     assert wss(speech, deg, SR) > 0.0
     overall, seg = ssnr(speech, deg, SR)
     assert -10.0 < seg < 35.0
+
+
+def test_ssnr_overall_gain_invariant(speech):
+    """Reference SSNR rescales deg to ref's peak before the overall-SNR
+    dif (wrapper_vctk.py:73-80): a pure gain mismatch scores near-perfect
+    overall SNR, not ~6 dB."""
+    from sonicsim_tpu.metrics.composite import ssnr
+
+    overall, _ = ssnr(speech, 0.5 * speech, SR)
+    assert overall > 40.0

@@ -515,3 +515,19 @@ def test_utterance_cache_empty_wav(tmp_path, rng):
     cache = UtteranceCache(sample_rate=SR, lmax=1 << 14)
     rows, n = cache.get(tmp_path / "empty.wav")
     assert n == 0 and len(rows) == 1
+
+
+def test_select_files_exact_fill_accepted_walkdir():
+    """Reference quirk: the walk-dir selector accepts an exactly-filling
+    file (<=, SonicSim_audio.py:184); the from_json variant treats it as
+    overflow-append (<, :220)."""
+    from sonicsim_tpu.dataset.plan import select_files_to_fill
+
+    lengths = {"a": 1000}
+    rng = np.random.default_rng(0)
+    # walk-dir: exactly-filling file is selected normally
+    assert select_files_to_fill(lengths, 1000, rng) == ["a"]
+    # from_json: < means 1000 doesn't fit, but the overflow append keeps it
+    assert select_files_to_fill(
+        lengths, 1000, np.random.default_rng(0), stop_on_overflow=False
+    ) == ["a"]

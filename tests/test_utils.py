@@ -146,3 +146,12 @@ def test_pcm16_quantize_matches_write_wav(tmp_path):
     assert (tmp_path / "host.wav").read_bytes() == (tmp_path / "dev.wav").read_bytes()
     back, sr = read_wav(tmp_path / "dev.wav")
     assert sr == 16000 and back.shape == x.shape
+
+
+def test_wav_num_frames_matches_decode(tmp_path, rng):
+    from sonicsim_tpu.utils.wavio import read_wav, wav_num_frames, write_wav
+
+    for i, t in enumerate((1600, 16001)):
+        p = tmp_path / f"w{i}.wav"
+        write_wav(p, (rng.standard_normal(t) * 0.1).astype(np.float32), 16000)
+        assert wav_num_frames(p) == read_wav(p)[0].shape[-1] == t
