@@ -30,7 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--mix", required=True, help="input mixture wav")
-    ap.add_argument("--out_dir", default=".")
+    ap.add_argument("--out_dir", default=None,
+                    help="output directory (default: next to the mix)")
     ap.add_argument("--segment_seconds", type=float, default=10.0)
     ap.add_argument("--bf16", action="store_true",
                     help="run the model core in bfloat16 (MXU-native)")
@@ -69,7 +70,7 @@ def main() -> None:
         stitch_segments(segments, sr, embed_fn=embed_fn)
     )
 
-    out = Path(args.out_dir)
+    out = Path(args.out_dir) if args.out_dir else Path(args.mix).parent
     out.mkdir(parents=True, exist_ok=True)
     for i in range(tracks.shape[0]):
         write_wav(out / f"s{i + 1}_est.wav", tracks[i], sr)

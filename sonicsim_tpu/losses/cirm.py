@@ -44,6 +44,18 @@ def apply_cirm(crm, noisy_real, noisy_imag):
     return real, imag
 
 
+def _stft_window(n_fft: int, win_length: int):
+    """torch.stft semantics: a hann window of ``win_length`` samples,
+    zero-padded centered to ``n_fft`` when shorter."""
+    w = hann_window(win_length)
+    if win_length == n_fft:
+        return w
+    left = (n_fft - win_length) // 2
+    import jax.numpy as _jnp
+
+    return _jnp.pad(w, (left, n_fft - win_length - left))
+
+
 class FullbandLoss:
     """MSE between predicted and ideal compressed cIRM."""
 
@@ -54,7 +66,8 @@ class FullbandLoss:
         crm, noisy_real, noisy_imag = ests
         if refs.ndim == 3:  # (B, 1, T) targets from the datamodule
             refs = refs[:, 0]
-        clean = stft(refs, self.n_fft, self.hop_length, hann_window(self.n_fft))
+        clean = stft(refs, self.n_fft, self.hop_length,
+                     _stft_window(self.n_fft, self.win_length))
         cirm = build_cirm(noisy_real, noisy_imag, clean.real, clean.imag)
         crm = jnp.transpose(crm, (0, 2, 3, 1))  # (B, F, T, 2)
         return jnp.mean((cirm - crm) ** 2)
@@ -69,16 +82,19 @@ class FullbandEval:
     def __call__(self, ests, refs):
         if refs.ndim == 3:
             refs = refs[:, 0]
-        wav = cirm_inference(ests, self.n_fft, self.hop_length, refs.shape[-1])
+        wav = cirm_inference(ests, self.n_fft, self.hop_length, refs.shape[-1],
+                             win_length=self.win_length)
         return jnp.mean(singlesrc_neg_sdr(wav, refs, "sisdr"))
 
 
-def cirm_inference(ests, n_fft: int, hop_length: int, length: int) -> jax.Array:
+def cirm_inference(ests, n_fft: int, hop_length: int, length: int,
+                   win_length: int | None = None) -> jax.Array:
     """Model output tuple → enhanced waveform (B, T)
     (fullband_loss.py:206-221)."""
     crm, noisy_real, noisy_imag = ests
     crm = jnp.transpose(crm, (0, 2, 3, 1))
     real, imag = apply_cirm(crm, noisy_real, noisy_imag)
     return istft(
-        real + 1j * imag, n_fft, hop_length, hann_window(n_fft), length=length
+        real + 1j * imag, n_fft, hop_length,
+        _stft_window(n_fft, win_length or n_fft), length=length,
     )

@@ -172,19 +172,57 @@ class EcapaTdnn(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def speechbrain_mel_fb(sample_rate: int, n_fft: int, n_mels: int,
+                       f_min: float = 0.0,
+                       f_max: float | None = None) -> np.ndarray:
+    """speechbrain.processing.features.Filterbank triangular filters:
+    HTK mel points, each filter a SYMMETRIC triangle of half-width equal
+    to its LEFT mel gap (band[:-1]) — not librosa's slaney-normalized
+    asymmetric triangles. → (n_mels, n_fft//2+1)."""
+    f_max = f_max if f_max is not None else sample_rate / 2
+
+    def to_mel(hz):
+        return 2595.0 * np.log10(1.0 + np.asarray(hz) / 700.0)
+
+    def to_hz(mel):
+        return 700.0 * (10.0 ** (np.asarray(mel) / 2595.0) - 1.0)
+
+    hz = to_hz(np.linspace(to_mel(f_min), to_mel(f_max), n_mels + 2))
+    band = (hz[1:] - hz[:-1])[:-1]  # (n_mels,)
+    f_central = hz[1:-1]  # (n_mels,)
+    all_freqs = np.linspace(0, sample_rate // 2, n_fft // 2 + 1)
+    slope = (all_freqs[None, :] - f_central[:, None]) / band[:, None]
+    return np.maximum(0.0, np.minimum(slope + 1.0, 1.0 - slope)).astype(
+        np.float32
+    )
+
+
 def ecapa_fbank(wav: jax.Array, sample_rate: int = 16000,
                 n_mels: int = 80, n_fft: int = 400, hop: int = 160):
-    """(T,) or (B, T) waveform → (B, frames, n_mels) normalized log-fbanks."""
-    from ..metrics.dnsmos import librosa_mel_fb
-    from ..ops.stft import hann_window, stft
+    """(T,) or (B, T) waveform → (B, frames, n_mels) normalized log-fbanks.
+
+    Replicates the speechbrain Fbank frontend the pretrained
+    spkrec-ecapa-voxceleb checkpoint was trained on
+    (speechbrain/lobes/features.py Fbank → processing/features.py STFT +
+    Filterbank): periodic Hamming window, constant (zero) center padding,
+    power spectrum, HTK-mel symmetric triangular filters, 10*log10 dB
+    with a per-utterance top_db=80 floor, then sentence mean-norm
+    (InputNormalization norm_type='sentence', std_norm=False)."""
+    from ..ops.stft import stft
 
     wav = jnp.atleast_2d(wav.astype(jnp.float32))
-    spec = stft(wav, n_fft, hop, hann_window(n_fft))  # (B, F, frames)
+    pad = n_fft // 2
+    x = jnp.pad(wav, ((0, 0), (pad, pad)))  # torch.stft pad_mode=constant
+    n = jnp.arange(n_fft)
+    window = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / n_fft)  # periodic
+    spec = stft(x, n_fft, hop, window, center=False)  # (B, F, frames)
     power = jnp.abs(spec) ** 2
-    fb = jnp.asarray(librosa_mel_fb(sample_rate, n_fft, n_mels))  # (M, F)
+    fb = jnp.asarray(speechbrain_mel_fb(sample_rate, n_fft, n_mels))
     mel = jnp.einsum("mf,bft->btm", fb, power)
-    logmel = jnp.log(jnp.maximum(mel, 1e-10))
-    return logmel - logmel.mean(axis=1, keepdims=True)  # sentence mean-norm
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    floor = db.max(axis=(1, 2), keepdims=True) - 80.0  # top_db
+    db = jnp.maximum(db, floor)
+    return db - db.mean(axis=1, keepdims=True)  # sentence mean-norm
 
 
 # ---------------------------------------------------------------------------

@@ -45,9 +45,11 @@ def sinc_filters(low_hz, band_hz, kernel_size: int, sample_rate: int,
     )
     half = (kernel_size - 1) // 2
     n = jnp.arange(-half, 0, dtype=jnp.float32) / sample_rate  # left half, s
-    window = 0.54 - 0.46 * jnp.cos(
-        2 * jnp.pi * jnp.arange(half, dtype=jnp.float32) / kernel_size
-    )
+    # SincNet's half-Hamming window samples linspace(0, k/2-1, k//2) —
+    # NON-integer points for odd kernels (e.g. 0..124.5 for k=251), the
+    # function the pretrained low_hz/band_hz were optimized against.
+    n_lin = jnp.linspace(0.0, kernel_size / 2 - 1, half)
+    window = 0.54 - 0.46 * jnp.cos(2 * jnp.pi * n_lin / kernel_size)
     f_low = 2 * jnp.pi * low[:, None] * n[None, :]
     f_high = 2 * jnp.pi * high[:, None] * n[None, :]
     # SincNet formula: left = (sin(2π f2 t) − sin(2π f1 t)) / (π t) · w,
@@ -264,7 +266,16 @@ def make_neural_vad(
     sd_clean = {k.removeprefix("model."): v for k, v in sd.items()}
     n_classes = sd_clean["classifier.weight"].shape[0]
     hidden = sd_clean["lstm.weight_ih_l0"].shape[0] // 4
-    model = PyanNet(n_classes=n_classes, lstm_hidden=hidden)
+    # Infer depth from the checkpoint rather than hardcoding: flax
+    # silently ignores unused param subtrees, so a too-shallow model
+    # would skip imported LSTM/FF layers without any error.
+    n_lstm = len([k for k in sd_clean
+                  if k.startswith("lstm.weight_ih_l")
+                  and not k.endswith("_reverse")])
+    ff_ids = {k.split(".")[1] for k in sd_clean if k.startswith("linear.")}
+    model = PyanNet(n_classes=n_classes, lstm_hidden=hidden,
+                    lstm_layers=max(n_lstm, 1),
+                    ff_layers=max(len(ff_ids), 1))
     params = convert_pyannet(sd)
     fwd = jax.jit(lambda w: model.apply(params, w))
 

@@ -376,7 +376,13 @@ def _render_core(
             ux * normals[:, 0:1] + uy * normals[:, 1:2] + uz * normals[:, 2:3]
         )
     elif channel_type == "Ambisonics":
-        Y = _real_sh((ux, uy, uz), channel_order)  # (P, N, C)
+        # Head-locked SH basis: rotate world dirs into the receiver frame
+        # first (twin of channels.directional_gain; the per-item rotation
+        # rides in the otherwise-unused normals slot as [cos, sin, 0]).
+        c_, s_ = normals[:, 0:1], normals[:, 1:2]
+        lx = c_ * ux - s_ * uz
+        lz = s_ * ux + c_ * uz
+        Y = _real_sh((lx, uy, lz), channel_order)  # (P, N, C)
         gain = jnp.take_along_axis(
             Y, chan_idx[:, None, None].astype(jnp.int32), axis=2
         )[..., 0]
@@ -552,9 +558,18 @@ def _flatten_items(oracle, source_positions, receiver_positions, channel,
     for s in range(n_src):
         for r in range(n_recv):
             offsets = channel.receiver_offsets(rotations[r])  # (C, 3)
-            norms = offsets / np.maximum(
-                np.linalg.norm(offsets, axis=1, keepdims=True), 1e-9
-            )
+            if channel.channel_type == "Ambisonics":
+                # SH offsets are all zero, so the normals slot is free:
+                # carry the per-receiver head rotation as [cos, sin, 0]
+                # for the device-side world→head dir rotation.
+                rot = np.radians(rotations[r])
+                norms = np.tile(
+                    [np.cos(rot), np.sin(rot), 0.0], (channel.count, 1)
+                )
+            else:
+                norms = offsets / np.maximum(
+                    np.linalg.norm(offsets, axis=1, keepdims=True), 1e-9
+                )
             rcv = np.asarray(receiver_positions[r], np.float64)
             for c in range(n_ch):
                 srcs_flat.append(np.asarray(source_positions[s], np.float64))

@@ -122,7 +122,16 @@ class ChannelModel:
         if self.channel_type == "Mono" or self.channel_type == "CustomArrayIR":
             return np.ones((len(d), self.count))
         if self.channel_type == "Ambisonics":
-            return real_sh_matrix(d, self.channel_order)
+            # The SH basis is head-locked (like the binaural ear axes):
+            # rotate world dirs into the receiver frame (inverse of
+            # receiver_offsets' rotate_y) before evaluating.
+            rot = math.radians(rotation_deg)
+            c_, s_ = math.cos(rot), math.sin(rot)
+            d_local = np.stack(
+                [c_ * d[:, 0] - s_ * d[:, 2], d[:, 1],
+                 s_ * d[:, 0] + c_ * d[:, 2]], axis=1
+            )
+            return real_sh_matrix(d_local, self.channel_order)
         # Binaural: broadband head-shadow approximation — a cardioid-ish
         # gain toward each ear's outward normal.
         offsets = self.receiver_offsets(rotation_deg)

@@ -24,6 +24,21 @@ from .image_source import ShoeboxRoom
 from .materials import DEFAULT_MATERIALS, Material
 from .oracle import ACOUSTIC_CONFIG, RirOracle, SyntheticRirOracle, render_rir_bank
 
+_FIXED_CONV_JIT = None
+
+
+def _fixed_conv_jit():
+    """Module-cached jit of ops.convolve_fixed_receiver — a fresh
+    jax.jit() per generate_data call would retrace every invocation."""
+    global _FIXED_CONV_JIT
+    if _FIXED_CONV_JIT is None:
+        import jax
+
+        from ..ops.fftconv import convolve_fixed_receiver
+
+        _FIXED_CONV_JIT = jax.jit(convolve_fixed_receiver)
+    return _FIXED_CONV_JIT
+
 
 @dataclass
 class Scene:
@@ -139,9 +154,6 @@ class Scene:
         (``audio_list``) plus the loaded dry sounds. ``dry_sounds`` entries
         may be arrays or wav paths.
         """
-        import jax
-
-        from ..ops.fftconv import convolve_fixed_receiver
         from ..utils.wavio import read_wav
 
         ir_list = self.render_ir_all(
@@ -152,7 +164,7 @@ class Scene:
         if use_dry_sound:
             if dry_sounds is None or len(dry_sounds) != len(source_positions):
                 raise ValueError("use_dry_sound requires one dry sound per source")
-            conv = jax.jit(convolve_fixed_receiver)
+            conv = _fixed_conv_jit()
             for dry, ir in zip(dry_sounds, ir_list):
                 if isinstance(dry, (str, bytes)):
                     dry, _sr = read_wav(dry)

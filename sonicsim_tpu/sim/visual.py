@@ -89,9 +89,12 @@ def topdown_render_fn(
         cc = slice(max(c - marker_radius, 0), min(c + marker_radius + 1, w))
         rgb[rr, cc] = (255, 40, 40)
         theta = math.radians(rotation_deg)
+        # Forward for rotation θ is world (-sin θ, -cos θ) in (x, z)
+        # under rotate_y / habitat's quat-about-+y convention (head
+        # frame forward = -z), so BOTH pixel deltas are negative.
         for step in range(1, heading_len + 1):
             hr = r - int(round(step * math.cos(theta)))
-            hc = c + int(round(step * math.sin(theta)))
+            hc = c - int(round(step * math.sin(theta)))
             if 0 <= hr < h and 0 <= hc < w:
                 rgb[hr, hc] = (40, 220, 40)
         depth = np.zeros(base.shape, np.float32)

@@ -22,17 +22,26 @@ class ReduceLROnPlateau:
         patience: int = 10,
         min_lr: float = 0.0,
         mode: str = "min",
+        threshold: float = 1e-4,
     ):
         self.lr = lr
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
         self.mode = mode
+        self.threshold = threshold
         self.best = math.inf if mode == "min" else -math.inf
         self.bad_epochs = 0
 
     def step(self, metric: float) -> float:
-        improved = metric < self.best if self.mode == "min" else metric > self.best
+        # torch parity: relative threshold (default 1e-4) — float-noise
+        # creep does NOT count as improvement, so a slow plateau still
+        # decays the LR (torch threshold_mode='rel').
+        improved = (
+            metric < self.best * (1.0 - self.threshold)
+            if self.mode == "min"
+            else metric > self.best * (1.0 + self.threshold)
+        )
         if improved:
             self.best = metric
             self.bad_epochs = 0
@@ -121,4 +130,6 @@ class EarlyStopping:
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-        return self.bad_epochs > self.patience
+        # Lightning parity: stop when wait_count REACHES patience
+        # (>=), i.e. after the patience-th non-improving epoch.
+        return self.bad_epochs >= self.patience

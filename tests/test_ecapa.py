@@ -189,3 +189,44 @@ def test_ecapa_embedder_in_stitcher(torch_model, tmp_path, rng):
     segs = [np.stack([a, b]), np.stack([b, a])]  # swapped in segment 2
     out = stitch_segments(segs, 16000, embed_fn=embed)
     np.testing.assert_array_equal(out[1], segs[1][[1, 0]])
+
+
+def test_ecapa_fbank_stft_matches_torch_speechbrain_framing(rng):
+    """speechbrain's STFT is torch.stft with a periodic Hamming window and
+    CONSTANT (zero) center padding — verify our framing against torch."""
+    import jax.numpy as jnp
+    import torch
+
+    from sonicsim_tpu.ops.stft import stft
+
+    x = rng.standard_normal(3200).astype(np.float32)
+    n_fft, hop = 400, 160
+    want = torch.stft(
+        torch.from_numpy(x), n_fft=n_fft, hop_length=hop,
+        window=torch.hamming_window(n_fft, periodic=True),
+        center=True, pad_mode="constant", return_complex=True,
+    ).numpy()
+    pad = n_fft // 2
+    xp = jnp.pad(jnp.asarray(x), (pad, pad))
+    n = jnp.arange(n_fft)
+    window = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / n_fft)
+    got = np.asarray(stft(xp, n_fft, hop, window, center=False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_speechbrain_mel_fb_shape_and_peaks():
+    """HTK-mel symmetric triangles: unit peak per filter, support within
+    [f_central - band, f_central + band]."""
+    from sonicsim_tpu.models.ecapa import speechbrain_mel_fb
+
+    fb = speechbrain_mel_fb(16000, 400, 80)
+    assert fb.shape == (80, 201)
+    assert fb.min() >= 0.0 and fb.max() <= 1.0 + 1e-6
+    # Low-mel triangles can be narrower than the 40 Hz bin spacing (a
+    # speechbrain property too), but most filters must have support and
+    # their sampled peaks must march upward in frequency.
+    has = fb.max(axis=1) > 0
+    assert has.mean() > 0.8
+    centers = fb[has].argmax(axis=1)
+    assert (np.diff(centers) >= 0).all()

@@ -34,8 +34,9 @@ class TSinc(tnn.Module):
         high = (low + 50.0 + self.band_hz_.abs()).clamp(50.0, self.sr / 2)
         half = (self.k - 1) // 2
         n = torch.arange(-half, 0).float() / self.sr
+        # true SincNet window: linspace(0, k/2-1, k//2) — non-integer pts
         window = 0.54 - 0.46 * torch.cos(
-            2 * math.pi * torch.arange(half).float() / self.k
+            2 * math.pi * torch.linspace(0.0, self.k / 2 - 1, half) / self.k
         )
         f1 = 2 * math.pi * low * n
         f2 = 2 * math.pi * high * n

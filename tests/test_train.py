@@ -296,3 +296,25 @@ def test_n_devices_clamped_to_available(tmp_path, rng):
     )
     trainer.fit(lambda epoch: iter([(mix, tgt)]), example_len=1600)
     assert trainer._batch_divisor <= len(jax.devices())
+
+
+def test_plateau_threshold_rel_torch_parity():
+    """torch ReduceLROnPlateau parity: float-noise creep (< rel threshold
+    1e-4) is NOT improvement, so the LR decays on a slow plateau."""
+    import pytest
+    import torch
+
+    from sonicsim_tpu.train.schedulers import ReduceLROnPlateau
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.5)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=3)
+    ours = ReduceLROnPlateau(0.5, factor=0.5, patience=3)
+    metric = 1.0
+    for step in range(15):
+        metric *= 1.0 - 1e-7  # creeping, sub-threshold improvement
+        ref.step(metric)
+        lr = ours.step(metric)
+        assert lr == pytest.approx(opt.param_groups[0]["lr"]), f"step {step}"
+    assert lr < 0.5  # decayed despite the creep
