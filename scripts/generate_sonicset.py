@@ -76,6 +76,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_mixtures", type=int, default=None)
     ap.add_argument("--transcripts_csv", default=None)
+    ap.add_argument("--bank_dir", default=None,
+                    help="directory of per-scene RIR bank .npz files "
+                    "(scripts/import_rir_banks.py output); scenes render "
+                    "from the banks instead of synthetic shoeboxes")
     ap.add_argument("--wav_encoding", default="pcm16",
                     choices=["pcm16", "float32"],
                     help="pcm16: half-size files, peak-guarded (scales in "
@@ -94,9 +98,17 @@ def main() -> None:
 
     if args.scene_list:
         scenes = [l.strip() for l in open(args.scene_list) if l.strip()]
+    elif args.bank_dir:
+        scenes = sorted(p.stem for p in Path(args.bank_dir).glob("*.npz"))
+        if not scenes:
+            ap.error(f"--bank_dir {args.bank_dir} contains no .npz banks")
     else:
         scenes = [f"scene{i:03d}" for i in range(args.n_scenes)]
 
+    if not (args.noise_json or args.noise_dir):
+        ap.error("one of --noise_json / --noise_dir is required")
+    if not (args.music_json or args.music_dir):
+        ap.error("one of --music_json / --music_dir is required")
     speech_dirs = sorted(
         str(p) for p in Path(args.speech_root).iterdir() if p.is_dir()
     )
@@ -119,8 +131,20 @@ def main() -> None:
     mic_array = {
         None: None, "linear4": LINEAR_4CH_ARRAY, "circular4": CIRCULAR_4CH_ARRAY
     }[args.mic_array]
+    if args.bank_dir:
+        bank_dir = Path(args.bank_dir)
+
+        def factory(name: str) -> Scene:
+            return Scene.from_bank(
+                bank_dir / f"{name}.npz", room=name,
+                channel_type=args.channel_type, mic_array=mic_array,
+            )
+    else:
+        factory = synthetic_scene_factory(
+            args.channel_type, 1, mic_array, args.seed
+        )
     produced = generate_split(
-        synthetic_scene_factory(args.channel_type, 1, mic_array, args.seed),
+        factory,
         scenes,
         speech_dirs,
         noise,

@@ -487,7 +487,12 @@ def finalize_mixture(handle: dict, writer: "ArtifactWriter | None" = None) -> di
     def _words(names):
         if not transcripts:
             return []
-        return [transcripts.get(Path(n).name, "") for n in names]
+        # Stem fallback: reference transcript CSVs key '<id>.flac' while
+        # the WAV corpus places '<id>.wav'.
+        return [
+            transcripts.get(Path(n).name) or transcripts.get(Path(n).stem, "")
+            for n in names
+        ]
 
     meta = {
         **{

@@ -118,6 +118,8 @@ class DNSMOS:
     ) -> dict:
         fs = sampling_rate
         audio = np.asarray(audio, np.float32).reshape(-1)
+        if len(audio) == 0:
+            raise ValueError("DNSMOS: empty audio")
         len_samples = int(INPUT_LENGTH * fs)
         while len(audio) < len_samples:
             audio = np.append(audio, audio)

@@ -224,12 +224,22 @@ def convolve_moving_segmented(
     conv = conv[..., l - 1 : l - 1 + max_seg]  # (n_seg, 2, C, max_seg)
 
     if use_pallas:
-        from .pallas_kernels import crossfade_combine
+        from .pallas_kernels import BLOCK, crossfade_combine
 
-        return crossfade_combine(
-            conv, offsets.astype(jnp.int32), offsets_al.astype(jnp.int32),
-            interp_weight.astype(jnp.float32), t,
-        )
+        # The Pallas kernel blends at most the 2 segments (s0, s0+1) a
+        # grid block can touch — valid only when every segment is at
+        # least BLOCK long. Enforce when lengths are concrete (host
+        # call); silently-wrong audio otherwise. Traced lengths keep the
+        # caller's contract.
+        if not isinstance(lengths, jax.core.Tracer):
+            lv = np.asarray(lengths)
+            if lv.size and int(lv.min()) < BLOCK:
+                use_pallas = False
+        if use_pallas:
+            return crossfade_combine(
+                conv, offsets.astype(jnp.int32), offsets_al.astype(jnp.int32),
+                interp_weight.astype(jnp.float32), t,
+            )
 
     # Gather-based combine (TPU-friendly: no scatter). Every output sample t
     # belongs to exactly one segment seg(t); read its crossfaded value from

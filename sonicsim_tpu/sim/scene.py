@@ -85,6 +85,49 @@ class Scene:
             channel=ChannelModel(channel_type, channel_order, mic_array),
         )
 
+    @classmethod
+    def from_bank(
+        cls,
+        bank_path: str,
+        room: str | None = None,
+        channel_type: str = "Binaural",
+        channel_order: int = 1,
+        mic_array: list | None = None,
+        resolution: float = 0.25,
+        margin: float = 1.0,
+    ) -> "Scene":
+        """Scene over a precomputed RIR bank (.npz via BankRirOracle —
+        the production path where habitat renders happened offline,
+        scripts/import_rir_banks.py). Navigable space is the x/z bounding
+        box of the bank's stored source/receiver positions (+``margin``);
+        RIR lookups snap to the nearest stored pair, so trajectory points
+        sampled inside the box always resolve."""
+        from pathlib import Path as _Path
+
+        from .oracle import BankRirOracle
+
+        oracle = BankRirOracle(bank_path)
+        pos = np.concatenate(
+            [oracle._data["source_positions"],
+             oracle._data["receiver_positions"]]
+        )
+        x0 = float(pos[:, 0].min()) - margin
+        z0 = float(pos[:, 2].min()) - margin
+        nx = max(int(round((float(pos[:, 0].max()) + margin - x0) / resolution)), 1)
+        nz = max(int(round((float(pos[:, 2].max()) + margin - z0) / resolution)), 1)
+        nav = NavGrid(
+            np.ones((nx, nz), bool), (x0, z0), resolution,
+            # sampled points get +sensor/source_height (1.5 m): place the
+            # floor so elevated points land at the stored bank height.
+            floor_height=float(pos[:, 1].mean()) - 1.5,
+        )
+        return cls(
+            room=room or _Path(bank_path).stem,
+            nav=nav,
+            oracle=oracle,
+            channel=ChannelModel(channel_type, channel_order, mic_array),
+        )
+
     # --- sampling (generation pipeline entry points) ----------------------
     def sample_trajectory(
         self, rng: np.random.Generator, distance_threshold: float = 5.0

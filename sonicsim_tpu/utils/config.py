@@ -61,9 +61,15 @@ def import_target(target: str) -> Any:
     """Import ``pkg.module.Attr`` (tries progressively shorter module paths)."""
     parts = target.split(".")
     for split in range(len(parts) - 1, 0, -1):
+        name = ".".join(parts[:split])
         try:
-            mod = importlib.import_module(".".join(parts[:split]))
-        except ImportError:
+            mod = importlib.import_module(name)
+        except ModuleNotFoundError as e:
+            # Only "this prefix isn't a module" should fall through to a
+            # shorter prefix; a module that EXISTS but fails to import
+            # (missing dependency, syntax error) must surface as-is.
+            if e.name and not name.startswith(e.name):
+                raise
             continue
         obj: Any = mod
         try:

@@ -531,3 +531,44 @@ def test_select_files_exact_fill_accepted_walkdir():
     assert select_files_to_fill(
         lengths, 1000, np.random.default_rng(0), stop_on_overflow=False
     ) == ["a"]
+
+
+def test_generate_split_from_bank_scene(tmp_path, rng):
+    """--bank_dir production path: a Scene.from_bank over an imported RIR
+    bank generates mixtures end-to-end (nearest-pair lookups, per-bank
+    render fallback)."""
+    from sonicsim_tpu.sim import render_rir_bank, save_rir_bank
+
+    # Build a bank from a synthetic oracle over a 12x9 m footprint so
+    # trajectory sampling (>=5 m span) has room.
+    donor = Scene.synthetic(
+        dims=(12.0, 3.0, 9.0), channel_type="Mono", seed=3, max_order=2
+    )
+    xs = np.linspace(1.0, 11.0, 4)
+    zs = np.linspace(1.0, 8.0, 3)
+    pts = np.array([[x, 1.5, z] for x in xs for z in zs])
+    bank = render_rir_bank(donor.oracle, list(pts), list(pts[:4]), donor.channel)
+    save_rir_bank(tmp_path / "roomB.npz", bank, pts, pts[:4], SR)
+
+    scene = Scene.from_bank(tmp_path / "roomB.npz", channel_type="Mono")
+    assert scene.room == "roomB"
+    traj = scene.sample_trajectory(np.random.default_rng(0))
+    assert len(traj) >= 2
+
+    spk_dirs = []
+    for i in range(3):
+        _make_corpus(tmp_path / "speech" / f"spk{i}", 2, 1.0, rng,
+                     prefix=f"u{i}_")
+        spk_dirs.append(str(tmp_path / "speech" / f"spk{i}"))
+    noise = _make_corpus(tmp_path / "noise", 2, 1.5, rng, prefix="n_")
+    music = _make_corpus(tmp_path / "music", 2, 1.5, rng, prefix="m_")
+    produced = generate_split(
+        lambda name: Scene.from_bank(tmp_path / f"{name}.npz",
+                                     channel_type="Mono"),
+        ["roomB"], spk_dirs, noise, music, tmp_path / "set",
+        duration=4.0, base_seed=0,
+    )
+    assert len(produced) == 1
+    wav, sr = read_wav(produced[0] / "moving_audio_1.wav")
+    assert sr == SR and wav.shape[-1] == 4 * SR
+    assert np.abs(wav).max() > 1e-5

@@ -203,3 +203,32 @@ def test_pallas_crossfade_combine_interpret(rng):
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_guard_short_segments(rng):
+    """Segments shorter than the Pallas BLOCK must fall back to the exact
+    gather combine instead of blending from the wrong conv window."""
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.ops import (
+        convolve_moving_segmented,
+        dynamic_interp_plan,
+        segment_plan,
+    )
+
+    t, p, c, l = 40000, 9, 1, 400  # ~5000-sample segments << BLOCK (8192)
+    positions = np.cumsum(rng.uniform(0.3, 0.6, (p, 3)), axis=0)
+    idx, w = dynamic_interp_plan(positions, t, rng=rng)
+    off, le, max_seg = segment_plan(idx)
+    assert int(np.asarray(le).min()) < 8192
+    audio = jnp.asarray(rng.standard_normal(t).astype(np.float32) * 0.1)
+    rirs = jnp.asarray(rng.standard_normal((p, c, l)).astype(np.float32) * 0.02)
+    safe = convolve_moving_segmented(
+        audio, rirs, jnp.asarray(w), jnp.asarray(off), jnp.asarray(le),
+        max_seg, use_pallas=True,
+    )
+    ref = convolve_moving_segmented(
+        audio, rirs, jnp.asarray(w), jnp.asarray(off), jnp.asarray(le),
+        max_seg, use_pallas=False,
+    )
+    np.testing.assert_allclose(np.asarray(safe), np.asarray(ref), atol=1e-6)

@@ -155,3 +155,32 @@ def test_wav_num_frames_matches_decode(tmp_path, rng):
         p = tmp_path / f"w{i}.wav"
         write_wav(p, (rng.standard_normal(t) * 0.1).astype(np.float32), 16000)
         assert wav_num_frames(p) == read_wav(p)[0].shape[-1] == t
+
+
+def test_transcripts_stem_fallback(tmp_path):
+    """Reference CSVs key '<id>.flac'; WAV-corpus lookups must still hit."""
+    from sonicsim_tpu.utils.transcripts import load_transcripts
+
+    csv_path = tmp_path / "t.csv"
+    csv_path.write_text("name,words\n84-121123-0000.flac,HELLO WORLD\n")
+    t = load_transcripts(csv_path)
+    assert t["84-121123-0000.flac"] == "HELLO WORLD"
+    assert t["84-121123-0000"] == "HELLO WORLD"
+
+
+def test_import_target_surfaces_real_import_errors(tmp_path, monkeypatch):
+    """A module that EXISTS but fails to import must not be masked as
+    'cannot import target'."""
+    import sys
+
+    import pytest
+
+    from sonicsim_tpu.utils.config import import_target
+
+    mod_dir = tmp_path / "brokenpkg"
+    mod_dir.mkdir()
+    (mod_dir / "__init__.py").write_text("import missing_dependency_xyz\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    with pytest.raises(ModuleNotFoundError, match="missing_dependency_xyz"):
+        import_target("brokenpkg.Thing")
+    sys.modules.pop("brokenpkg", None)
