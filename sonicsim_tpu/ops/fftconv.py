@@ -150,6 +150,49 @@ def _on_tpu() -> bool:
         return False
 
 
+def _fft_ctx(win: int, use_mxu_fft: bool | None):
+    """(rfft, irfft) pair for one window size: MXU matmul-FFT grids on
+    TPU, native FFT at next_fast_len elsewhere. Shared by both moving-conv
+    strategies so their FFT dispatch cannot drift apart."""
+    if use_mxu_fft is None:
+        use_mxu_fft = _on_tpu()
+    if use_mxu_fft:
+        from .mxu_fft import irfft_grid, pick_split, rfft_grid
+
+        n1, n2 = pick_split(win)
+        return (
+            lambda x: rfft_grid(x, n1, n2),
+            lambda x: irfft_grid(x, n1, n2),
+        )
+    nfft = next_fast_len(win)
+    return (
+        lambda x: jnp.fft.rfft(x, nfft),
+        lambda x: jnp.fft.irfft(x, nfft),
+    )
+
+
+def _ownership_combine(conv, off_true, off_al, interp_weight, span: int,
+                       t: int):
+    """Gather-based crossfade combine shared by both strategies (TPU-
+    friendly: no scatter). Output sample t belongs to exactly one window
+    own(t) = searchsorted(off_true, t) - 1; read its crossfaded value
+    from that window's (start, end) conv pair via one flattened gather.
+
+    conv: (N, 2, C, span); off_true/off_al: (N,) int32. Returns (C, T)."""
+    n, _, c, _ = conv.shape
+    tt = jnp.arange(t, dtype=jnp.int32)
+    own = jnp.clip(jnp.searchsorted(off_true, tt, side="right") - 1, 0, n - 1)
+    within = jnp.clip(tt - off_al[own], 0, span - 1)
+    flat_idx = own * span + within  # (T,)
+    conv_flat = jnp.swapaxes(conv, 0, 1).swapaxes(1, 2).reshape(
+        2, c, n * span
+    )
+    start = conv_flat[0, :, flat_idx].T  # (C, T)
+    end = conv_flat[1, :, flat_idx].T
+    w = interp_weight.astype(jnp.float32)[None, :]
+    return (1.0 - w) * start + w * end
+
+
 def convolve_moving_segmented(
     source_audio: jax.Array,
     rirs: jax.Array,
@@ -203,23 +246,14 @@ def convolve_moving_segmented(
     # EXACT there (wraparound only corrupts samples < l-1) — so nfft needs
     # to cover the window, not the full linear length win+l-1. This halves
     # the padding waste of every rfft/product/irfft in the hot loop.
-    if use_mxu_fft is None:
-        use_mxu_fft = _on_tpu()
-    if use_mxu_fft:
-        from .mxu_fft import irfft_grid, pick_split, rfft_grid
-
-        n1, n2 = pick_split(win)
-        nfft = n1 * n2
-        sf = rfft_grid(windows, n1, n2)  # (n_seg, h, n2)
-        kf = rfft_grid(rirs.astype(jnp.float32), n1, n2)  # (P, C, h, n2)
-        prod = sf[:, None, None] * jnp.stack([kf[:-1], kf[1:]], axis=1)
-        conv = irfft_grid(prod, n1, n2)  # (n_seg, 2, C, nfft)
-    else:
-        nfft = next_fast_len(win)
-        sf = jnp.fft.rfft(windows, nfft)  # (n_seg, F)
-        kf = jnp.fft.rfft(rirs.astype(jnp.float32), nfft)  # (P, C, F)
-        prod = sf[:, None, None, :] * jnp.stack([kf[:-1], kf[1:]], axis=1)
-        conv = jnp.fft.irfft(prod, nfft)  # (n_seg, 2, C, nfft)
+    rfft, irfft = _fft_ctx(win, use_mxu_fft)
+    sf = rfft(windows)  # (n_seg, ...)
+    kf = rfft(rirs.astype(jnp.float32))  # (P, C, ...)
+    # Adjacent kernel pairs as contiguous slices (NOT a gather: the
+    # segmented path is the bench-critical one).
+    pair = jnp.stack([kf[:-1], kf[1:]], axis=1)  # (n_seg, 2, C, ...)
+    prod = (sf[:, None, None] if sf.ndim == 3 else sf[:, None, None, :]) * pair
+    conv = irfft(prod)  # (n_seg, 2, C, nfft)
     # Sample s of segment p sits at position (L-1) + s of the full conv.
     conv = conv[..., l - 1 : l - 1 + max_seg]  # (n_seg, 2, C, max_seg)
 
@@ -241,22 +275,9 @@ def convolve_moving_segmented(
                 interp_weight.astype(jnp.float32), t,
             )
 
-    # Gather-based combine (TPU-friendly: no scatter). Every output sample t
-    # belongs to exactly one segment seg(t); read its crossfaded value from
-    # that segment's conv pair via a single flattened last-axis gather.
-    tt = jnp.arange(t, dtype=jnp.int32)
-    seg = jnp.clip(
-        jnp.searchsorted(offsets, tt, side="right") - 1, 0, n_seg - 1
-    )  # (T,)
-    within = jnp.clip(tt - offsets_al[seg], 0, max_seg - 1)
-    flat_idx = seg * max_seg + within  # (T,)
-    conv_flat = jnp.swapaxes(conv, 0, 1).swapaxes(1, 2).reshape(
-        2, c, n_seg * max_seg
+    return _ownership_combine(
+        conv, offsets, offsets_al, interp_weight, max_seg, t
     )
-    start = conv_flat[0, :, flat_idx].T  # (C, T)
-    end = conv_flat[1, :, flat_idx].T
-    w = interp_weight.astype(jnp.float32)[None, :]
-    return (1.0 - w) * start + w * end
 
 
 def block_plan_sizes(max_seg: int, t: int, n_seg: int) -> tuple[int, int]:
@@ -342,8 +363,7 @@ def convolve_moving_blocked(
     Returns (C, T).
     """
     t = source_audio.shape[-1]
-    p, c, l = rirs.shape
-    nb = block_off.shape[0]
+    l = rirs.shape[-1]
     # 128-aligned window origins (lane granularity); ownership uses the
     # true offsets, the <=127 lead samples are just extra context. win is
     # rounded up to a lane multiple for the row gather — the extra tail
@@ -359,43 +379,19 @@ def convolve_moving_blocked(
     # kernel pair in the frequency domain. Overlap-save: only outputs
     # [l-1, l-1+span) are consumed, where circular conv at nfft >= win is
     # exact.
-    if use_mxu_fft is None:
-        use_mxu_fft = _on_tpu()
-    if use_mxu_fft:
-        from .mxu_fft import irfft_grid, pick_split, rfft_grid
-
-        n1, n2 = pick_split(win)
-        nfft = n1 * n2
-        sf = rfft_grid(windows, n1, n2)  # (NB, h, n2)
-        kf = rfft_grid(rirs.astype(jnp.float32), n1, n2)  # (P, C, h, n2)
-    else:
-        nfft = next_fast_len(win)
-        sf = jnp.fft.rfft(windows, nfft)  # (NB, F)
-        kf = jnp.fft.rfft(rirs.astype(jnp.float32), nfft)  # (P, C, F)
+    rfft, irfft = _fft_ctx(win, use_mxu_fft)
+    sf = rfft(windows)  # (NB, ...)
+    kf = rfft(rirs.astype(jnp.float32))  # (P, C, ...)
     pair = jnp.stack(
         [jnp.take(kf, block_seg, axis=0), jnp.take(kf, block_seg + 1, axis=0)],
         axis=1,
     )  # (NB, 2, C, ...)
-    if use_mxu_fft:
-        conv = irfft_grid(sf[:, None, None] * pair, n1, n2)
-    else:
-        conv = jnp.fft.irfft(sf[:, None, None, :] * pair, nfft)
-    conv = conv[..., l - 1 : l - 1 + span]  # (NB, 2, C, span)
+    prod = (sf[:, None, None] if sf.ndim == 3 else sf[:, None, None, :]) * pair
+    conv = irfft(prod)[..., l - 1 : l - 1 + span]  # (NB, 2, C, span)
 
-    # Gather combine: sample t belongs to exactly one block blk(t).
-    tt = jnp.arange(t, dtype=jnp.int32)
-    blk = jnp.clip(
-        jnp.searchsorted(block_off, tt, side="right") - 1, 0, nb - 1
+    return _ownership_combine(
+        conv, block_off, off_al, interp_weight, span, t
     )
-    within = jnp.clip(tt - off_al[blk], 0, span - 1)
-    flat_idx = blk * span + within  # (T,)
-    conv_flat = jnp.swapaxes(conv, 0, 1).swapaxes(1, 2).reshape(
-        2, c, nb * span
-    )
-    start = conv_flat[0, :, flat_idx].T  # (C, T)
-    end = conv_flat[1, :, flat_idx].T
-    w = interp_weight.astype(jnp.float32)[None, :]
-    return (1.0 - w) * start + w * end
 
 
 def overlap_add_chunks(chunks: jax.Array, hop: int, total_len: int) -> jax.Array:
