@@ -487,10 +487,14 @@ def finalize_mixture(handle: dict, writer: "ArtifactWriter | None" = None) -> di
     def _words(names):
         if not transcripts:
             return []
-        # Stem fallback: reference transcript CSVs key '<id>.flac' while
-        # the WAV corpus places '<id>.wav'.
+        # Extension-blind fallback: reference transcript CSVs key
+        # '<id>.flac' (tool_utils.py process_librispeech) while the WAV
+        # corpus places '<id>.wav' — try the exact name, then the bare
+        # stem, then any CSV key sharing the stem.
+        by_stem = {Path(k).stem: v for k, v in transcripts.items()}
         return [
-            transcripts.get(Path(n).name) or transcripts.get(Path(n).stem, "")
+            transcripts.get(Path(n).name)
+            or by_stem.get(Path(n).stem, "")
             for n in names
         ]
 

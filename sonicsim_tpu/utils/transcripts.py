@@ -24,18 +24,15 @@ def process_librispeech(librispeech_root: str | Path, out_csv: str | Path) -> in
 
 
 def load_transcripts(csv_path: str | Path) -> dict[str, str]:
-    """CSV → {audio_name: words} (tool_utils.py:32-35).
-
-    Keys are also aliased by stem: the reference CSVs name utterances
-    '<id>.flac' (process_librispeech) while this pipeline's WAV corpora
-    place '<id>.wav' — extension-blind lookup keeps 'words' metadata
-    populated either way."""
+    """CSV → {audio_name: words} (tool_utils.py:32-35), loading exactly the
+    reference loader's dict. Extension-blind lookup (reference CSVs key by
+    '<id>.flac' while WAV corpora place '<id>.wav') is the CONSUMER's job —
+    dataset/generate.py falls back name → stem — so the returned mapping
+    stays equal to the reference's (tests/test_reference_transcripts_parity)."""
     out: dict[str, str] = {}
     with open(csv_path) as f:
         for row in csv.DictReader(f):
             out[row["name"]] = row["words"]
-    for k in list(out):
-        out.setdefault(Path(k).stem, out[k])
     return out
 
 

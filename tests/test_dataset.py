@@ -92,7 +92,12 @@ def test_generation_pipeline_end_to_end(tmp_path, rng):
 
     plan = plan_mixture(scene, speech, noise, music, rng, duration=6.0, seed=7)
     out = tmp_path / "out"
-    meta = render_mixture(scene, plan, out, transcripts={"s0_0.wav": "hello"})
+    # '.flac'-keyed transcripts (reference process_librispeech CSVs) must
+    # still resolve for the '.wav' corpus via the stem fallback in _words.
+    flac_transcripts = {
+        f"s{i}_{j}.flac": "hello" for i in range(3) for j in range(3)
+    }
+    meta = render_mixture(scene, plan, out, transcripts=flac_transcripts)
 
     for i in (1, 2, 3):
         wav, sr = read_wav(out / f"moving_audio_{i}.wav")
@@ -110,6 +115,13 @@ def test_generation_pipeline_end_to_end(tmp_path, rng):
     assert (out / "trace.png").exists()
     assert (out / "mixture_plan.json").exists()
     assert meta["noise"]["audio"] == plan.noise_plan.audio_names
+    # every .flac-keyed transcript resolved against its .wav audio name
+    words = [
+        w
+        for k in ("source1", "source2", "source3")
+        for w in meta[k]["words"]
+    ]
+    assert words and all(w == "hello" for w in words)
 
 
 def test_generation_lufs_levels(tmp_path, rng):

@@ -157,15 +157,16 @@ def test_wav_num_frames_matches_decode(tmp_path, rng):
         assert wav_num_frames(p) == read_wav(p)[0].shape[-1] == t
 
 
-def test_transcripts_stem_fallback(tmp_path):
-    """Reference CSVs key '<id>.flac'; WAV-corpus lookups must still hit."""
+def test_transcripts_load_is_reference_exact(tmp_path):
+    """load_transcripts returns EXACTLY the CSV's rows (reference-dict
+    parity, tool_utils.py:32-35); extension-blind lookup lives in the
+    consumer (dataset/generate.py _words), covered below."""
     from sonicsim_tpu.utils.transcripts import load_transcripts
 
     csv_path = tmp_path / "t.csv"
     csv_path.write_text("name,words\n84-121123-0000.flac,HELLO WORLD\n")
     t = load_transcripts(csv_path)
-    assert t["84-121123-0000.flac"] == "HELLO WORLD"
-    assert t["84-121123-0000"] == "HELLO WORLD"
+    assert t == {"84-121123-0000.flac": "HELLO WORLD"}
 
 
 def test_import_target_surfaces_real_import_errors(tmp_path, monkeypatch):
