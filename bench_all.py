@@ -414,7 +414,7 @@ def main() -> None:
         def factory(name):
             return Scene.synthetic(
                 dims=(10.0, 3.0, 8.0), channel_type="Binaural", seed=11,
-                max_order=4,
+                max_order=4, n_bands=32,
             )
 
         def artifact_mb(out_dir: Path, n: int) -> float:
@@ -465,7 +465,7 @@ def main() -> None:
         def factory_mono(name):
             return Scene.synthetic(
                 dims=(10.0, 3.0, 8.0), channel_type="Mono", seed=11,
-                max_order=4,
+                max_order=4, n_bands=32,
             )
 
         generate_split(  # mono warmup (fresh channel-count compile)

@@ -35,7 +35,9 @@ from sonicsim_tpu.sim import CIRCULAR_4CH_ARRAY, LINEAR_4CH_ARRAY, Scene
 from sonicsim_tpu.utils.seeding import stable_seed
 
 
-def synthetic_scene_factory(channel_type, channel_order, mic_array, seed):
+def synthetic_scene_factory(
+    channel_type, channel_order, mic_array, seed, n_bands: int = 32
+):
     def factory(name: str) -> Scene:
         rng = np.random.default_rng(stable_seed(name, seed))
         dims = (
@@ -51,6 +53,9 @@ def synthetic_scene_factory(channel_type, channel_order, mic_array, seed):
             channel_order=channel_order,
             mic_array=mic_array,
             seed=seed,
+            # 32-band frequency-dependent walls (reference ACOUSTIC_CONFIG,
+            # SonicSim_rir.py:185) + the fused on-device bank renderer.
+            n_bands=n_bands,
         )
 
     return factory

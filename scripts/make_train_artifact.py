@@ -70,7 +70,8 @@ def main() -> None:
     t0 = time.perf_counter()
     produced = generate_split(
         lambda name: Scene.synthetic(
-            dims=(9.0, 3.0, 7.0), channel_type="Mono", seed=3, max_order=4
+            dims=(9.0, 3.0, 7.0), channel_type="Mono", seed=3, max_order=4,
+            n_bands=32,  # production acoustics: fused on-device bank render
         ),
         ["room0"],
         dirs,

@@ -608,6 +608,7 @@ def generate_split(
     base_seed: int = 0,
     max_mixtures: int | None = None,
     pipeline: bool = True,
+    pipeline_depth: int = 2,
     wav_encoding: str = "pcm16",
     utterance_cache: "bool | UtteranceCache" = True,
     save_bank: bool = True,
@@ -624,7 +625,10 @@ def generate_split(
     gets from its process pool (SonicSet_train.py:153-219), on a single
     thread (worker threads measurably HURT on the tunneled runtime:
     concurrent fetch+compute from two threads ran 2× slower than
-    serial). Plans are seeded per (scene, triple) so results are
+    serial). ``pipeline_depth`` mixtures stay in flight (device output +
+    write queue ≈ 50 MB each; depth 2 measured 1.00 s vs depth 1's
+    1.21 s per 60 s binaural mixture on chip — deeper shows no further
+    gain). Plans are seeded per (scene, triple) so results are
     identical either way.
 
     With ``utterance_cache`` (default), decoded utterances stay
@@ -732,7 +736,12 @@ def generate_split(
                     # remaining bytes and writes its files.
                     pending.append((handle, out_dir, scene_name, name,
                                     time.perf_counter()))
-                    while len(pending) >= 2:
+                    # Keep up to pipeline_depth mixtures in flight: their
+                    # device compute + async device→host copies stream
+                    # while the host finalizes (writes) the oldest. Each
+                    # in-flight 60 s binaural mixture pins ~25 MB of
+                    # device output + ~25 MB of host write queue.
+                    while len(pending) > max(int(pipeline_depth), 1):
                         _finish(pending.pop(0))
                 else:
                     render_mixture(
