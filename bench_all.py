@@ -106,13 +106,42 @@ def _link_health(verbose: bool = True):
     return health
 
 
-def main() -> None:
+def _wait_for_healthy_link(max_wait_s: float, poll_s: float = 90.0):
+    """Poll the link until it reports healthy or ``max_wait_s`` elapses.
+
+    r3 recorded ZERO non-degraded measurements (VERDICT weak #2) because
+    the battery ran once into a degraded window and never retried. Returns
+    the last health probe either way; the caller stamps results with it.
+    """
+    import sys
+
+    t0 = time.monotonic()
+    while True:
+        health = _link_health(verbose=False)
+        if not health["degraded"]:
+            return health
+        elapsed = time.monotonic() - t0
+        print(
+            json.dumps({"waiting_for_healthy_link": health,
+                        "elapsed_s": round(elapsed)}),
+            file=sys.stderr, flush=True,
+        )
+        if elapsed >= max_wait_s:
+            return health
+        time.sleep(min(poll_s, max(max_wait_s - elapsed, 0.0)))
+
+
+def main(wait_healthy_min: float = 0.0) -> None:
     from bench import _device_reachable
 
     if not _device_reachable():
+        from bench import emit_unreachable
+
         print(json.dumps({
             "error": "TPU tunnel unreachable at measurement time "
-                     "(device probe timed out); battery not run",
+                     "(device probes exhausted the retry deadline); "
+                     "battery not run",
+            "stale_headline": emit_unreachable(),
         }))
         return
 
@@ -131,8 +160,27 @@ def main() -> None:
 
     sr = 16000
     rng = np.random.default_rng(0)
-    health = _link_health()
-    results = []
+    if wait_healthy_min > 0:
+        health = _wait_for_healthy_link(wait_healthy_min * 60.0)
+        print(json.dumps({"link_health": health}), flush=True)
+    else:
+        health = _link_health()
+    class _StampedResults(list):
+        """Each append captures the CURRENT health probe (3-tuple in,
+        4-tuple stored): one top-of-battery stamp mislabels every line
+        measured after the tunnel's state drifts mid-run."""
+
+        def append(self, item):
+            super().append((*item, dict(health)))
+
+    results = _StampedResults()
+
+    def reprobe():
+        """Refresh the health stamp between sections: the shared tunnel's
+        state drifts over a multi-minute battery, and one stale stamp at
+        the top mislabels every line measured after a transition."""
+        nonlocal health
+        health = _link_health(verbose=False)
 
     # --- 1. static 2-source mix -------------------------------------------
     t = 60 * sr
@@ -218,6 +266,7 @@ def main() -> None:
     results.append(("full mixture step (5 tracks)", 5 * 60 / dt,
                     {"n_src": 5, "p": p, "channels": c, "duration_s": 60}))
 
+    reprobe()
     # --- 4b. RIR bank rendering (3 speakers x 40 waypoints, binaural) -----
     # Replaces the reference's mp.Pool-of-habitat-sims design point
     # (SonicSim_rir.py:751-791). Host+device wall-clock, audio-seconds of
@@ -322,6 +371,7 @@ def main() -> None:
     results.append(("ConvTasNet training step (B=8, bf16)", 8 * 4 / dt,
                     {"batch": 8, "duration_s": 4}))
 
+    reprobe()
     # --- 7. SkiM streaming: per-segment step vs real time ------------------
     # forward_stream contract (separation/look2hear/models/skim.py:603):
     # the per-segment step must beat the segment duration for live use.
@@ -376,6 +426,7 @@ def main() -> None:
         print(json.dumps({"warning": f"streaming below real time: RTF {rtf:.2f}"}),
               flush=True)
 
+    reprobe()
     # --- 8. generation end-to-end (SonicSet_train.py:25-138 replacement) --
     # Steady-state seconds per 60 s mixture through the WHOLE pipeline:
     # plan -> fused RIR-bank render -> blocked moving conv + statics +
@@ -491,7 +542,7 @@ def main() -> None:
     finally:
         _shutil.rmtree(root, ignore_errors=True)
 
-    for name, value, workload in results:
+    for name, value, workload, stamp in results:
         print(
             json.dumps(
                 {
@@ -500,11 +551,20 @@ def main() -> None:
                     "unit": "audio-seconds/sec/chip",
                     "vs_baseline": round(float(value) / 50.0, 3),
                     "workload": workload,
-                    "link": health,
+                    "link": stamp,
                 }
             )
         )
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--wait-healthy-min", type=float, default=0.0,
+        help="poll the link for up to N minutes before measuring, so a "
+             "degraded window does not forfeit the round's only clean run "
+             "(r3 had zero non-degraded stamps)",
+    )
+    main(wait_healthy_min=ap.parse_args().wait_healthy_min)

@@ -115,8 +115,16 @@ def main() -> None:
     if not args.no_pesq:
         from sonicsim_tpu.metrics import make_pesq
 
-        extra_metrics["pesq_nb"] = make_pesq("nb")
-        extra_metrics["pesq_wb"] = make_pesq("wb")
+        p_nb, p_wb = make_pesq("nb"), make_pesq("wb")
+        # The native P.862 pipeline is NOT bit-comparable with the ITU
+        # binding the reference uses (wrapper.py:55-56,100-101), and the
+        # compiled wheel is unobtainable in-env (no network; pypi probe
+        # documented in metrics/pesq.py) — so when the native backend
+        # produced the scores, the COLUMN NAME says so: a downstream
+        # consumer can never mistake them for ITU P.862 numbers.
+        suffix = "" if p_nb.backend == "itu-p862-compiled" else "_native"
+        extra_metrics[f"pesq_nb{suffix}"] = p_nb
+        extra_metrics[f"pesq_wb{suffix}"] = p_wb
     if args.whisper:
         from sonicsim_tpu.metrics import make_whisper_asr
 

@@ -38,6 +38,17 @@ implemented (segments scored here are short VAD spans, where a single
 crude+fine delay suffices). Scores are therefore P.862-structured, not
 bit-exact with the ITU binary — `sidecars.make_pesq` prefers the compiled
 `pesq` package when it is importable and falls back to this implementation.
+
+Backend disclosure: a numeric |ΔMOS| bound against the ITU code could not
+be measured in this environment — the `pesq` wheel is not installed, the
+build host has no network egress (`pip download pesq` → "no matching
+distribution", 2026-08), and the ITU C sources are not vendored anywhere
+in-tree. Until a compiled backend is available to golden-diff against,
+every consumer discloses the backend: `make_pesq` exposes ``fn.backend``
+("native-p862-approx"), the MetricsTracker records it in
+``metrics.meta.json``, and `scripts/test.py` names the CSV columns
+``pesq_nb_native``/``pesq_wb_native`` so the scores can never be confused
+with ITU P.862 numbers.
 """
 
 from __future__ import annotations

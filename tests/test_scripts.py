@@ -76,6 +76,11 @@ def test_cli_eval_driver(eval_fixture):
     csv = eval_fixture / "exp" / "Tiny" / "results" / "metrics.csv"
     lines = csv.read_text().strip().splitlines()
     assert lines[-2].startswith("avg,") and lines[-1].startswith("std,")
+    # Native-backend PESQ scores must be unmistakable for ITU P.862
+    # numbers: the column name carries the backend (VERDICT r3 missing #5).
+    header = lines[0].split(",")
+    assert "pesq_nb_native" in header and "pesq_wb_native" in header
+    assert "pesq_nb" not in header and "pesq_wb" not in header
 
 
 def test_cli_eval_driver_bucketed(eval_fixture):
@@ -452,3 +457,20 @@ def test_cli_stream(tmp_path):
     for s in (1, 2):
         est = tmp_path / f"stream_spk{s}.wav"
         assert est.exists()
+
+
+def test_update_readme_bench_idempotent():
+    """The README bench table regenerates from the newest battery file and
+    a second run is a no-op (VERDICT r3 next #10: the table can never
+    silently quote a stale round again)."""
+    readme = Path("README.md")
+    before = readme.read_text()
+    try:
+        _run_script("scripts/update_readme_bench.py", [])
+        once = readme.read_text()
+        assert "BENCH_TABLE_START" in once
+        assert "Source: `BENCH_ALL_r" in once
+        _run_script("scripts/update_readme_bench.py", [])
+        assert readme.read_text() == once
+    finally:
+        readme.write_text(before)
