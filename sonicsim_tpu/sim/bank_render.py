@@ -12,14 +12,16 @@ with a fully device-resident pipeline:
 * directional gains ON DEVICE: mono/array (unity), binaural (cardioid
   head-shadow), ambisonics (real SH, ACN/SN3D, unrolled recurrence) — the
   jnp twins of ChannelModel.directional_gain;
-* tap placement as a dense blocked ONE-HOT MATMUL, not a scatter: TPU
-  scatter executes ~one update row per several hundred ns (it dominated
-  the old formulation at ~4 ms/item) while the MXU chews the
-  (classes·blocks, N)x(N, window) contraction in tens of µs. With uniform
-  per-wall absorption the per-band amplitude factorizes as
-  ``amp[n, b] = g_n * beta_b ** hits_n`` so placement accumulates into
-  *hit-class* impulse trains and the per-band expansion is a small
-  ``(bands, classes) @ (classes, time)`` matmul;
+* tap placement as a dense blocked WEIGHTED-ONE-HOT MATMUL, not a
+  scatter: TPU scatter executes ~one update row per several hundred ns
+  (it dominated the old formulation at ~4 ms/item) while the MXU chews
+  the (bands·blocks, N)x(N, window) contraction in tens of µs. The
+  per-band amplitude ``amp[n, b] = g_n · prod_w beta[b, w]^hits[n, w]``
+  (PER-WALL materials — SonicSim_rir.py:189-193 counterpart) splits into
+  a per-item broadband gain ``g_n`` inside the tap values and an
+  item-independent (N, bands) reflection profile riding the placement
+  one-hot, so placement accumulates directly into per-band impulse
+  trains;
 * the bank can stay ON DEVICE (``out_device=True``) for the downstream
   moving-source convolution — no 5 MB/bank device→host download.
 
@@ -95,6 +97,47 @@ def _real_sh(dirs, order: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)
 
 
+def _lattice_wall_hits(max_order: int):
+    """Per-axis, per-wall reflection counts of the image lattice.
+
+    Returns three (h0, hL) pairs of (K,) int arrays (K = 2·(2·order+1)) in
+    the SAME per-axis flattening order as _device_geometry's coordinate
+    reshape — wall 0 of an axis is hit |n − p| times and wall L |n| times
+    (Allen & Berkley; the native kernel's convention,
+    sonicsim_native.cpp image_sources). Item-independent: the amplitude
+    profile built from these is shared by every (source, receiver) pair.
+    """
+    m = max_order
+    n = jnp.arange(-m, m + 1, dtype=jnp.float32)[:, None]  # (2m+1, 1)
+    p = jnp.arange(2, dtype=jnp.float32)[None, :]  # (1, 2)
+    h0 = jnp.broadcast_to(jnp.abs(n - p), (2 * m + 1, 2)).reshape(-1)
+    hL = jnp.broadcast_to(jnp.abs(n), (2 * m + 1, 2)).reshape(-1)
+    return h0, hL  # identical for all three axes
+
+
+def _amplitude_profile(beta_walls, max_order: int):
+    """(N, n_bands) per-image per-band reflection product.
+
+    amp[n, b] = prod_w beta[b, w]^hits[n, w], evaluated as a separable
+    exp-of-outer-sums over the three axes (no (N, 6) hit matrix is ever
+    materialized). ``beta_walls`` is (n_bands, 6) in image_source.WALLS
+    order — per-wall material curves; a uniform room tiles one curve.
+    This replaces the hit-CLASS factorization (beta**total_hits), which
+    only holds when all six walls share one coefficient.
+    """
+    h0, hL = _lattice_wall_hits(max_order)  # (K,) each
+    log_b = jnp.log(jnp.maximum(beta_walls, 1e-12))  # (B, 6)
+    # Per-axis exponent tables (K, B).
+    ex = h0[:, None] * log_b[None, :, 0] + hL[:, None] * log_b[None, :, 1]
+    ey = h0[:, None] * log_b[None, :, 2] + hL[:, None] * log_b[None, :, 3]
+    ez = h0[:, None] * log_b[None, :, 4] + hL[:, None] * log_b[None, :, 5]
+    k = h0.shape[0]
+    amp = jnp.exp(
+        ex[:, None, None, :] + ey[None, :, None, :] + ez[None, None, :, :]
+    )  # (K, K, K, B) — same (i→x, j→y, k→z) order as _device_geometry
+    return amp.reshape(k * k * k, -1)
+
+
 def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
     """Image-source lattice for every item, entirely in jnp.
 
@@ -151,40 +194,38 @@ def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
 
 def _assemble_core(
     delays_s,  # (P, N) float32 seconds
-    hits,  # (P, N) int32 total wall reflections
     g,  # (P, N) float32 directional_gain / (4 pi d), 0 where invalid
     valid,  # (P, N) bool
+    amp_nb,  # (N, n_bands) per-image per-band reflection product (shared)
     noise_keys,  # (P,) typed PRNG keys — tail noise generated ON DEVICE
-    beta,  # (n_bands,) float32 per-band wall reflection coefficient
     masks,  # (n_bands, nfft//2+1) float32 filterbank partition
     rt60_bands,  # (n_bands,) float32 Eyring RT60 per band
     sample_rate: int,
     ir_len: int,
     nfft: int,
-    n_classes: int,
 ):
     """(P items) → (P, ir_len) float32 RIRs. See module docstring.
 
     Tap placement evaluates each image's 81 windowed-sinc taps densely
     over its 1024-sample time block's window (exact same sinc/Hann
     formula as the serial renderer, masked to the original tap
-    positions), then one einsum against a one-hot of (hit-class, block)
-    places every image at once; overlapping block windows are recombined
-    with static slice-adds. ``lax.map(batch_size=8)`` keeps the live
-    dense tap matrices at ~250 MB while giving the MXU a batched
-    contraction (a per-item HIGHEST-precision matmul is ~8× slower).
+    positions), then one einsum against the band-weighted block one-hot
+    — W[n, b·blocks+blk] = amp_nb[n, b] — places every image into
+    per-BAND impulse trains at once (per-wall materials make the
+    amplitude band structure per-image, so the old hit-class trains no
+    longer factor); overlapping block windows are recombined with static
+    slice-adds. ``lax.map(batch_size=8)`` keeps the live dense tap
+    matrices at ~250 MB while giving the MXU a batched contraction (a
+    per-item HIGHEST-precision matmul is ~8× slower).
     """
     pad = ir_len + 2 * SINC_HALF + 2
     win = _BLOCK + 128  # covers block + 2*SINC_HALF tap spill (80) aligned
     n_blocks = -(-pad // _BLOCK)
-    # (n_bands, n_classes): band profile of each total-hit-count class.
-    band_profile = beta[:, None] ** jnp.arange(n_classes, dtype=jnp.float32)[None, :]
-
-    n_bands = beta.shape[0]
+    n_bands = amp_nb.shape[1]
 
     def place_one(args):
-        """Impulse-train accumulation for ONE item → (n_classes, ir_len)."""
-        delays_si, hits_i, g_i = args
+        """Impulse-train accumulation for ONE item → (n_bands, ir_len)."""
+        delays_si, g_i = args
         d = delays_si * sample_rate  # float samples
         base = jnp.floor(d)
         frac = d - base
@@ -242,21 +283,25 @@ def _assemble_core(
         # the mask keeps exactly the serial renderer's 2*SINC_HALF+1 taps
         mask = jnp.abs(jm) <= SINC_HALF
         vals = jnp.where(mask, sinc_t * window, 0.0) * g_i[:, None]
-        # One MXU contraction places all images: row q = cls*n_blocks + blk
-        # (out-of-range q — images beyond the IR window — one-hot to zero).
-        q = jnp.clip(hits_i, 0, n_classes - 1) * n_blocks + blk
-        onehot = jax.nn.one_hot(q, n_classes * n_blocks, dtype=jnp.float32)
+        # One MXU contraction places all images into per-band trains:
+        # row r = band·n_blocks + blk, weighted by the image's band
+        # amplitude (amp_nb is item-independent — same room for all
+        # items — so it rides the closure, not the map).
+        onehot = jax.nn.one_hot(blk, n_blocks, dtype=jnp.float32)  # (N, blocks)
+        w_nb = (amp_nb[:, :, None] * onehot[:, None, :]).reshape(
+            amp_nb.shape[0], n_bands * n_blocks
+        )
         # Precision.HIGH (3-pass bf16) halves the placement cost vs
         # HIGHEST (6-pass) at identical end-to-end accuracy: both land at
         # 1.9e-4 max rel-err vs an all-f32 CPU render of the same bank —
         # the error floor comes from the f32 FFT/tail paths, not the
         # contraction passes.
         accw = jnp.einsum(
-            "nr,nw->rw", onehot, vals, precision=jax.lax.Precision.HIGH
-        ).reshape(n_classes, n_blocks, win)
+            "nr,nw->rw", w_nb, vals, precision=jax.lax.Precision.HIGH
+        ).reshape(n_bands, n_blocks, win)
         # Overlap-add the block windows (static slices; window of block b
         # starts at padded position p = T + 2*SINC_HALF = b*block).
-        acc_pad = jnp.zeros((n_classes, n_blocks * _BLOCK + win), jnp.float32)
+        acc_pad = jnp.zeros((n_bands, n_blocks * _BLOCK + win), jnp.float32)
         for b in range(n_blocks):
             acc_pad = acc_pad.at[:, b * _BLOCK : b * _BLOCK + win].add(
                 accw[:, b]
@@ -264,23 +309,15 @@ def _assemble_core(
         return acc_pad[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len]
 
     accs = jax.lax.map(
-        place_one, (delays_s, hits, g), batch_size=_PLACE_BATCH
-    )  # (P, C, ir_len)
-    # By linearity the band expansion folds into per-CLASS spectral
-    # filters: sum_b mask_b * rfft(sum_c profile[b,c] acc_c)
-    #        = sum_c (sum_b profile[b,c] mask_b) * rfft(acc_c),
-    # skipping the (P, bands, T) trains intermediate and bands-classes
-    # extra FFTs (n_classes forward FFTs instead of n_bands, no einsum
-    # over the time axis).
-    class_filt = jnp.einsum("bc,bf->cf", band_profile, masks)
-    spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, C, F)
+        place_one, (delays_s, g), batch_size=_PLACE_BATCH
+    )  # (P, n_bands, ir_len)
+    spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, B, F)
     early = jnp.fft.irfft(
-        (spec * class_filt[None]).sum(axis=1), nfft, axis=-1
+        (spec * masks[None]).sum(axis=1), nfft, axis=-1
     )[:, :ir_len]
 
     # Late tail: per-band Eyring decay, level matched to the mixing-zone
     # image energy (parity with render_shoebox_rir_multiband).
-    cls_b = jnp.clip(hits, 0, n_classes - 1)  # (P, N)
     big = jnp.float32(1e30)
     t_direct = jnp.min(jnp.where(valid, delays_s, big), axis=1)
     t_direct = jnp.where(jnp.any(valid, axis=1), t_direct, 0.0)  # (P,)
@@ -289,26 +326,23 @@ def _assemble_core(
         & (delays_s > t_direct[:, None] + 0.03)
         & (delays_s < t_direct[:, None] + 0.08)
     )
-    cls_sum = jax.vmap(
-        lambda sel, g_i, c: jax.ops.segment_sum(
-            jnp.where(sel, g_i * g_i, 0.0), c, num_segments=n_classes
-        )
-    )(mix_sel, g, cls_b)  # (P, n_classes)
+    # level_sel[p, b] = sqrt(mean_{n in sel} (g_pn · amp_nb)²) — the
+    # serial renderer's sqrt(mean(amps[mix_sel]**2)) with amps = g·A.
+    sel_sum = jnp.einsum(
+        "pn,nb->pb", jnp.where(mix_sel, g * g, 0.0), amp_nb * amp_nb
+    )
     k = jnp.sum(mix_sel, axis=1)  # (P,)
-    level_sel = jnp.sqrt(
-        cls_sum @ (band_profile**2).T / jnp.maximum(k, 1)[:, None]
-    )  # (P, n_bands)
-    # segment_max yields -inf for empty classes; |g| >= 0 so clamp to 0.
-    cls_max = jnp.maximum(
-        jax.vmap(
-            lambda v, g_i, c: jax.ops.segment_max(
-                jnp.where(v, jnp.abs(g_i), 0.0), c, num_segments=n_classes
-            )
-        )(valid, g, cls_b),
-        0.0,
-    )  # (P, n_classes)
-    level_fb = (
-        jnp.max(band_profile[None] * cls_max[:, None, :], axis=2) * 0.05
+    level_sel = jnp.sqrt(sel_sum / jnp.maximum(k, 1)[:, None])  # (P, B)
+    # Fallback when the mixing window is empty: 0.05·max_n |g·A| per band
+    # (serial: np.abs(amps).max(axis=0) * 0.05). Batched lax.map bounds
+    # the (items, N, bands) intermediate.
+    level_fb = 0.05 * jax.lax.map(
+        lambda a: jnp.max(
+            jnp.where(a[1][:, None], jnp.abs(a[0])[:, None] * amp_nb, 0.0),
+            axis=0,
+        ),
+        (g, valid),
+        batch_size=_PLACE_BATCH,
     )  # (P, n_bands)
     level = jnp.where((k > 0)[:, None], level_sel, level_fb)
 
@@ -336,7 +370,7 @@ def _assemble_core(
 def _render_core(
     fpack,  # (P, 9) f32: srcs(3) | recvs(3) | normals(3)
     ipack,  # (P, 3) u32: chan_idx | seeds | bank_ids
-    consts,  # (3 + 2*n_bands,) f32: dims(3) | beta | rt60_bands
+    consts,  # (3 + 7*n_bands,) f32: dims(3) | beta_walls (n_bands·6) | rt60
     masks,  # (n_bands, nfft//2+1)
     *,
     n_bands: int,
@@ -347,7 +381,6 @@ def _render_core(
     sample_rate: int,
     ir_len: int,
     nfft: int,
-    n_classes: int,
 ):
     """Fused geometry → gains → assembly: (P, ir_len) un-normalized RIRs.
 
@@ -363,12 +396,13 @@ def _render_core(
     chan_idx = ipack[:, 0].astype(jnp.int32)
     seeds = ipack[:, 1]
     dims = consts[0:3]
-    beta = consts[3 : 3 + n_bands]
-    rt60_bands = consts[3 + n_bands : 3 + 2 * n_bands]
+    beta_walls = consts[3 : 3 + 6 * n_bands].reshape(n_bands, 6)
+    rt60_bands = consts[3 + 6 * n_bands : 3 + 7 * n_bands]
 
-    delays_s, hits, (ux, uy, uz), valid = _device_geometry(
+    delays_s, _hits, (ux, uy, uz), valid = _device_geometry(
         dims, srcs, recvs, max_order, max_delay
     )
+    amp_nb = _amplitude_profile(beta_walls, max_order)  # (N, n_bands)
     if channel_type in ("Mono", "CustomArrayIR"):
         gain = jnp.ones_like(delays_s)
     elif channel_type == "Binaural":
@@ -396,17 +430,15 @@ def _render_core(
     noise_keys = jax.vmap(tail_noise_key)(seeds, chan_idx)
     return _assemble_core(
         delays_s,
-        hits,
         g,
         valid,
+        amp_nb,
         noise_keys,
-        beta,
         masks,
         rt60_bands,
         sample_rate,
         ir_len,
         nfft,
-        n_classes,
     )
 
 
@@ -421,7 +453,6 @@ def _render_core(
         "sample_rate",
         "ir_len",
         "nfft",
-        "n_classes",
         "n_banks",
         "peak_normalize",
     ),
@@ -440,7 +471,6 @@ def _render_items_device(
     sample_rate: int,
     ir_len: int,
     nfft: int,
-    n_classes: int,
     n_banks: int,
     peak_normalize: bool,
 ):
@@ -466,7 +496,6 @@ def _render_items_device(
         sample_rate=sample_rate,
         ir_len=ir_len,
         nfft=nfft,
-        n_classes=n_classes,
     )
     if peak_normalize:
         item_peak = jnp.max(jnp.abs(out), axis=1)  # (padded,)
@@ -527,7 +556,14 @@ def _cached_masks(n_bands: int, nfft: int, sample_rate: int) -> jax.Array:
 
 def _bank_params(oracle):
     """Shared scalar setup: (band_absorption, rt60_bands, ir_seconds,
-    ir_len, nfft, beta, n_classes)."""
+    ir_len, nfft, beta_walls (n_bands, 6)).
+
+    ``band_absorption`` is the area-weighted room mean per band (the
+    Eyring tail's absorption — ShoeboxRoom.band_absorption); the per-wall
+    reflection coefficients feed the image amplitudes, so material
+    diversity survives into the early reflections while the stochastic
+    tail decays at the room-mean rate (parity with the serial
+    render_shoebox_rir_multiband)."""
     room: ShoeboxRoom = oracle.room
     n_bands = oracle.n_bands
     band_absorption = np.asarray(room.band_absorption(n_bands), np.float64)
@@ -539,9 +575,11 @@ def _bank_params(oracle):
         ir_seconds = min(max(float(rt60_bands.max()) * 1.1, 0.25), 2.0)
     ir_len = int(ir_seconds * oracle.sample_rate)
     nfft = int(2 ** np.ceil(np.log2(ir_len + 2 * SINC_HALF + 2)))
-    beta = np.sqrt(np.maximum(1.0 - band_absorption, 1e-4))
-    n_classes = 6 * oracle.max_order + 4  # max total hits = 3*(2*max_order+1)
-    return band_absorption, rt60_bands, ir_seconds, ir_len, nfft, beta, n_classes
+    wall_absorption = np.asarray(
+        room.wall_band_absorption(n_bands), np.float64
+    )  # (n_bands, 6)
+    beta_walls = np.sqrt(np.maximum(1.0 - wall_absorption, 1e-4))
+    return band_absorption, rt60_bands, ir_seconds, ir_len, nfft, beta_walls
 
 
 def _flatten_items(oracle, source_positions, receiver_positions, channel,
@@ -613,7 +651,7 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
     With ``mesh``, the padded item axis is sharded over the mesh's first
     axis (shard_map — see _render_items_mesh_fn) instead of running on the
     default device."""
-    (_, rt60_bands, ir_seconds, ir_len, nfft, beta, n_classes) = ir_params
+    (_, rt60_bands, ir_seconds, ir_len, nfft, beta_walls) = ir_params
     n_items = len(srcs_flat)
     quantum = _CHUNK
     if mesh is not None:
@@ -652,7 +690,7 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
     consts = jnp.asarray(np.concatenate(
         [
             np.asarray(oracle.room.dims, np.float32),
-            np.asarray(beta, np.float32),
+            np.asarray(beta_walls, np.float32).reshape(-1),  # (n_bands·6,)
             np.asarray(rt60_bands, np.float32),
         ]
     ))
@@ -665,7 +703,6 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         sample_rate=oracle.sample_rate,
         ir_len=ir_len,
         nfft=nfft,
-        n_classes=n_classes,
     )
     masks_dev = _cached_masks(oracle.n_bands, nfft, oracle.sample_rate)
     if mesh is not None:

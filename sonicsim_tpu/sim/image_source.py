@@ -26,26 +26,83 @@ SPEED_OF_SOUND = 343.0
 SINC_HALF = 40  # windowed-sinc fractional-delay taps: 2*SINC_HALF+1
 
 
+# Wall index order shared by every per-wall consumer (the native kernel's
+# contract, sonicsim_native.cpp image_sources): x0, xL, y0, yL, z0, zL.
+# y is up, so y0 is the floor and yL the ceiling.
+WALLS = ("x0", "xL", "y0", "yL", "z0", "zL")
+
+
 @dataclass
 class ShoeboxRoom:
-    """Axis-aligned room [0,Lx]x[0,Ly]x[0,Lz] (y up), uniform absorption.
+    """Axis-aligned room [0,Lx]x[0,Ly]x[0,Lz] (y up).
 
-    ``absorption_bands`` optionally carries a frequency-dependent absorption
-    curve (material-style, low→high frequency) used by the multi-band
-    renderer; the scalar ``absorption`` is the broadband value."""
+    Absorption, most to least specific (the most specific set wins):
+
+    * ``wall_absorption_bands`` — (6, n_curve) per-wall frequency curves in
+      :data:`WALLS` order, the counterpart of the reference's per-surface
+      material assignment (mp3d_material_config.json applied at
+      SonicSim_rir.py:189-193,307);
+    * ``absorption_bands`` — one frequency curve shared by all walls;
+    * ``absorption`` — a broadband scalar.
+    """
 
     dims: tuple[float, float, float]
     absorption: float = 0.3
     scattering: float = 0.1  # reserved (diffuse split), kept for config parity
     absorption_bands: tuple[float, ...] | None = None
+    wall_absorption_bands: tuple[tuple[float, ...], ...] | None = None
 
-    def band_absorption(self, n_bands: int) -> np.ndarray:
-        if self.absorption_bands is None:
-            return np.full(n_bands, self.absorption)
-        curve = np.asarray(self.absorption_bands, np.float64)
+    @staticmethod
+    def _resample(curve, n_bands: int) -> np.ndarray:
+        curve = np.asarray(curve, np.float64)
         x = np.linspace(0.0, 1.0, len(curve))
         xq = np.linspace(0.0, 1.0, n_bands)
         return np.interp(xq, x, curve)
+
+    def wall_band_absorption(self, n_bands: int) -> np.ndarray:
+        """Per-wall absorption curves → (n_bands, 6) in WALLS order."""
+        if self.wall_absorption_bands is not None:
+            if len(self.wall_absorption_bands) != 6:
+                raise ValueError(
+                    "wall_absorption_bands needs 6 curves "
+                    f"({', '.join(WALLS)}), got "
+                    f"{len(self.wall_absorption_bands)}"
+                )
+            return np.stack(
+                [self._resample(c, n_bands) for c in self.wall_absorption_bands],
+                axis=1,
+            )
+        return np.tile(self.band_absorption(n_bands)[:, None], (1, 6))
+
+    def band_absorption(self, n_bands: int) -> np.ndarray:
+        """Area-weighted room-mean absorption curve (n_bands,) — the value
+        scalar consumers (Sabine/Eyring RT60, tail calibration) use."""
+        if self.wall_absorption_bands is not None:
+            walls = self.wall_band_absorption(n_bands)  # (n_bands, 6)
+            w = self.wall_areas()
+            return walls @ (w / w.sum())
+        if self.absorption_bands is None:
+            return np.full(n_bands, self.absorption)
+        return self._resample(self.absorption_bands, n_bands)
+
+    @property
+    def is_uniform(self) -> bool:
+        """True when every wall shares one absorption curve — the bank
+        renderer's cheap hit-class factorization applies (bank_render)."""
+        if self.wall_absorption_bands is None:
+            return True
+        first = np.asarray(self.wall_absorption_bands[0], np.float64)
+        return all(
+            np.array_equal(first, np.asarray(c, np.float64))
+            for c in self.wall_absorption_bands[1:]
+        )
+
+    def wall_areas(self) -> np.ndarray:
+        """(6,) wall areas in WALLS order."""
+        lx, ly, lz = self.dims
+        return np.array(
+            [ly * lz, ly * lz, lx * lz, lx * lz, lx * ly, lx * ly]
+        )
 
     @property
     def volume(self) -> float:
@@ -57,9 +114,21 @@ class ShoeboxRoom:
         lx, ly, lz = self.dims
         return 2.0 * (lx * ly + ly * lz + lx * lz)
 
+    def mean_absorption(self) -> float:
+        """Area-weighted broadband mean across walls."""
+        if self.wall_absorption_bands is None:
+            return self.absorption
+        means = np.array(
+            [float(np.mean(c)) for c in self.wall_absorption_bands]
+        )
+        w = self.wall_areas()
+        return float(means @ (w / w.sum()))
+
     def rt60(self) -> float:
-        """Sabine reverberation time (seconds)."""
-        return 0.161 * self.volume / max(self.surface * self.absorption, 1e-6)
+        """Sabine reverberation time (seconds), area-weighted absorption."""
+        return 0.161 * self.volume / max(
+            self.surface * self.mean_absorption(), 1e-6
+        )
 
 
 def image_sources(
@@ -84,6 +153,45 @@ def image_sources(
     hx, hy, hz = np.meshgrid(hits_axes[0], hits_axes[1], hits_axes[2], indexing="ij")
     positions = np.stack([px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=1)
     return positions, (hx + hy + hz).reshape(-1)
+
+
+def image_sources_walls(
+    room: ShoeboxRoom, source: np.ndarray, max_order: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Image positions and PER-WALL reflection counts (Allen & Berkley).
+
+    Returns (positions (N, 3), wall_hits (N, 6)) in WALLS order — wall w0
+    of an axis (the 0-coordinate plane) is hit |n - p| times and wall wL
+    |n| times for lattice index (n, parity p). Same lattice ordering as
+    :func:`image_sources` (summing the pairs reproduces its hit counts).
+    """
+    dims = np.asarray(room.dims)
+    src = np.asarray(source, np.float64)
+    rng_n = np.arange(-max_order, max_order + 1)
+    pos_axes, h0_axes, hL_axes = [], [], []
+    for ax in range(3):
+        n = rng_n[:, None]
+        p = np.array([0, 1])[None, :]
+        coord = (1 - 2 * p) * src[ax] + 2 * n * dims[ax]
+        pos_axes.append(coord.reshape(-1))
+        h0_axes.append(np.broadcast_to(np.abs(n - p), coord.shape).reshape(-1))
+        hL_axes.append(np.broadcast_to(np.abs(n), coord.shape).reshape(-1))
+    px, py, pz = np.meshgrid(pos_axes[0], pos_axes[1], pos_axes[2], indexing="ij")
+    positions = np.stack([px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=1)
+    k = len(pos_axes[0])
+    grids = np.meshgrid(np.arange(k), np.arange(k), np.arange(k), indexing="ij")
+    wall_hits = np.stack(
+        [
+            h0_axes[0][grids[0].reshape(-1)],
+            hL_axes[0][grids[0].reshape(-1)],
+            h0_axes[1][grids[1].reshape(-1)],
+            hL_axes[1][grids[1].reshape(-1)],
+            h0_axes[2][grids[2].reshape(-1)],
+            hL_axes[2][grids[2].reshape(-1)],
+        ],
+        axis=1,
+    )
+    return positions, wall_hits
 
 
 @partial(jax.jit, static_argnames=("ir_len",))
@@ -155,7 +263,7 @@ def render_shoebox_rir_multiband(
     source_position: np.ndarray,
     receiver_position: np.ndarray,
     channel: ChannelModel,
-    band_absorption: np.ndarray,  # (n_bands,) per-band absorption
+    band_absorption: np.ndarray,  # (n_bands,) uniform or (n_bands, 6) per-wall
     sample_rate: int = 16000,
     receiver_rotation: float = 90.0,
     max_order: int = 4,
@@ -167,23 +275,32 @@ def render_shoebox_rir_multiband(
     through a log-triangular filterbank, plus per-band Eyring tails → (C, L).
 
     This is the 32-band counterpart of the reference's RLR frequency-band
-    rendering (SonicSim_rir.py:176-187).
+    rendering (SonicSim_rir.py:176-187). ``band_absorption`` of shape
+    (n_bands, 6) carries PER-WALL curves in :data:`WALLS` order — the
+    counterpart of the reference's per-surface material assignment
+    (mp3d_material_config.json, SonicSim_rir.py:189-193,307); the Eyring
+    tail then uses the area-weighted room mean per band.
     """
     from ..native import image_sources_multiband
 
     band_absorption = np.asarray(band_absorption, np.float64)
-    n_bands = len(band_absorption)
-    alpha_mean = float(band_absorption.mean())
+    if band_absorption.ndim == 1:
+        wall_absorption = np.tile(band_absorption[:, None], (1, 6))
+    else:
+        wall_absorption = band_absorption
+    n_bands = wall_absorption.shape[0]
+    w = room.wall_areas()
+    mean_absorption = wall_absorption @ (w / w.sum())  # (n_bands,)
     rt60_bands = 0.161 * room.volume / np.maximum(
-        -room.surface * np.log(np.maximum(1.0 - band_absorption, 1e-4)), 1e-6
-    )  # Eyring per band
+        -room.surface * np.log(np.maximum(1.0 - mean_absorption, 1e-4)), 1e-6
+    )  # Eyring per band, area-weighted mean absorption
     if ir_seconds is None:
         ir_seconds = min(max(float(rt60_bands.max()) * 1.1, 0.25), 2.0)
     ir_len = int(ir_seconds * sample_rate)
 
     offsets = channel.receiver_offsets(receiver_rotation)
     recv = np.asarray(receiver_position, np.float64)[None, :] + offsets  # (C, 3)
-    beta = np.tile(np.sqrt(np.maximum(1.0 - band_absorption, 1e-4))[:, None], (1, 6))
+    beta = np.sqrt(np.maximum(1.0 - wall_absorption, 1e-4))  # (n_bands, 6)
 
     n_ch = channel.count
     out = np.zeros((n_ch, ir_len), np.float32)
@@ -201,8 +318,10 @@ def render_shoebox_rir_multiband(
             beta,
             ir_seconds,
         )
-        if native_out is None:  # pure-python fallback: broadband per band
-            imgs, hits = image_sources(room, source_position, max_order)
+        if native_out is None:  # pure-python fallback (per-wall, per-band)
+            imgs, wall_hits = image_sources_walls(
+                room, source_position, max_order
+            )
             diff = imgs - recv[c_idx][None, :]
             dist = np.linalg.norm(diff, axis=1)
             # Same validity window as the native kernel
@@ -212,10 +331,12 @@ def render_shoebox_rir_multiband(
             keep = (dist / SPEED_OF_SOUND <= ir_seconds) & (dist >= 1e-6)
             delays = dist[keep] / SPEED_OF_SOUND
             dirs = diff[keep] / dist[keep, None]
-            amps = (
-                np.power.outer(beta[:, 0], hits[keep]).T
-                / (4.0 * np.pi * dist[keep])[:, None]
-            )
+            # amp[n, b] = prod_w beta[b, w]^hits[n, w] / (4 pi d_n) — the
+            # native kernel's per-wall product, vectorized in log domain.
+            log_beta = np.log(np.maximum(beta, 1e-12))  # (n_bands, 6)
+            amps = np.exp(wall_hits[keep] @ log_beta.T) / (
+                4.0 * np.pi * dist[keep]
+            )[:, None]
         else:
             delays, amps, dirs = native_out
         gains = channel.directional_gain(dirs, receiver_rotation)[:, c_idx]

@@ -82,7 +82,12 @@ def material_for_label(
 def room_mean_absorption(
     label_areas: dict[str, float], materials: dict[str, Material] | None = None
 ) -> float:
-    """Area-weighted mean absorption for a room's surface composition."""
+    """Area-weighted mean absorption for a room's surface composition.
+
+    Coarsest reduction — collapses material diversity to one scalar. The
+    shoebox oracle's faithful path is :func:`wall_absorption_from_labels`,
+    which keeps per-wall frequency curves (the reference applies materials
+    per semantic surface, SonicSim_rir.py:189-193,307)."""
     total = sum(label_areas.values())
     if total <= 0:
         return 0.3
@@ -91,3 +96,70 @@ def room_mean_absorption(
         for lbl, area in label_areas.items()
     )
     return acc / total
+
+
+# Semantic aliases accepted by wall_absorption_from_labels, mapped onto the
+# shoebox wall order shared with the native kernel and the bank renderer
+# (image_source.WALLS: x0, xL, y0, yL, z0, zL; y up → y0 floor, yL ceiling).
+WALL_ALIASES = {
+    "x0": "x0", "xl": "xL", "y0": "y0", "yl": "yL", "z0": "z0", "zl": "zL",
+    "floor": "y0", "ceiling": "yL",
+    "west": "x0", "east": "xL", "north": "z0", "south": "zL",
+}
+
+
+def wall_absorption_from_labels(
+    wall_labels: dict[str, str] | list[str],
+    materials: dict[str, Material] | None = None,
+) -> tuple[tuple[float, ...], ...]:
+    """Per-wall absorption curves for ``ShoeboxRoom.wall_absorption_bands``.
+
+    ``wall_labels`` is either a 6-list of material labels in WALLS order
+    (x0, xL, y0, yL, z0, zL) or a dict keyed by wall name / alias
+    (``floor``, ``ceiling``, ``north``/``south``/``east``/``west``, or the
+    raw wall names) with a ``"walls"`` (or ``"default"``) entry covering
+    the unnamed rest. Each label resolves through
+    :func:`material_for_label` (so mp3d config labels and the built-in
+    table both work) and keeps its FULL frequency curve — no banding
+    collapse; the renderers resample to their band count.
+
+    Example::
+
+        room = ShoeboxRoom(dims, wall_absorption_bands=
+            wall_absorption_from_labels(
+                {"floor": "carpet", "ceiling": "concrete",
+                 "walls": "concrete"}, load_material_config(cfg)))
+    """
+    from .image_source import WALLS
+
+    if isinstance(wall_labels, dict):
+        resolved: dict[str, str] = {}
+        fallback = None
+        for key, label in wall_labels.items():
+            alias = WALL_ALIASES.get(key.lower())
+            if alias is not None:
+                resolved[alias] = label
+            elif key.lower() in ("walls", "default"):
+                fallback = label
+            else:
+                raise ValueError(
+                    f"unknown wall name {key!r}; use one of "
+                    f"{sorted(set(WALL_ALIASES))} or 'walls'/'default'"
+                )
+        labels = [resolved.get(wname, fallback) for wname in WALLS]
+        missing = [w for w, lbl in zip(WALLS, labels) if lbl is None]
+        if missing:
+            raise ValueError(
+                f"walls {missing} have no material; add them or a "
+                "'walls'/'default' entry"
+            )
+    else:
+        if len(wall_labels) != 6:
+            raise ValueError(
+                f"need 6 wall labels in WALLS order {WALLS}, got "
+                f"{len(wall_labels)}"
+            )
+        labels = list(wall_labels)
+    return tuple(
+        tuple(material_for_label(lbl, materials).absorption) for lbl in labels
+    )

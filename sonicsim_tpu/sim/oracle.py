@@ -88,12 +88,20 @@ class SyntheticRirOracle:
         if self.n_bands > 0:
             from .image_source import render_shoebox_rir_multiband
 
+            # Per-wall curves when the room carries them (material
+            # diversity — SonicSim_rir.py:189-193 counterpart); the
+            # uniform room reduces to the shared-curve path exactly.
+            absorption = (
+                self.room.wall_band_absorption(self.n_bands)
+                if self.room.wall_absorption_bands is not None
+                else self.room.band_absorption(self.n_bands)
+            )
             return render_shoebox_rir_multiband(
                 self.room,
                 source_position,
                 receiver_position,
                 channel,
-                self.room.band_absorption(self.n_bands),
+                absorption,
                 sample_rate=self.sample_rate,
                 receiver_rotation=receiver_rotation,
                 max_order=self.max_order,

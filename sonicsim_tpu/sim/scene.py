@@ -64,6 +64,8 @@ class Scene:
         max_order: int = 4,
         seed: int = 0,
         n_bands: int = 0,
+        wall_materials: dict | list | None = None,
+        materials: dict | None = None,
     ) -> "Scene":
         """Hermetic scene over a shoebox room (the fake-oracle test path and
         the default when Matterport assets are absent).
@@ -73,15 +75,35 @@ class Scene:
         rendering through the fused on-device renderer (sim/bank_render.py)
         instead of the host serial loop — the production generation setting
         (~0.2 s vs ~0.45 s of host time per 60 s mixture on chip).
-        ``n_bands=0`` keeps the flat host renderer (cheap CPU test path)."""
+        ``n_bands=0`` keeps the flat host renderer (cheap CPU test path).
+
+        ``wall_materials`` assigns PER-WALL material labels (dict like
+        ``{"floor": "carpet", "ceiling": "concrete", "walls": "concrete"}``
+        or a 6-list in image_source.WALLS order), resolved against
+        ``materials`` (a load_material_config dict; built-ins otherwise) —
+        the shoebox counterpart of the reference's per-surface assignment
+        (mp3d_material_config.json, SonicSim_rir.py:189-193,307). Requires
+        ``n_bands > 0`` (per-wall curves are frequency-dependent)."""
         alpha = (
             absorption.mean_absorption()
             if isinstance(absorption, Material)
             else float(absorption)
         )
+        wall_bands = None
+        if wall_materials is not None:
+            if n_bands <= 0:
+                raise ValueError(
+                    "wall_materials needs the multiband renderer; set "
+                    "n_bands > 0 (the reference uses 32)"
+                )
+            from .materials import wall_absorption_from_labels
+
+            wall_bands = wall_absorption_from_labels(wall_materials, materials)
         nav = NavGrid.rectangle(dims[0], dims[2], resolution=resolution)
         oracle = SyntheticRirOracle(
-            room=ShoeboxRoom(dims, absorption=alpha),
+            room=ShoeboxRoom(
+                dims, absorption=alpha, wall_absorption_bands=wall_bands
+            ),
             sample_rate=sample_rate,
             max_order=max_order,
             seed=seed,
