@@ -60,12 +60,24 @@ def plan_mixture(
     static_threshold: float = 6.0,
     seed: int = 0,
     max_silence_seconds: float = 10.0,
+    min_waypoints: int = 0,
 ) -> MixturePlan:
     """Sample the full layout + audio plans for one mixture
-    (SonicSet_train.py:40-74 geometry & track planning)."""
+    (SonicSet_train.py:40-74 geometry & track planning).
+
+    ``min_waypoints`` arc-length-densifies each sampled trajectory
+    (geometry.densify_path): the moving conv crossfades between adjacent
+    waypoint RIRs, so more waypoints = finer spatial steps. 0 keeps the
+    raw A* corner vertices (reference parity — habitat's
+    ShortestPath.points are corners too)."""
+    from ..sim.geometry import densify_path
+
     n_spk = len(speech_manifests)
     trajectories = [
-        scene.sample_trajectory(rng, distance_threshold) for _ in range(n_spk)
+        densify_path(
+            scene.sample_trajectory(rng, distance_threshold), min_waypoints
+        )
+        for _ in range(n_spk)
     ]
     mid_points = [t[len(t) // 2] for t in trajectories]
     mic_point = scene.select_static_points(mid_points, rng, static_threshold, 1)[0]
@@ -242,6 +254,7 @@ def dispatch_mixture(
     mesh=None,
     wav_encoding: str = "pcm16",
     cache=None,
+    sink: str = "disk",
 ) -> dict:
     """Device half of :func:`render_mixture`: enqueue the RIR-bank render
     and the fused source render, start async device→host copies of every
@@ -254,7 +267,19 @@ def dispatch_mixture(
 
     ``cache``: optional :class:`.device_assembly.UtteranceCache` — long
     audio is then assembled ON DEVICE from cached utterance rows
-    (bit-identical output; steady-state uplink drops to cache misses)."""
+    (bit-identical output; steady-state uplink drops to cache misses).
+
+    ``sink="device"`` renders the identical computation but keeps every
+    output ON DEVICE: no artifact downloads, no bank/trace/WAV bytes —
+    finalize_mixture forces execution with one scalar readback and writes
+    nothing. This is the compute-only configuration that separates chip
+    capability from the tunnel's artifact downlink (the real pipeline's
+    floor — docs/PERFORMANCE.md)."""
+    if sink not in ("disk", "device"):
+        raise ValueError(f"sink must be 'disk' or 'device', got {sink!r}")
+    if sink == "device":
+        save_bank = False
+        save_trace = False
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     sr = plan.sample_rate
@@ -358,11 +383,13 @@ def dispatch_mixture(
             # finalize_mixture blocked ~1.2 s (profiled) waiting on
             # deferred work even though the sibling tracks array had
             # already streamed its copy.
-            _copy_to_host_async(peak_scales)
+            if sink != "device":
+                _copy_to_host_async(peak_scales)
         else:  # float32: reference-format output (no quantization)
             tracks = jnp.concatenate([moving_t, static_t], axis=0)
             peak_scales = None
-        _copy_to_host_async(tracks)
+        if sink != "device":
+            _copy_to_host_async(tracks)
         payload = {
             "tracks": tracks,
             "peak_scales": peak_scales,
@@ -398,6 +425,7 @@ def dispatch_mixture(
         "bank_f16": bank_f16,
         "save_trace": save_trace,
         "wav_encoding": wav_encoding,
+        "sink": sink,
     }
 
 
@@ -415,6 +443,17 @@ def finalize_mixture(handle: dict, writer: "ArtifactWriter | None" = None) -> di
     the pure-disk writes are queued to its background thread instead of
     blocking the pipeline (call ``writer.barrier()`` before relying on
     the files)."""
+    if handle.get("sink") == "device":
+        # Compute-only consumption: force the whole mixture's device
+        # computation (one scalar readback transitively depends on every
+        # render) and write nothing.
+        import jax.numpy as jnp
+
+        if "tracks" in handle:
+            float(jnp.ravel(handle["tracks"])[0])
+        else:  # degenerate host path: values already materialized
+            float(np.ravel(handle["moving"][0])[0])
+        return {"device_resident": True, "out": handle["out"]}
     out: Path = handle["out"]
     plan: MixturePlan = handle["plan"]
     mic = handle["mic"]
@@ -544,6 +583,7 @@ def render_mixture(
     mesh=None,
     wav_encoding: str = "pcm16",
     cache=None,
+    sink: str = "disk",
 ) -> dict:
     """Execute a MixturePlan → WAVs + metadata on disk
     (SonicSet_train.py:50-138 execution half).
@@ -552,11 +592,13 @@ def render_mixture(
     across devices (parallel/pipeline.py); identical output either way.
     ``wav_encoding``: "pcm16" (half-size downloads/files; peak-guarded,
     scales recorded in json_data.json) or "float32" (the reference's
-    torchaudio.save format, SonicSet_train.py:102-106)."""
+    torchaudio.save format, SonicSet_train.py:102-106).
+    ``sink="device"``: compute-only — no downloads, no files (see
+    dispatch_mixture)."""
     return finalize_mixture(
         dispatch_mixture(
             scene, plan, output_dir, transcripts, save_bank, save_trace,
-            mesh, wav_encoding, cache,
+            mesh, wav_encoding, cache, sink,
         )
     )
 
@@ -612,6 +654,7 @@ def generate_split(
     wav_encoding: str = "pcm16",
     utterance_cache: "bool | UtteranceCache" = True,
     save_bank: bool = True,
+    sink: str = "disk",
 ) -> list[Path]:
     """Outer generation loop (SonicSet_train.py:153-219): per scene, consume
     speaker directories in random triples until exhausted, with resume.
@@ -729,7 +772,7 @@ def generate_split(
                     handle = dispatch_mixture(
                         scene, plan, out_dir, transcripts,
                         save_bank=save_bank,
-                        wav_encoding=wav_encoding, cache=cache,
+                        wav_encoding=wav_encoding, cache=cache, sink=sink,
                     )
                     # Dispatch k BEFORE finalizing k-1: k's device work +
                     # async copies stream while the host blocks on k-1's
@@ -747,7 +790,7 @@ def generate_split(
                     render_mixture(
                         scene, plan, out_dir, transcripts,
                         save_bank=save_bank,
-                        wav_encoding=wav_encoding, cache=cache,
+                        wav_encoding=wav_encoding, cache=cache, sink=sink,
                     )
                     produced.append(out_dir)
                     logger.info(

@@ -147,9 +147,11 @@ def integrated_loudness(
 ) -> jax.Array:
     """Gated integrated loudness in LUFS.
 
-    data: (T,) mono or (C, T) multichannel (≤5 ch). Returns a scalar; silent
-    input yields -inf like pyloudnorm (the caller substitutes -40, matching
-    SonicSim_audio.py:73-75).
+    data: (T,) mono or (C, T) multichannel. Returns a scalar; silent input
+    yields -inf like pyloudnorm (the caller substitutes -40, matching
+    SonicSim_audio.py:73-75). Channels beyond BS.1770-4's five weight
+    unity (high-order ambisonics beds; pyloudnorm has no behavior there —
+    it raises).
     """
     x = jnp.atleast_2d(data.astype(jnp.float32))  # (C, T)
     n_ch, t = x.shape
@@ -177,7 +179,16 @@ def integrated_loudness(
         starts = jnp.arange(n_frames) * hop
         z = (csum[:, starts + min(block, t)] - csum[:, starts]) / block
 
-    weights = jnp.asarray(_CH_WEIGHTS[:n_ch], jnp.float32)
+    # BS.1770-4 defines weights for 5 channels; beyond that (e.g. AmbiX
+    # order 2 = 9 ch) use unity — a documented superset: the reference's
+    # pyloudnorm meter simply IndexErrors past 5 channels, so >5-ch
+    # generation has no reference behavior to match.
+    weights = jnp.asarray(
+        np.concatenate(
+            [_CH_WEIGHTS[:n_ch], np.ones(max(n_ch - len(_CH_WEIGHTS), 0))]
+        ),
+        jnp.float32,
+    )
     wz = jnp.einsum("c,cf->f", weights, z)  # (n_frames,)
     block_lufs = -0.691 + 10.0 * jnp.log10(jnp.maximum(wz, 1e-30))
 

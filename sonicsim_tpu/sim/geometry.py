@@ -222,6 +222,35 @@ def sample_trajectory(
     raise RuntimeError("no path found — is the NavGrid connected?")
 
 
+def densify_path(
+    path: list[np.ndarray], min_points: int
+) -> list[np.ndarray]:
+    """Resample a waypoint path to at least ``min_points`` by uniform
+    arc-length interpolation (endpoints preserved).
+
+    The moving-source renderer crossfades between ADJACENT waypoint RIRs
+    (SonicSim_moving.py:63-96 semantics): with only the path's corner
+    vertices, a source lerps acoustically across several meters at once.
+    Densifying bounds the spatial step between consecutive RIRs — the
+    fidelity knob the reference lacks (it renders exactly habitat's
+    ShortestPath.points). Paths already at or above ``min_points`` are
+    returned unchanged.
+    """
+    pts = np.asarray(path, np.float64)
+    if len(pts) >= min_points or len(pts) < 2:
+        return [np.asarray(p) for p in path]
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1]
+    if total <= 0:
+        return [np.asarray(p) for p in path]
+    targets = np.linspace(0.0, total, min_points)
+    out = np.empty((min_points, pts.shape[1]))
+    for d in range(pts.shape[1]):
+        out[:, d] = np.interp(targets, cum, pts[:, d])
+    return [out[i] for i in range(min_points)]
+
+
 def select_static_points(
     nav: NavGrid,
     anchor_points: list[np.ndarray],
