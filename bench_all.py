@@ -298,9 +298,19 @@ def main(wait_healthy_min: float = 0.0) -> None:
     )
     for b in warm:
         float(b.ravel()[0])
+    # Pipelined consumption, the production pattern: generate_split keeps
+    # banks ON DEVICE feeding the moving conv — production reads back no
+    # bank bytes at all. The measurement therefore dispatches every call
+    # (fresh geometry each, host flatten+upload included and overlapped
+    # with chip compute) and fences ONCE at the end: device→host copies
+    # on this runtime are stream-ordered behind ALL queued programs, so a
+    # per-call scalar fence would serialize a full tunnel RTT into every
+    # call and measure the link, not the renderer (r3's 601.7 number).
+    n_iters = 8
+    outs = []
     t0 = time.perf_counter()
     ir_sec = 0.0
-    for it in range(3):
+    for it in range(n_iters):
         banks = render_rir_banks(
             oracle, [speaker_ways(3 * it + i) for i in range(3)], mic,
             bank_ch, out_device=True,
@@ -309,11 +319,13 @@ def main(wait_healthy_min: float = 0.0) -> None:
             b.shape[0] * b.shape[1] * b.shape[2] * b.shape[3] / sr
             for b in banks
         )
-        for b in banks:
-            float(b.ravel()[0])
+        outs.append(banks)
+    float(outs[-1][0].ravel()[0])  # in-order queue: forces ALL calls
     dt_bank = time.perf_counter() - t0
+    del outs
     results.append(("RIR bank render (3x40 pairs, binaural)", ir_sec / dt_bank,
-                    {"n_src": 3, "p": 40, "channels": 2,
+                    {"n_src": 3, "p": 40, "channels": 2, "iters": n_iters,
+                     "fence": "single-trailing",
                      "rir_len": int(banks[0].shape[-1])}))
 
     # --- 5. harness inference: ConvTasNet on 4 s batches ------------------

@@ -138,6 +138,51 @@ def _amplitude_profile(beta_walls, max_order: int):
     return amp.reshape(k * k * k, -1)
 
 
+def _amplitude_profile_np(beta_walls: np.ndarray, max_order: int) -> np.ndarray:
+    """Host/numpy twin of :func:`_amplitude_profile` (same lattice
+    flattening order) — feeds the host-side SVD factorization below."""
+    m = max_order
+    n = np.arange(-m, m + 1, dtype=np.float64)[:, None]
+    p = np.arange(2, dtype=np.float64)[None, :]
+    h0 = np.broadcast_to(np.abs(n - p), (2 * m + 1, 2)).reshape(-1)
+    hL = np.broadcast_to(np.abs(n), (2 * m + 1, 2)).reshape(-1)
+    log_b = np.log(np.maximum(beta_walls, 1e-12))  # (B, 6)
+    ex = h0[:, None] * log_b[None, :, 0] + hL[:, None] * log_b[None, :, 1]
+    ey = h0[:, None] * log_b[None, :, 2] + hL[:, None] * log_b[None, :, 3]
+    ez = h0[:, None] * log_b[None, :, 4] + hL[:, None] * log_b[None, :, 5]
+    k = h0.shape[0]
+    amp = np.exp(
+        ex[:, None, None, :] + ey[None, :, None, :] + ez[None, None, :, :]
+    )
+    return amp.reshape(k * k * k, -1)
+
+
+def _factor_amplitude_profile(
+    beta_walls: np.ndarray, max_order: int, tol: float = 1e-7
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rank-r factorization amp ≈ U @ V of the (N, n_bands) per-image
+    band-amplitude profile, on the host (it depends only on per-room
+    constants, never on items).
+
+    The early-reflection stages then run on r ≤ n_bands TRAINS instead of
+    n_bands BAND trains: placement contraction rows, the (P, ·, ir_len)
+    accumulator, and the early rfft batch all shrink by r/n_bands. The
+    rank is tiny in practice — EXACTLY 1 for a uniform room (every band
+    shares one beta ⇒ identical columns) and ≤ ~16 at 1e-7 relative for
+    six distinct banded material curves (the exponent structure
+    Σ_w hits·log β[b,w] lives in a 6-curve manifold). r is padded to a
+    multiple of 8 (MXU sublane) so at most 4 compiled shapes exist.
+    """
+    A = _amplitude_profile_np(beta_walls, max_order)
+    n_bands = A.shape[1]
+    U, s, Vt = np.linalg.svd(A, full_matrices=False)
+    rank = max(1, int(np.sum(s > s[0] * tol)))
+    r = min(n_bands, -(-rank // 8) * 8)
+    if r >= n_bands:  # no savings — keep the exact profile
+        return A.astype(np.float32), np.eye(n_bands, dtype=np.float32)
+    return (U[:, :r] * s[:r]).astype(np.float32), Vt[:r].astype(np.float32)
+
+
 def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
     """Image-source lattice for every item, entirely in jnp.
 
@@ -197,6 +242,8 @@ def _assemble_core(
     g,  # (P, N) float32 directional_gain / (4 pi d), 0 where invalid
     valid,  # (P, N) bool
     amp_nb,  # (N, n_bands) per-image per-band reflection product (shared)
+    amp_u,  # (N, r) left factor of amp_nb ≈ amp_u @ amp_v (host SVD)
+    amp_v,  # (r, n_bands) right factor
     noise_keys,  # (P,) typed PRNG keys — tail noise generated ON DEVICE
     masks,  # (n_bands, nfft//2+1) float32 filterbank partition
     rt60_bands,  # (n_bands,) float32 Eyring RT60 per band
@@ -209,19 +256,24 @@ def _assemble_core(
     Tap placement evaluates each image's 81 windowed-sinc taps densely
     over its 1024-sample time block's window (exact same sinc/Hann
     formula as the serial renderer, masked to the original tap
-    positions), then one einsum against the band-weighted block one-hot
-    — W[n, b·blocks+blk] = amp_nb[n, b] — places every image into
-    per-BAND impulse trains at once (per-wall materials make the
-    amplitude band structure per-image, so the old hit-class trains no
-    longer factor); overlapping block windows are recombined with static
-    slice-adds. ``lax.map(batch_size=8)`` keeps the live dense tap
-    matrices at ~250 MB while giving the MXU a batched contraction (a
-    per-item HIGHEST-precision matmul is ~8× slower).
+    positions), then one einsum against the block one-hot weighted by
+    the amplitude profile's rank-r LEFT factor — W[n, q·blocks+blk] =
+    amp_u[n, q] — placing every image into r FACTOR trains at once
+    (r ≤ n_bands; EXACTLY one train suffices for a uniform room — see
+    _factor_amplitude_profile). Band structure is restored in the
+    FREQUENCY domain: early_spec = Σ_q rfft(train_q)·(amp_v @ masks)_q,
+    so the accumulator, the contraction rows, and the early rfft batch
+    all scale with r instead of n_bands. Overlapping block windows are
+    recombined with static slice-adds. ``lax.map(batch_size=8)`` keeps
+    the live dense tap matrices at ~250 MB while giving the MXU a
+    batched contraction (a per-item HIGHEST-precision matmul is ~8×
+    slower).
     """
     pad = ir_len + 2 * SINC_HALF + 2
     win = _BLOCK + 128  # covers block + 2*SINC_HALF tap spill (80) aligned
     n_blocks = -(-pad // _BLOCK)
     n_bands = amp_nb.shape[1]
+    r_amp = amp_u.shape[1]
 
     def place_one(args):
         """Impulse-train accumulation for ONE item → (n_bands, ir_len)."""
@@ -283,13 +335,13 @@ def _assemble_core(
         # the mask keeps exactly the serial renderer's 2*SINC_HALF+1 taps
         mask = jnp.abs(jm) <= SINC_HALF
         vals = jnp.where(mask, sinc_t * window, 0.0) * g_i[:, None]
-        # One MXU contraction places all images into per-band trains:
-        # row r = band·n_blocks + blk, weighted by the image's band
-        # amplitude (amp_nb is item-independent — same room for all
-        # items — so it rides the closure, not the map).
+        # One MXU contraction places all images into r factor trains:
+        # row = q·n_blocks + blk, weighted by the image's factor loading
+        # (amp_u is item-independent — same room for all items — so it
+        # rides the closure, not the map).
         onehot = jax.nn.one_hot(blk, n_blocks, dtype=jnp.float32)  # (N, blocks)
-        w_nb = (amp_nb[:, :, None] * onehot[:, None, :]).reshape(
-            amp_nb.shape[0], n_bands * n_blocks
+        w_nb = (amp_u[:, :, None] * onehot[:, None, :]).reshape(
+            amp_u.shape[0], r_amp * n_blocks
         )
         # Precision.HIGH (3-pass bf16) halves the placement cost vs
         # HIGHEST (6-pass) at identical end-to-end accuracy: both land at
@@ -298,10 +350,10 @@ def _assemble_core(
         # contraction passes.
         accw = jnp.einsum(
             "nr,nw->rw", w_nb, vals, precision=jax.lax.Precision.HIGH
-        ).reshape(n_bands, n_blocks, win)
+        ).reshape(r_amp, n_blocks, win)
         # Overlap-add the block windows (static slices; window of block b
         # starts at padded position p = T + 2*SINC_HALF = b*block).
-        acc_pad = jnp.zeros((n_bands, n_blocks * _BLOCK + win), jnp.float32)
+        acc_pad = jnp.zeros((r_amp, n_blocks * _BLOCK + win), jnp.float32)
         for b in range(n_blocks):
             acc_pad = acc_pad.at[:, b * _BLOCK : b * _BLOCK + win].add(
                 accw[:, b]
@@ -310,11 +362,13 @@ def _assemble_core(
 
     accs = jax.lax.map(
         place_one, (delays_s, g), batch_size=_PLACE_BATCH
-    )  # (P, n_bands, ir_len)
-    spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, B, F)
-    early = jnp.fft.irfft(
-        (spec * masks[None]).sum(axis=1), nfft, axis=-1
-    )[:, :ir_len]
+    )  # (P, r, ir_len)
+    spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, r, F)
+    # Per-factor spectral mix: (amp_v @ masks)[q] is factor q's composite
+    # band response — band weighting and the filterbank partition in one
+    # (r, F) table.
+    vmask = jnp.einsum("qb,bf->qf", amp_v, masks)
+    early_spec = jnp.einsum("pqf,qf->pf", spec, vmask)  # (P, F)
 
     # Late tail: per-band Eyring decay, level matched to the mixing-zone
     # image energy (parity with render_shoebox_rir_multiband).
@@ -362,9 +416,11 @@ def _assemble_core(
         ** 2
     )  # (P, ir_len)
     shaped = noise * (level[:, :, None] * decay * ramp[:, None, :])
-    tail_spec = jnp.fft.rfft(shaped, nfft, axis=-1) * masks[None]
-    tail = jnp.fft.irfft(tail_spec.sum(axis=1), nfft, axis=-1)[:, :ir_len]
-    return early + tail
+    tail_spec = (jnp.fft.rfft(shaped, nfft, axis=-1) * masks[None]).sum(axis=1)
+    # ONE shared irfft for early + tail (linearity: irfft(A)+irfft(B) ==
+    # irfft(A+B) up to f32 rounding) — saves a full (P, nfft) inverse
+    # transform per dispatch, ~10% of the fused render.
+    return jnp.fft.irfft(early_spec + tail_spec, nfft, axis=-1)[:, :ir_len]
 
 
 def _render_core(
@@ -372,6 +428,8 @@ def _render_core(
     ipack,  # (P, 3) u32: chan_idx | seeds | bank_ids
     consts,  # (3 + 7*n_bands,) f32: dims(3) | beta_walls (n_bands·6) | rt60
     masks,  # (n_bands, nfft//2+1)
+    amp_u,  # (N, r) host-SVD left factor of the amplitude profile
+    amp_v,  # (r, n_bands) right factor
     *,
     n_bands: int,
     channel_type: str,
@@ -433,6 +491,8 @@ def _render_core(
         g,
         valid,
         amp_nb,
+        amp_u,
+        amp_v,
         noise_keys,
         masks,
         rt60_bands,
@@ -462,6 +522,8 @@ def _render_items_device(
     ipack,
     consts,
     masks,
+    amp_u,
+    amp_v,
     *,
     n_bands: int,
     channel_type: str,
@@ -488,6 +550,8 @@ def _render_items_device(
         ipack,
         consts,
         masks,
+        amp_u,
+        amp_v,
         n_bands=n_bands,
         channel_type=channel_type,
         channel_order=channel_order,
@@ -525,8 +589,9 @@ def _render_items_mesh_fn(mesh, **statics):
     spec_items = PartitionSpec(axis)
     spec_rep = PartitionSpec()
 
-    def local(fpack, ipack, consts, masks):
-        out = _render_core(fpack, ipack, consts, masks, **statics)
+    def local(fpack, ipack, consts, masks, amp_u, amp_v):
+        out = _render_core(fpack, ipack, consts, masks, amp_u, amp_v,
+                           **statics)
         if peak_normalize:
             bank_ids = ipack[:, 2].astype(jnp.int32)
             item_peak = jnp.max(jnp.abs(out), axis=1)
@@ -542,7 +607,8 @@ def _render_items_mesh_fn(mesh, **statics):
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(spec_items, spec_items, spec_rep, spec_rep),
+            in_specs=(spec_items, spec_items, spec_rep, spec_rep,
+                      spec_rep, spec_rep),
             out_specs=spec_items,
         )
     )
@@ -579,7 +645,20 @@ def _bank_params(oracle):
         room.wall_band_absorption(n_bands), np.float64
     )  # (n_bands, 6)
     beta_walls = np.sqrt(np.maximum(1.0 - wall_absorption, 1e-4))
-    return band_absorption, rt60_bands, ir_seconds, ir_len, nfft, beta_walls
+    amp_u, amp_v = _cached_amp_factors(
+        beta_walls.astype(np.float32).tobytes(), n_bands, oracle.max_order
+    )
+    return (band_absorption, rt60_bands, ir_seconds, ir_len, nfft,
+            beta_walls, amp_u, amp_v)
+
+
+@lru_cache(maxsize=32)
+def _cached_amp_factors(beta_bytes: bytes, n_bands: int, max_order: int):
+    """Per-room amplitude-profile factorization, cached by the beta table
+    (the SVD costs ~15 ms on host — once per room, not per bank)."""
+    beta = np.frombuffer(beta_bytes, np.float32).reshape(n_bands, 6)
+    u, v = _factor_amplitude_profile(beta.astype(np.float64), max_order)
+    return jnp.asarray(u), jnp.asarray(v)
 
 
 def _flatten_items(oracle, source_positions, receiver_positions, channel,
@@ -651,7 +730,8 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
     With ``mesh``, the padded item axis is sharded over the mesh's first
     axis (shard_map — see _render_items_mesh_fn) instead of running on the
     default device."""
-    (_, rt60_bands, ir_seconds, ir_len, nfft, beta_walls) = ir_params
+    (_, rt60_bands, ir_seconds, ir_len, nfft, beta_walls,
+     amp_u, amp_v) = ir_params
     n_items = len(srcs_flat)
     quantum = _CHUNK
     if mesh is not None:
@@ -709,12 +789,14 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         fn = _render_items_mesh_fn(
             mesh, n_banks=n_banks, peak_normalize=peak_normalize, **statics
         )
-        return fn(fpack, ipack, consts, masks_dev)[:n_items]
+        return fn(fpack, ipack, consts, masks_dev, amp_u, amp_v)[:n_items]
     return _render_items_device(
         fpack,
         ipack,
         consts,
         masks_dev,
+        amp_u,
+        amp_v,
         n_banks=n_banks,
         peak_normalize=peak_normalize,
         **statics,
