@@ -51,15 +51,24 @@ FIXTURE_DIR = Path("/root/reference/separation/tests/noise")
 SR = 16000
 
 
-def build_corpus(root: Path, n_speakers: int = 6) -> tuple[list[str], Path, Path]:
+def build_corpus(
+    root: Path, n_speakers: int = 6, seed: int = 0
+) -> tuple[list[str], Path, Path]:
     """Per-speaker utterance dirs sliced from the two fixture voices, plus
-    synthetic noise/music beds. Real speech keeps DNSMOS/PESQ meaningful."""
+    synthetic noise/music beds. Real speech keeps DNSMOS/PESQ meaningful.
+
+    Each speaker gets a fixed speed/pitch factor (time-domain resample,
+    0.85-1.2x): the two fixture voices alone make every third PIT pair a
+    same-voice pair — unseparable in principle — whereas speed-shifted
+    crops have distinct pitch/formants, like distinct talkers. ``seed``
+    shifts crops, gains, and factors so two corpora (train vs held-out
+    eval) share no utterance audio."""
     # read_wav returns (channels, T); flatten to 1-D so the crops below
     # slice TIME (slicing a (1, T) array would silently yield the whole
     # 60 s fixture as every "utterance", which can never fit the
     # mixture's utterance budget -> empty speech plans -> silent tracks).
     voices = [read_wav(FIXTURE_DIR / n)[0].reshape(-1) for n in ("s1.wav", "s2.wav")]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     utt = 8 * SR
 
     def active_starts(voice: np.ndarray) -> np.ndarray:
@@ -78,11 +87,19 @@ def build_corpus(root: Path, n_speakers: int = 6) -> tuple[list[str], Path, Path
         d.mkdir(parents=True, exist_ok=True)
         voice = voices[spk % 2]
         order = ranked[spk % 2]
+        speed = float(rng.uniform(0.85, 1.2))
+        off = int(rng.integers(0, len(order)))
         for u in range(6):
-            # top-energy 8 s crops at speaker-distinct offsets; small
-            # gain jitter keeps utterances distinct
-            start = int(order[(spk // 2 + 3 * u) % len(order)])
-            crop = voice[start : start + utt].astype(np.float32)
+            # top-energy crops at speaker-distinct offsets; small gain
+            # jitter keeps utterances distinct. Slice speed*8 s, then
+            # resample to 8 s — a fixed per-speaker pitch shift.
+            start = int(order[(spk // 2 + 3 * u + off) % len(order)])
+            src = voice[start : start + int(utt * speed)].astype(np.float64)
+            crop = np.interp(
+                np.linspace(0.0, len(src) - 1.0, utt),
+                np.arange(len(src)),
+                src,
+            ).astype(np.float32)
             crop *= float(rng.uniform(0.6, 1.0))
             write_wav(d / f"utt{u}.wav", crop, SR)
         dirs.append(str(d))

@@ -87,17 +87,24 @@ class MovingDataModule:
             def __getitem__(self, i):
                 mix, tgt = ds[i]
                 if crop is not None and mix.shape[-1] > crop:
-                    # Deterministic max-energy window, NOT the leading
-                    # samples: generated mixtures open with random 0-10 s
-                    # silences (plan_long_audio), so a head crop can score
-                    # pure silence (neg-SI-SDR pinned at the 80 dB eps cap)
-                    # and the val signal goes blind.
-                    energy = (
-                        np.square(tgt).reshape(-1, tgt.shape[-1]).sum(axis=0)
+                    # Deterministic window where EVERY target is active:
+                    # maximize the MINIMUM per-target energy, not the
+                    # total. Generated mixtures open with random 0-10 s
+                    # silences and speakers talk in bursts, so the
+                    # max-TOTAL window is typically one loud speaker
+                    # alone — PIT neg-SI-SDR against the other (silent)
+                    # target then pins at the eps cap and the val signal
+                    # goes blind (observed: val frozen at ~20.5 dB while
+                    # the checkpoint separated at +4 dB SI-SDRi).
+                    t2 = np.square(tgt).reshape(-1, tgt.shape[-1])
+                    csum = np.cumsum(
+                        np.concatenate(
+                            [np.zeros((t2.shape[0], 1)), t2], axis=1
+                        ),
+                        axis=1,
                     )
-                    windows = np.cumsum(np.concatenate([[0.0], energy]))
-                    windows = windows[crop:] - windows[:-crop]
-                    start = int(np.argmax(windows))
+                    windows = csum[:, crop:] - csum[:, :-crop]  # (S, n)
+                    start = int(np.argmax(windows.min(axis=0)))
                     mix = mix[..., start : start + crop]
                     tgt = tgt[..., start : start + crop]
                 elif crop is not None:
