@@ -426,8 +426,24 @@ class SkiMStreamer:
         from collections import deque
 
         pending: deque = deque()
+
+        def enqueue(chunk):
+            out = self.step(chunk)
+            # Start the device→host copy NOW, in stream order right
+            # behind this segment's compute: on the tunneled runtime a
+            # later blocking read is queued behind EVERY program enqueued
+            # since (reads drain the whole queue), so without the async
+            # copy the pipeline depth would buy nothing.
+            fn = getattr(out, "copy_to_host_async", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    pass  # mesh-sharded / non-jax arrays: blocking read
+            pending.append(out)
+
         for chunk in chunks:
-            pending.append(self.step(chunk))
+            enqueue(chunk)
             while len(pending) > depth:
                 yield np.asarray(pending.popleft())
         while pending:

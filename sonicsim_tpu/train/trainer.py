@@ -142,6 +142,25 @@ def make_eval_step(model: BaseModel, metric_fn: Callable) -> Callable:
     return step
 
 
+def _tile_val_batch(mix, targets, divisor: int):
+    """Make a val batch DP-shardable by tiling it to lcm(B, divisor).
+
+    Every real item then appears the SAME number of times, so the padded
+    batch's mean metric equals the real batch's mean exactly — unlike
+    repeat-the-last padding, which biases it. Dropping ragged val batches
+    (the old behavior) is worse than either: with a small fixed val set
+    and many devices, EVERY batch can be ragged and val_loss silently
+    degrades to train_loss."""
+    b = len(mix)
+    if b % divisor == 0:
+        return mix, targets
+    reps = math.lcm(b, divisor) // b
+    return (
+        np.concatenate([mix] * reps, axis=0),
+        np.concatenate([targets] * reps, axis=0),
+    )
+
+
 def _replicate_tree(tree: Any, rep) -> Any:
     """Place every array leaf of ``tree`` on the replicated sharding
     (non-array leaves — step counts, schedules — pass through)."""
@@ -326,7 +345,34 @@ class Trainer:
                 )
                 state.step = step
 
-        dropped_train = dropped_val = 0
+        dropped_train = 0
+        if val_batches is not None and start_epoch == 0:
+            # Pre-training validation (epoch -1): the untrained baseline
+            # every later epoch is compared against. Epoch 0's val runs
+            # AFTER a full epoch of updates — on fast-learning fixtures
+            # most of the improvement happens inside epoch 0, so without
+            # this record "val[0] - best" wildly understates learning
+            # (the artifact gate and the CPU learning-gate test both
+            # measure from random init).
+            t0 = time.time()
+            vals0 = []
+            for m, t in val_batches():
+                m, t = _tile_val_batch(m, t, self._batch_divisor)
+                vals0.append(
+                    eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
+                )
+            if vals0:
+                rec = {
+                    "epoch": -1,
+                    "val_loss": float(jnp.mean(jnp.stack(vals0))),
+                    "lr": self.lr,
+                    "seconds": time.time() - t0,
+                }
+                self.history.append(rec)
+                with open(exp_dir / "metrics.jsonl", "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                if wb is not None:
+                    wb.log(rec)
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             losses = []
@@ -361,15 +407,7 @@ class Trainer:
             if val_batches is not None:
                 vals = []
                 for m, t in val_batches():
-                    if len(m) % self._batch_divisor:
-                        dropped_val += 1
-                        if dropped_val <= 3 or epoch == 0:
-                            logger.warning(
-                                "dropping ragged val batch of %d (not "
-                                "divisible by %d devices), epoch %d",
-                                len(m), self._batch_divisor, epoch,
-                            )
-                        continue
+                    m, t = _tile_val_batch(m, t, self._batch_divisor)
                     vals.append(
                         eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
                     )

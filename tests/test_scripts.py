@@ -334,7 +334,9 @@ trainer:
         for l in open(tmp_path / "Exps" / "gate" / "metrics.jsonl")
     ]
     vals = [r["val_loss"] for r in rows if "val_loss" in r]
-    assert len(vals) == 6
+    # 6 epochs + the pre-training (epoch -1) baseline validation
+    assert len(vals) == 7
+    assert rows[0]["epoch"] == -1
     assert vals[0] - min(vals) >= 6.0, (
         f"CLI training only improved {vals[0] - min(vals):.2f} dB "
         f"(trajectory {[round(v, 2) for v in vals]})"

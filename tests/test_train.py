@@ -116,8 +116,10 @@ def test_trainer_fit_smoke(tmp_path, rng):
     trainer.fit(train_batches, val_batches, example_len=1600)
     assert (tmp_path / "best_model.pkl").exists()
     assert (tmp_path / "best_k_models.json").exists()
-    assert len(trainer.history) == 2
-    assert trainer.history[1]["val_loss"] <= trainer.history[0]["val_loss"] + 1.0
+    # epoch -1 (pre-training baseline) + 2 training epochs
+    assert len(trainer.history) == 3
+    assert [r["epoch"] for r in trainer.history] == [-1, 0, 1]
+    assert trainer.history[2]["val_loss"] <= trainer.history[0]["val_loss"] + 1.0
 
 
 def test_trainer_full_state_resume(tmp_path, rng):
@@ -153,7 +155,7 @@ def test_trainer_full_state_resume(tmp_path, rng):
     tr2 = make(4)
     state2 = tr2.fit(batches, batches, example_len=t, resume=True)
     # Continued: epochs 2 and 3 ran on top of the restored state.
-    assert [r["epoch"] for r in tr2.history] == [0, 1, 2, 3]
+    assert [r["epoch"] for r in tr2.history] == [-1, 0, 1, 2, 3]
     assert state2.step == 4
     # Resumed params kept training (differ from the epoch-1 snapshot).
     flat1 = jax.tree.leaves(jax.device_get(state1.params))
@@ -252,7 +254,9 @@ def test_nan_val_epoch_never_enters_top_k(tmp_path, rng):
 
     def val_batches():
         calls["n"] += 1
-        if calls["n"] == 1:  # epoch 0 diverges
+        # calls 1 and 2 are the pre-training (epoch -1) baseline and
+        # epoch 0 — both diverge; epoch 1 is finite.
+        if calls["n"] <= 2:
             yield np.full_like(mix, np.nan), tgt
         else:
             yield mix, tgt
@@ -262,7 +266,8 @@ def test_nan_val_epoch_never_enters_top_k(tmp_path, rng):
         max_epochs=2, save_top_k=2, exp_dir=tmp_path,
     )
     trainer.fit(train_batches, val_batches, example_len=1600)
-    assert not np.isfinite(trainer.history[0]["val_loss"])
+    # history[0] is the epoch -1 baseline, history[1] is epoch 0
+    assert not np.isfinite(trainer.history[1]["val_loss"])
     bk = json.load(open(tmp_path / "best_k_models.json"))
     assert len(bk) == 1  # only the finite epoch made it
     assert all(np.isfinite(v) for v in bk.values())
