@@ -85,7 +85,8 @@ def test_generate_train_eval_pipeline(tmp_path, rng):
         dm.train_batches, lambda: dm.val_batches(crop=SR), example_len=SR
     )
     assert (tmp_path / "exp" / "best_model.pkl").exists()
-    assert len(trainer.history) == 2
+    # epoch -1 (pre-training baseline) + 2 training epochs
+    assert len(trainer.history) == 3
 
     # 4. Reload the portable checkpoint and run the metric tracker on it.
     model2, params2 = from_pretrain(tmp_path / "exp" / "best_model.pkl")
