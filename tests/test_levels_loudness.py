@@ -132,3 +132,19 @@ def test_peak_normalize(rng):
     assert abs(np.abs(y).max() - 1.0) < 1e-6
     z = np.zeros(10, np.float32)
     np.testing.assert_array_equal(np.asarray(peak_normalize(jnp.asarray(z))), z)
+
+
+def test_integrated_loudness_many_channels(rng):
+    """>5 channels (e.g. AmbiX order-2 beds): BS.1770-4 weights the first
+    five, channels beyond weight unity (documented superset — pyloudnorm
+    raises past 5 channels, so there is no reference behavior to match).
+    A 9-ch signal whose extra channels are silent must match the 5-ch
+    measurement exactly; adding energy in channel 6+ must raise it."""
+    sr = 16000
+    x5 = (rng.standard_normal((5, sr * 2)) * 0.05).astype(np.float32)
+    x9 = np.concatenate([x5, np.zeros((4, sr * 2), np.float32)])
+    l5 = float(integrated_loudness(jnp.asarray(x5), sr))
+    l9 = float(integrated_loudness(jnp.asarray(x9), sr))
+    assert abs(l5 - l9) < 1e-5
+    x9[6] = (rng.standard_normal(sr * 2) * 0.05).astype(np.float32)
+    assert float(integrated_loudness(jnp.asarray(x9), sr)) > l9

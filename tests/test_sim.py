@@ -383,3 +383,27 @@ def test_python_fallback_matches_native_multiband(monkeypatch):
                       lambda *a, **k: None)
             got = render_shoebox_rir_multiband(room, src, recv, **kw)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-7)
+
+
+def test_densify_path_arc_length():
+    """densify_path resamples by uniform arc length, preserves endpoints,
+    and leaves already-dense or degenerate paths untouched."""
+    from sonicsim_tpu.sim.geometry import densify_path
+
+    path = [np.array([0.0, 0.0, 0.0]), np.array([3.0, 0.0, 0.0]),
+            np.array([3.0, 0.0, 4.0])]  # two legs: 3 m + 4 m
+    out = densify_path(path, 8)
+    assert len(out) == 8
+    np.testing.assert_allclose(out[0], path[0])
+    np.testing.assert_allclose(out[-1], path[-1])
+    # uniform spacing along the 7 m polyline: every step = 1 m
+    steps = [np.linalg.norm(b - a) for a, b in zip(out, out[1:])]
+    np.testing.assert_allclose(steps, 1.0, atol=1e-9)
+    # the corner itself lies on the polyline (x<=3, then z grows)
+    for p in out:
+        assert p[0] <= 3.0 + 1e-9
+    # already dense / degenerate inputs pass through unchanged
+    assert len(densify_path(path, 3)) == 3
+    assert len(densify_path([path[0]], 5)) == 1
+    same = [np.zeros(3), np.zeros(3)]
+    assert len(densify_path(same, 5)) == 2
