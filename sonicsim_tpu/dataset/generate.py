@@ -444,16 +444,19 @@ def finalize_mixture(handle: dict, writer: "ArtifactWriter | None" = None) -> di
     blocking the pipeline (call ``writer.barrier()`` before relying on
     the files)."""
     if handle.get("sink") == "device":
-        # Compute-only consumption: force the whole mixture's device
-        # computation (one scalar readback transitively depends on every
-        # render) and write nothing.
-        import jax.numpy as jnp
-
-        if "tracks" in handle:
-            float(jnp.ravel(handle["tracks"])[0])
-        else:  # degenerate host path: values already materialized
+        # Compute-only consumption: write nothing and do NOT fence here.
+        # A per-mixture scalar read would drain the whole in-order queue
+        # (device→host copies are stream-ordered behind every queued
+        # program — docs/PERFORMANCE.md), serializing a tunnel RTT into
+        # every mixture; generate_split fences every few mixtures to
+        # bound live device memory and once at the end for correct
+        # timing. The returned "fence" array transitively depends on the
+        # whole mixture's computation.
+        fence = handle.get("tracks")
+        if fence is None:  # degenerate host path: already materialized
             float(np.ravel(handle["moving"][0])[0])
-        return {"device_resident": True, "out": handle["out"]}
+        return {"device_resident": True, "out": handle["out"],
+                "fence": fence}
     out: Path = handle["out"]
     plan: MixturePlan = handle["plan"]
     mic = handle["mic"]
@@ -701,9 +704,32 @@ def generate_split(
             got = length_memo[c] = scan_audio_lengths(c)
         return got
 
+    fences: list = []  # device-sink outputs awaiting an execution fence
+
+    def _note_fence(res) -> None:
+        """Device-sink memory/timing management: collect each mixture's
+        device output and fence every 4th (one scalar read forces the
+        whole in-order queue — docs/PERFORMANCE.md — so per-mixture
+        fences would serialize a tunnel RTT into every mixture, while
+        unbounded deferral pins every mixture's ~50 MB output in HBM)."""
+        if isinstance(res, dict) and res.get("fence") is not None:
+            fences.append(res["fence"])
+            if len(fences) >= 4:
+                import jax.numpy as jnp
+
+                float(jnp.ravel(fences[-1])[0])
+                fences.clear()
+
+    def _drain_fences() -> None:
+        if fences:
+            import jax.numpy as jnp
+
+            float(jnp.ravel(fences[-1])[0])
+            fences.clear()
+
     def _finish(p) -> None:
         handle, out_dir, scene_name_, name_, t0_ = p
-        finalize_mixture(handle, writer)
+        _note_fence(finalize_mixture(handle, writer))
         produced.append(out_dir)
         # per-mixture elapsed log (SonicSet_train.py:215 parity)
         logger.info(
@@ -787,11 +813,11 @@ def generate_split(
                     while len(pending) > max(int(pipeline_depth), 1):
                         _finish(pending.pop(0))
                 else:
-                    render_mixture(
+                    _note_fence(render_mixture(
                         scene, plan, out_dir, transcripts,
                         save_bank=save_bank,
                         wav_encoding=wav_encoding, cache=cache, sink=sink,
-                    )
+                    ))
                     produced.append(out_dir)
                     logger.info(
                         "%s/%s: %.1f s elapsed (%d generated)",
@@ -804,9 +830,11 @@ def generate_split(
                 ):
                     while pending:
                         _finish(pending.pop(0))
+                    _drain_fences()
                     return produced
         while pending:
             _finish(pending.pop(0))
+        _drain_fences()
         return produced
     finally:
         while pending:
@@ -817,6 +845,10 @@ def generate_split(
                 _finish(pending.pop(0))
             except Exception:
                 logger.exception("pipelined render failed while unwinding")
+        try:
+            _drain_fences()
+        except Exception:
+            logger.exception("device-sink fence drain failed while unwinding")
         if writer is not None:
             # All queued artifacts are on disk before the caller sees
             # `produced`; a deferred write error surfaces here — unless
