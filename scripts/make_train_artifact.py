@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--work", default=None)
     ap.add_argument("--mixtures", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--patience", type=int, default=20,
+                    help="early-stop patience (epochs without val best)")
     ap.add_argument("--min_improvement_db", type=float, default=8.0)
     ap.add_argument("--eval_mixtures", type=int, default=3,
                     help="held-out 60 s mixtures for the chained eval")
@@ -155,6 +157,9 @@ optimizer:
 
 trainer:
   max_epochs: {args.epochs}
+
+early_stopping:
+  patience: {args.patience}
 """)
 
     t0 = time.perf_counter()
