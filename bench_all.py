@@ -95,11 +95,23 @@ def _link_health(verbose: bool = True):
     t0 = time.perf_counter()
     np.asarray(dev + 2)
     down_s = time.perf_counter() - t0
+    down_mbps = payload.nbytes / down_s / 1e6
+    # Which dimension tripped the stamp matters for interpreting a line:
+    # high RTT inflates per-dispatch/per-fence costs (latency-shaped
+    # configs), low bandwidth inflates artifact-downloading configs
+    # (generation e2e). A ["rtt"]-only stamp with ~23 MB/s duplex means
+    # throughput lines are essentially healthy.
+    reasons = []
+    if rtt_ms > 20:
+        reasons.append("rtt")
+    if down_mbps < 8:
+        reasons.append("download")
     health = {
         "rtt_ms": round(rtt_ms, 2),
         "upload_MBps": round(payload.nbytes / up_s / 1e6, 1),
-        "download_MBps": round(payload.nbytes / down_s / 1e6, 1),
-        "degraded": bool(rtt_ms > 20 or payload.nbytes / down_s / 1e6 < 8),
+        "download_MBps": round(down_mbps, 1),
+        "degraded": bool(reasons),
+        "degraded_reason": reasons,
     }
     if verbose:
         print(json.dumps({"link_health": health}), flush=True)
