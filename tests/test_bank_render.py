@@ -201,3 +201,40 @@ def test_varying_item_counts_share_one_executable(rng):
         ]
         render_rir_banks(oracle, lists, recvs, channel, out_device=True)
     assert _render_items_device._cache_size() == 1
+
+
+def test_amplitude_profile_factorization():
+    """amp ≈ U @ V with tiny rank: exactly rank 1 (padded to 8) for a
+    uniform room; ≤ n_bands for banded per-wall materials; reconstruction
+    error ≤ 1e-6 relative either way (the placement contraction, the
+    accumulator, and the early rfft all scale with r)."""
+    from sonicsim_tpu.sim.bank_render import (
+        _amplitude_profile_np,
+        _factor_amplitude_profile,
+    )
+
+    # uniform: every band shares one beta -> identical columns -> rank 1
+    beta_u = np.full((32, 6), np.sqrt(1.0 - 0.3))
+    u, v = _factor_amplitude_profile(beta_u, max_order=4)
+    assert u.shape[1] == v.shape[0] == 8  # padded to the MXU sublane
+    a = _amplitude_profile_np(beta_u, 4)
+    np.testing.assert_allclose(
+        np.asarray(u) @ np.asarray(v), a, rtol=2e-6, atol=2e-6 * a.max()
+    )
+
+    # six distinct banded material curves (absorption rising with freq)
+    f = np.linspace(0, 1, 32)
+    absorp = np.clip(
+        np.stack(
+            [0.05 + 0.5 * f ** (0.5 + w * 0.3) + 0.05 * np.sin(3 * f + w)
+             for w in range(6)], axis=1,
+        ),
+        0.01, 0.95,
+    )
+    beta_b = np.sqrt(1.0 - absorp)
+    u2, v2 = _factor_amplitude_profile(beta_b, max_order=4)
+    r = u2.shape[1]
+    assert r % 8 == 0 and r <= 32
+    a2 = _amplitude_profile_np(beta_b, 4)
+    err = np.abs(np.asarray(u2) @ np.asarray(v2) - a2).max() / a2.max()
+    assert err < 1e-6, err
