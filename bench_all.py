@@ -419,14 +419,19 @@ def main(wait_healthy_min: float = 0.0) -> None:
     # not the chip, and overstate the live RTF.
     rng_s = np.random.default_rng(3)
     n_steps = 40
+    # 3 timed runs below (rtf0, rtf3, chip_step) + 3 warmup steps: each
+    # gets its OWN disjoint chunk slice. Re-running the SAME chunks from
+    # identical reset state replays the exact dispatch sequence, which
+    # the dedup described above would serve from caches — inflating the
+    # later runs (and the recorded pipelining win) relative to the first.
     stream_chunks = [
         jnp.asarray(
             0.05 * rng_s.standard_normal((1, step_samples)).astype(np.float32)
         )
-        for _ in range(n_steps + 3)
+        for _ in range(3 * n_steps + 3)
     ]
     for k in range(3):  # warm both segment phases + flush residuals
-        out = streamer.step(stream_chunks[n_steps + k])
+        out = streamer.step(stream_chunks[3 * n_steps + k])
         if out.size:
             float(jnp.ravel(out)[0])
 
@@ -441,7 +446,7 @@ def main(wait_healthy_min: float = 0.0) -> None:
         return (streamed / sr) / (time.perf_counter() - t0)
 
     rtf0 = live_rtf(stream_chunks[:n_steps], depth=0)
-    rtf3 = live_rtf(stream_chunks[:n_steps], depth=3)
+    rtf3 = live_rtf(stream_chunks[n_steps : 2 * n_steps], depth=3)
     # Chip-side step time, amortized: dispatch every segment, read back
     # ONE final scalar — per-step host round trips drop out, leaving
     # compute + the one-way dispatch floor (the tunnel hides chip-only
@@ -450,7 +455,7 @@ def main(wait_healthy_min: float = 0.0) -> None:
     t0 = time.perf_counter()
     last = None
     for i in range(n_steps):
-        out = streamer.step(stream_chunks[i])
+        out = streamer.step(stream_chunks[2 * n_steps + i])
         if out.size:
             last = out
     float(jnp.ravel(last)[0])
@@ -592,7 +597,8 @@ def main(wait_healthy_min: float = 0.0) -> None:
 
         # Device-resident configuration: identical pipeline, outputs
         # consumed on device (sink="device" — one scalar readback per
-        # mixture, no artifact downloads/writes). This is the chip's own
+        # FOUR mixtures, generate.py's _note_fence cadence, and no
+        # artifact downloads/writes). This is the chip's own
         # e2e number, separated from the tunnel's ~27 MB/mixture artifact
         # downlink (VERDICT r3 missing #1); it shares the binaural jit
         # cache, so no fresh warmup is needed.

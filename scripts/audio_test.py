@@ -75,8 +75,13 @@ def main() -> None:
     if not args.no_pesq:  # default columns, reference wrapper.py:48
         from sonicsim_tpu.metrics import make_pesq
 
-        extra_metrics["pesq_nb"] = make_pesq("nb")
-        extra_metrics["pesq_wb"] = make_pesq("wb")
+        p_nb, p_wb = make_pesq("nb"), make_pesq("wb")
+        # Same backend-disclosure contract as scripts/test.py: when the
+        # native P.862 approximation produced the scores (the compiled ITU
+        # binding is unobtainable in-env), the column name says so.
+        suffix = "" if p_nb.backend == "itu-p862-compiled" else "_native"
+        extra_metrics[f"pesq_nb{suffix}"] = p_nb
+        extra_metrics[f"pesq_wb{suffix}"] = p_wb
 
     suffix = f"remix-{args.noise_type}"
     tracker = MetricsTracker(

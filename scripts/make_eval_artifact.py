@@ -61,8 +61,12 @@ def build_corpus(
     0.85-1.2x): the two fixture voices alone make every third PIT pair a
     same-voice pair — unseparable in principle — whereas speed-shifted
     crops have distinct pitch/formants, like distinct talkers. ``seed``
-    shifts crops, gains, and factors so two corpora (train vs held-out
-    eval) share no utterance audio."""
+    shifts crop offsets, gains, and speed factors between the train and
+    held-out eval corpora; since both slice the SAME two fixture voices
+    from the same energy-ranked windows, the underlying source audio can
+    recur across corpora — held-out-ness rests on the differing speed
+    resample + crop alignment, not on disjoint source material (only two
+    60 s voices exist in-env)."""
     # read_wav returns (channels, T); flatten to 1-D so the crops below
     # slice TIME (slicing a (1, T) array would silently yield the whole
     # 60 s fixture as every "utterance", which can never fit the

@@ -329,8 +329,10 @@ Produced by the SAME `scripts/make_train_artifact.py --tag {args.tag}` run
 that wrote TRAIN_{args.tag}/: the checkpoint trained there
 (`best_model.pkl` sha256 `{ckpt_sha}`) was evaluated with
 `scripts/test.py` (reference flow separation/test.py:41-121) on
-{args.eval_mixtures} HELD-OUT 60 s mixtures (fresh room seed, fresh
-utterance crops — never seen in training), with DNSMOS (reference .onnx
+{args.eval_mixtures} HELD-OUT 60 s mixtures (fresh room seed; utterance crops at
+shifted offsets and different per-speaker speed factors — the crop/resample
+alignment differs from training, though both corpora slice the same two
+fixture voices, the only source speech in-env), with DNSMOS (reference .onnx
 weights), native PESQ nb/wb, STOI, SI-SDR/SDR columns.
 
 Headline (avg row): **SI-SDRi {sisdri:+.2f} dB, SDRi {sdri:+.2f} dB** —

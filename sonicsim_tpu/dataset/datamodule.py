@@ -104,7 +104,18 @@ class MovingDataModule:
                         axis=1,
                     )
                     windows = csum[:, crop:] - csum[:, :-crop]  # (S, n)
-                    start = int(np.argmax(windows.min(axis=0)))
+                    floor = windows.min(axis=0)
+                    if floor.max() > 0.0:
+                        start = int(np.argmax(floor))
+                    else:
+                        # No window covers every speaker (bursty,
+                        # non-overlapping speech): max-of-min is 0
+                        # everywhere and argmax would land on index 0 —
+                        # often the random opening silence where ALL
+                        # targets are quiet. Fall back to the max
+                        # total-energy window so at least one speaker
+                        # is active in the crop.
+                        start = int(np.argmax(windows.sum(axis=0)))
                     mix = mix[..., start : start + crop]
                     tgt = tgt[..., start : start + crop]
                 elif crop is not None:

@@ -142,23 +142,34 @@ def make_eval_step(model: BaseModel, metric_fn: Callable) -> Callable:
     return step
 
 
-def _tile_val_batch(mix, targets, divisor: int):
-    """Make a val batch DP-shardable by tiling it to lcm(B, divisor).
+def _val_shards(mix, targets, divisor: int):
+    """Split a ragged val batch into DP-shardable pieces with exact weights.
 
-    Every real item then appears the SAME number of times, so the padded
-    batch's mean metric equals the real batch's mean exactly — unlike
-    repeat-the-last padding, which biases it. Dropping ragged val batches
-    (the old behavior) is worse than either: with a small fixed val set
-    and many devices, EVERY batch can be ragged and val_loss silently
-    degrades to train_loss."""
+    Yields ``(mix, targets, n_real)`` pieces whose per-piece metric means,
+    weighted by ``n_real`` and summed, reproduce the real batch's mean
+    exactly. The divisor-multiple prefix passes through untouched; only the
+    remainder ``r = B % divisor`` is tiled, to ``lcm(r, divisor)`` items
+    where every real item appears the SAME number of times (an unweighted
+    mean over the tile is then exact). Tiling the remainder instead of the
+    whole batch bounds the padding at ``< divisor**2`` items regardless of
+    B — tiling the full batch to ``lcm(B, divisor)`` is a B*divisor blowup
+    when they are coprime (val batch 31 on 8 devices -> 248 items), enough
+    to OOM on val batches sized near the training batch. Dropping ragged
+    batches (the original behavior) is worst of all: with a small fixed
+    val set and many devices EVERY batch can be ragged and val_loss
+    silently degrades to train_loss."""
     b = len(mix)
-    if b % divisor == 0:
-        return mix, targets
-    reps = math.lcm(b, divisor) // b
-    return (
-        np.concatenate([mix] * reps, axis=0),
-        np.concatenate([targets] * reps, axis=0),
-    )
+    k = (b // divisor) * divisor
+    if k:
+        yield mix[:k], targets[:k], k
+    r = b - k
+    if r:
+        reps = math.lcm(r, divisor) // r
+        yield (
+            np.concatenate([mix[k:]] * reps, axis=0),
+            np.concatenate([targets[k:]] * reps, axis=0),
+            r,
+        )
 
 
 def _replicate_tree(tree: Any, rep) -> Any:
@@ -203,6 +214,20 @@ class Trainer:
             )
         except ImportError:
             return None
+
+    def _val_loss(self, eval_step, params, batches) -> float | None:
+        """Weighted mean of the val metric over ``batches``, exact under
+        ragged batches: each batch is split by ``_val_shards`` and the
+        per-shard means are recombined weighted by real item count."""
+        total, n = 0.0, 0
+        for m, t in batches:
+            for ms, ts, w in _val_shards(
+                np.asarray(m), np.asarray(t), self._batch_divisor
+            ):
+                v = eval_step(params, jnp.asarray(ms), jnp.asarray(ts))
+                total += float(v) * w
+                n += w
+        return (total / n) if n else None
 
     # ---- full-state checkpointing (orbax): params + optimizer + loop ----
     def _save_last(self, exp_dir: Path, state, epoch: int, plateau, stopper,
@@ -355,16 +380,11 @@ class Trainer:
             # (the artifact gate and the CPU learning-gate test both
             # measure from random init).
             t0 = time.time()
-            vals0 = []
-            for m, t in val_batches():
-                m, t = _tile_val_batch(m, t, self._batch_divisor)
-                vals0.append(
-                    eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
-                )
-            if vals0:
+            base_loss = self._val_loss(eval_step, state.params, val_batches())
+            if base_loss is not None:
                 rec = {
                     "epoch": -1,
-                    "val_loss": float(jnp.mean(jnp.stack(vals0))),
+                    "val_loss": base_loss,
                     "lr": self.lr,
                     "seconds": time.time() - t0,
                 }
@@ -405,13 +425,8 @@ class Trainer:
 
             val_loss = train_loss
             if val_batches is not None:
-                vals = []
-                for m, t in val_batches():
-                    m, t = _tile_val_batch(m, t, self._batch_divisor)
-                    vals.append(
-                        eval_step(state.params, jnp.asarray(m), jnp.asarray(t))
-                    )
-                val_loss = float(jnp.mean(jnp.stack(vals))) if vals else train_loss
+                vl = self._val_loss(eval_step, state.params, val_batches())
+                val_loss = vl if vl is not None else train_loss
 
             new_lr = plateau.step(val_loss)
             state.opt_state = set_learning_rate(state.opt_state, new_lr)

@@ -584,3 +584,46 @@ def test_generate_split_from_bank_scene(tmp_path, rng):
     wav, sr = read_wav(produced[0] / "moving_audio_1.wav")
     assert sr == SR and wav.shape[-1] == 4 * SR
     assert np.abs(wav).max() > 1e-5
+
+
+def test_val_crop_fallback_when_no_window_covers_all_speakers():
+    """Deterministic val crop: with bursty NON-overlapping speakers, no
+    crop-length window has every target active — max-of-min energy is 0
+    everywhere and a blind argmax would land on index 0, i.e. the random
+    opening silence where BOTH targets are quiet. The fallback must pick
+    a window with speech in it (max total energy)."""
+    from types import SimpleNamespace
+
+    from sonicsim_tpu.dataset.datamodule import MovingDataModule
+
+    sr, crop = 16000, 16000
+    t = 30 * sr
+    tgt = np.zeros((2, t), dtype=np.float32)
+    tgt[0, 8 * sr : 12 * sr] = 0.5   # speaker 0: 8-12 s
+    tgt[1, 14 * sr : 18 * sr] = 0.5  # speaker 1: 14-18 s (never overlaps)
+    mix = tgt.sum(axis=0)
+
+    class _DS:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return mix.copy(), tgt.copy()
+
+    stub = SimpleNamespace(batch_size=1, num_workers=0, prefetch=0)
+    (m, tg), = list(MovingDataModule._fixed_batches(stub, _DS(), crop=crop))
+    assert m.shape[-1] == crop
+    # the crop must contain speech energy, not the opening silence
+    assert float(np.square(tg).sum()) > 0.0
+
+    # and when a window DOES cover every speaker, max-of-min still picks it
+    tgt2 = np.zeros((2, t), dtype=np.float32)
+    tgt2[0, 8 * sr : 12 * sr] = 0.5
+    tgt2[1, 11 * sr : 15 * sr] = 0.5  # overlaps 11-12 s
+    class _DS2(_DS):
+        def __getitem__(self, i):
+            return tgt2.sum(axis=0), tgt2.copy()
+
+    (m2, tg2), = list(MovingDataModule._fixed_batches(stub, _DS2(), crop=crop))
+    assert float(np.square(tg2[0, 0]).sum()) > 0.0  # speaker 0 active
+    assert float(np.square(tg2[0, 1]).sum()) > 0.0  # speaker 1 active

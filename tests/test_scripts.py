@@ -131,13 +131,17 @@ def test_cli_audio_test_remix_driver(eval_fixture):
         )
     out = _run_script(
         "scripts/audio_test.py",
-        ["--conf_dir", str(conf), "--segments_json", str(seg_path),
-         "--no_pesq"],
+        ["--conf_dir", str(conf), "--segments_json", str(seg_path)],
     )
     assert "final:" in out
     csv = eval_fixture / "exp" / "Tiny" / "results" / "metrics_remix-noise.csv"
     lines = csv.read_text().strip().splitlines()
     assert lines[-2].startswith("avg,") and lines[-1].startswith("std,")
+    # Same backend-disclosure contract as scripts/test.py: native-backend
+    # PESQ scores must be unmistakable for ITU P.862 numbers.
+    header = lines[0].split(",")
+    assert "pesq_nb_native" in header and "pesq_wb_native" in header
+    assert "pesq_nb" not in header and "pesq_wb" not in header
 
 
 def test_cli_inference(eval_fixture, tmp_path):

@@ -323,3 +323,55 @@ def test_plateau_threshold_rel_torch_parity():
         lr = ours.step(metric)
         assert lr == pytest.approx(opt.param_groups[0]["lr"]), f"step {step}"
     assert lr < 0.5  # decayed despite the creep
+
+
+def test_val_shards_exact_and_bounded():
+    """Ragged val batches: _val_shards' weighted recombination must equal
+    the plain per-item mean exactly, every shard must be divisor-shardable,
+    and the padding must stay bounded (< divisor**2 extra items) even when
+    B and the divisor are coprime — tiling the WHOLE batch to lcm(B, d)
+    was a B*d blowup (B=31, d=8 -> 248 items)."""
+    from sonicsim_tpu.train.trainer import _val_shards
+
+    rng = np.random.default_rng(0)
+    for b, d in [(31, 8), (7, 8), (8, 8), (9, 8), (16, 8), (1, 8), (13, 4)]:
+        mix = rng.standard_normal((b, 32)).astype(np.float32)
+        tgt = rng.standard_normal((b, 2, 32)).astype(np.float32)
+
+        def item_metric(m):  # deterministic per-item scalar
+            return float(np.square(m).mean())
+
+        total, n, padded = 0.0, 0, 0
+        for ms, ts, w in _val_shards(mix, tgt, d):
+            assert len(ms) % d == 0 and len(ms) == len(ts)
+            padded += len(ms)
+            # unweighted shard mean, as eval_step computes it
+            total += float(np.mean([item_metric(m) for m in ms])) * w
+            n += w
+        assert n == b
+        direct = float(np.mean([item_metric(m) for m in mix]))
+        assert abs(total / n - direct) < 1e-6
+        assert padded - b < d * d  # bounded padding, NOT lcm(B, d)
+
+
+def test_trainer_val_loss_weighted_mean():
+    """Trainer._val_loss must reproduce the exact all-item mean across
+    ragged batches of different sizes (weighted by real item count)."""
+    from types import SimpleNamespace
+
+    rng = np.random.default_rng(1)
+    batches = []
+    for b in (5, 3):  # both ragged on an 8-way divisor
+        m = rng.standard_normal((b, 16)).astype(np.float32)
+        t = rng.standard_normal((b, 2, 16)).astype(np.float32)
+        batches.append((m, t))
+
+    def eval_step(params, m, t):  # batch-mean metric, like make_eval_step
+        return jnp.mean(jnp.square(m), axis=tuple(range(1, m.ndim))).mean()
+
+    stub = SimpleNamespace(_batch_divisor=8)
+    got = Trainer._val_loss(stub, eval_step, None, iter(batches))
+    every = np.concatenate([m for m, _ in batches], axis=0)
+    want = float(np.mean([np.square(m).mean() for m in every]))
+    assert abs(got - want) < 1e-6
+    assert Trainer._val_loss(stub, eval_step, None, iter(())) is None
