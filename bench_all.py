@@ -99,12 +99,27 @@ def _link_health(verbose: bool = True):
     # Which dimension tripped the stamp matters for interpreting a line:
     # high RTT inflates per-dispatch/per-fence costs (latency-shaped
     # configs), low bandwidth inflates artifact-downloading configs
-    # (generation e2e). A ["rtt"]-only stamp with ~23 MB/s duplex means
-    # throughput lines are essentially healthy.
+    # (generation e2e).
+    #
+    # ``degraded`` keeps its documented meaning — "numbers recorded now
+    # are meaningless, run again later" — so its RTT trigger is the
+    # TRANSIENT 10-100x collapse (scalar round trips in the hundreds of
+    # ms to tens of seconds), not the tunnel's own floor. The floor
+    # moved from ~5 ms (r2 era) to ~25-32 ms (r4, persistent across
+    # every observed window; docs/PERFORMANCE.md): against a 20 ms
+    # threshold EVERY r4 line stamped degraded, which both defeats
+    # retry-until-healthy and buries real transients. The floor shift
+    # is still disclosed per line via ``rtt_above_r2_baseline`` +
+    # the raw ``rtt_ms`` — latency-shaped configs (streaming, per-call
+    # fences) remain underestimates of a locally-attached chip.
+    # Download threshold from observed data, not wishful thinking: healthy
+    # duplex is ~23-30 MB/s; at 8.8 MB/s (2026-08-19 window) throughput
+    # lines that stream audio back measured 4-5x low — meaningless as chip
+    # numbers. 15 MB/s splits the observed healthy/collapsed clusters.
     reasons = []
-    if rtt_ms > 20:
+    if rtt_ms > 100:
         reasons.append("rtt")
-    if down_mbps < 8:
+    if down_mbps < 15:
         reasons.append("download")
     health = {
         "rtt_ms": round(rtt_ms, 2),
@@ -112,6 +127,7 @@ def _link_health(verbose: bool = True):
         "download_MBps": round(down_mbps, 1),
         "degraded": bool(reasons),
         "degraded_reason": reasons,
+        "rtt_above_r2_baseline": bool(rtt_ms > 20),
     }
     if verbose:
         print(json.dumps({"link_health": health}), flush=True)
