@@ -55,6 +55,27 @@ def _timeit(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def _classify_link(rtt_ms: float, down_mbps: float) -> dict:
+    """Pure classification of a link probe (thresholds live here, tested
+    in tests/test_bench_outage.py).
+
+    Download threshold from observed data, not wishful thinking: healthy
+    duplex is ~23-30 MB/s; at 8.8 MB/s (2026-08-19 window) throughput
+    lines that stream audio back measured 4-5x low — meaningless as chip
+    numbers. 15 MB/s splits the observed healthy/collapsed clusters.
+    """
+    reasons = []
+    if rtt_ms > 100:
+        reasons.append("rtt")
+    if down_mbps < 15:
+        reasons.append("download")
+    return {
+        "degraded": bool(reasons),
+        "degraded_reason": reasons,
+        "rtt_above_r2_baseline": bool(rtt_ms > 20),
+    }
+
+
 def _link_health(verbose: bool = True):
     """Preflight the tunneled link: scalar RTT + a 2 MB random transfer.
 
@@ -112,22 +133,11 @@ def _link_health(verbose: bool = True):
     # is still disclosed per line via ``rtt_above_r2_baseline`` +
     # the raw ``rtt_ms`` — latency-shaped configs (streaming, per-call
     # fences) remain underestimates of a locally-attached chip.
-    # Download threshold from observed data, not wishful thinking: healthy
-    # duplex is ~23-30 MB/s; at 8.8 MB/s (2026-08-19 window) throughput
-    # lines that stream audio back measured 4-5x low — meaningless as chip
-    # numbers. 15 MB/s splits the observed healthy/collapsed clusters.
-    reasons = []
-    if rtt_ms > 100:
-        reasons.append("rtt")
-    if down_mbps < 15:
-        reasons.append("download")
     health = {
         "rtt_ms": round(rtt_ms, 2),
         "upload_MBps": round(payload.nbytes / up_s / 1e6, 1),
         "download_MBps": round(down_mbps, 1),
-        "degraded": bool(reasons),
-        "degraded_reason": reasons,
-        "rtt_above_r2_baseline": bool(rtt_ms > 20),
+        **_classify_link(rtt_ms, down_mbps),
     }
     if verbose:
         print(json.dumps({"link_health": health}), flush=True)

@@ -105,3 +105,29 @@ def test_real_repo_always_has_a_fallback():
     rec = bench.emit_unreachable()
     assert rec.get("value", 0) > 0
     assert rec.get("stale") is True
+
+
+def test_link_classification_thresholds():
+    """The degraded stamp means "numbers are meaningless, retry later":
+    its RTT trigger is the transient 10-100x collapse (>100 ms), not the
+    tunnel's persistent ~25-32 ms floor (disclosed separately via
+    rtt_above_r2_baseline); the download trigger (15 MB/s) splits the
+    observed healthy (~23-30) vs collapsed (<=8.8) bandwidth clusters."""
+    from bench_all import _classify_link
+
+    # r4's best observed windows: floor RTT, healthy bandwidth -> clean
+    h = _classify_link(rtt_ms=28.0, down_mbps=27.0)
+    assert h == {"degraded": False, "degraded_reason": [],
+                 "rtt_above_r2_baseline": True}
+    # r2-era ideal link
+    h = _classify_link(rtt_ms=5.0, down_mbps=23.0)
+    assert not h["degraded"] and not h["rtt_above_r2_baseline"]
+    # transient RTT collapse
+    h = _classify_link(rtt_ms=450.0, down_mbps=25.0)
+    assert h["degraded"] and h["degraded_reason"] == ["rtt"]
+    # bandwidth collapse (the 2026-08-19 8.8 MB/s window)
+    h = _classify_link(rtt_ms=44.0, down_mbps=8.8)
+    assert h["degraded"] and h["degraded_reason"] == ["download"]
+    # both collapsed
+    h = _classify_link(rtt_ms=2000.0, down_mbps=1.0)
+    assert h["degraded_reason"] == ["rtt", "download"]
