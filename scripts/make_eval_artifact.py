@@ -52,21 +52,28 @@ SR = 16000
 
 
 def build_corpus(
-    root: Path, n_speakers: int = 6, seed: int = 0
+    root: Path,
+    n_speakers: int = 6,
+    seed: int = 0,
+    speed_range: tuple[float, float] = (0.85, 1.2),
 ) -> tuple[list[str], Path, Path]:
     """Per-speaker utterance dirs sliced from the two fixture voices, plus
     synthetic noise/music beds. Real speech keeps DNSMOS/PESQ meaningful.
 
     Each speaker gets a fixed speed/pitch factor (time-domain resample,
-    0.85-1.2x): the two fixture voices alone make every third PIT pair a
-    same-voice pair — unseparable in principle — whereas speed-shifted
-    crops have distinct pitch/formants, like distinct talkers. ``seed``
-    shifts crop offsets, gains, and speed factors between the train and
-    held-out eval corpora; since both slice the SAME two fixture voices
-    from the same energy-ranked windows, the underlying source audio can
-    recur across corpora — held-out-ness rests on the differing speed
-    resample + crop alignment, not on disjoint source material (only two
-    60 s voices exist in-env)."""
+    ``speed_range``): the two fixture voices alone make every third PIT
+    pair a same-voice pair — unseparable in principle — whereas
+    speed-shifted crops have distinct pitch/formants, like distinct
+    talkers. The default (0.85, 1.2) spans ~±2.5 semitones; the trained
+    quality chain widens it to ~±6 (0.7, 1.45) so randomly paired
+    pseudo-speakers are pitch-separated the way real talkers are —
+    generalization to UNSEEN factors is what the held-out eval tests.
+    ``seed`` shifts crop offsets, gains, and speed factors between the
+    train and held-out eval corpora; since both slice the SAME two
+    fixture voices from the same energy-ranked windows, the underlying
+    source audio can recur across corpora — held-out-ness rests on the
+    differing speed resample + crop alignment, not on disjoint source
+    material (only two 60 s voices exist in-env)."""
     # read_wav returns (channels, T); flatten to 1-D so the crops below
     # slice TIME (slicing a (1, T) array would silently yield the whole
     # 60 s fixture as every "utterance", which can never fit the
@@ -91,7 +98,7 @@ def build_corpus(
         d.mkdir(parents=True, exist_ok=True)
         voice = voices[spk % 2]
         order = ranked[spk % 2]
-        speed = float(rng.uniform(0.85, 1.2))
+        speed = float(rng.uniform(*speed_range))
         off = int(rng.integers(0, len(order)))
         for u in range(6):
             # top-energy crops at speaker-distinct offsets; small gain

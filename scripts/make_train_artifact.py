@@ -55,6 +55,14 @@ def main() -> None:
     ap.add_argument("--min_improvement_db", type=float, default=8.0)
     ap.add_argument("--eval_mixtures", type=int, default=3,
                     help="held-out 60 s mixtures for the chained eval")
+    ap.add_argument("--speed_lo", type=float, default=0.85)
+    ap.add_argument("--speed_hi", type=float, default=1.2,
+                    help="pseudo-speaker speed/pitch factor range fed to "
+                    "build_corpus for BOTH the train and held-out corpora; "
+                    "wider -> randomly paired sources are better pitch-"
+                    "separated (0.7-1.45 ~= ±6 semitones)")
+    ap.add_argument("--samples_per_mixture", type=int, default=10,
+                    help="training crops drawn per mixture per epoch")
     ap.add_argument("--skip_eval", action="store_true")
     ap.add_argument("--keep_work", action="store_true")
     args = ap.parse_args()
@@ -76,7 +84,8 @@ def main() -> None:
     # two train rooms consumes the whole corpus -> half the mixtures per
     # room needs 3*ceil(mixtures/2) speaker dirs.
     dirs, noise_dir, music_dir = build_corpus(
-        work, n_speakers=3 * ((args.mixtures + 1) // 2)
+        work, n_speakers=3 * ((args.mixtures + 1) // 2),
+        speed_range=(args.speed_lo, args.speed_hi),
     )
     timings["corpus_s"] = time.perf_counter() - t0
 
@@ -132,7 +141,7 @@ datas:
   test_dir: {work / 'val'}
   sample_rate: 16000
   duration: 2.0
-  num_samples: {max(48, 10 * args.mixtures)}
+  num_samples: {max(48, args.samples_per_mixture * args.mixtures)}
   num_spks: 2
   batch_size: 8
 
@@ -199,7 +208,9 @@ Produced by `python scripts/make_train_artifact.py --tag {args.tag}` on
 `{devices[0].platform}` ({len(devices)} device(s)).
 
 Reference loop (separation/train.py:28-109, audio_litmodule.py:67-82)
-exercised end to end on real hardware: fixture-speech corpus ->
+exercised end to end on real hardware: fixture-speech corpus
+({3 * ((args.mixtures + 1) // 2)} pseudo-speakers, speed/pitch factors
+U({args.speed_lo}, {args.speed_hi})) ->
 `generate_split` ({args.mixtures}x30 s Mono mixtures across 2 synthetic
 rooms, flagship TPU pipeline) -> fixed val tree -> `scripts/train.py`
 (jitted DP train step, PIT neg-SI-SDR, plateau LR, top-k checkpoints) for
@@ -253,6 +264,7 @@ def run_chained_eval(args, work, exp, ckpt_sha, timings, health) -> None:
     ewrk = work / "heldout"
     dirs, noise_dir, music_dir = build_corpus(
         ewrk, n_speakers=3 * args.eval_mixtures, seed=1,
+        speed_range=(args.speed_lo, args.speed_hi),
     )
     t0 = time.perf_counter()
     generate_split(
@@ -330,9 +342,10 @@ that wrote TRAIN_{args.tag}/: the checkpoint trained there
 (`best_model.pkl` sha256 `{ckpt_sha}`) was evaluated with
 `scripts/test.py` (reference flow separation/test.py:41-121) on
 {args.eval_mixtures} HELD-OUT 60 s mixtures (fresh room seed; utterance crops at
-shifted offsets and different per-speaker speed factors — the crop/resample
-alignment differs from training, though both corpora slice the same two
-fixture voices, the only source speech in-env), with DNSMOS (reference .onnx
+shifted offsets and fresh per-speaker speed factors drawn from the same
+U({args.speed_lo}, {args.speed_hi}) range — the crop/resample alignment
+differs from training, though both corpora slice the same two fixture
+voices, the only source speech in-env), with DNSMOS (reference .onnx
 weights), native PESQ nb/wb, STOI, SI-SDR/SDR columns.
 
 Headline (avg row): **SI-SDRi {sisdri:+.2f} dB, SDRi {sdri:+.2f} dB** —

@@ -85,6 +85,32 @@ def test_wav_chunk_inference_identity(rng):
     np.testing.assert_allclose(out[1], -x, atol=1e-4)
 
 
+def test_wav_chunk_inference_mesh_matches_single_device(rng):
+    """Sequence-parallel chunked inference (window axis sharded over an
+    8-device mesh) is numerically identical to the single-device path —
+    windows are independent, so partitioning cannot change the math."""
+    import jax
+
+    from sonicsim_tpu.models import ConvTasNet
+    from sonicsim_tpu.parallel import make_mesh
+
+    sr = 1000
+    x = rng.standard_normal(sr * 10).astype(np.float32)
+    model = ConvTasNet(N=16, L=16, B=8, H=16, P=3, X=1, R=1, num_spks=2)
+    params = model.init_params(jax.random.PRNGKey(0), example_len=2 * sr)
+    model_fn = jax.jit(lambda b: model.apply(params, b))
+
+    kw = dict(
+        sample_rate=sr, target_length=2.0, hop_length=1.0, n_tracks=2,
+    )
+    ref = wav_chunk_inference(model_fn, x, batch_size=3, **kw)
+    out = wav_chunk_inference(
+        model_fn, x, batch_size=2, mesh=make_mesh(8), **kw
+    )
+    assert out.shape == (2, len(x))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_stitch_segments_fixes_swaps(rng):
     sr = 16000
     t = np.arange(sr) / sr
