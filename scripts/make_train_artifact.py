@@ -47,6 +47,14 @@ import jax
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="local")
+    ap.add_argument("--task", choices=("separation", "enhancement"),
+                    default="separation",
+                    help="separation: 2-spk ConvTasNet + PIT neg-SI-SDR "
+                    "(train.py:94 flow); enhancement: 1-spk SuDORMRF-Enh + "
+                    "neg-SI-SDR (enhancement/train.py flow, "
+                    "configs/enhancement/sudormrf.yaml hyperparameter "
+                    "family) — same generated SonicSet tree, the sampler "
+                    "draws one moving track + the noise bed per item")
     ap.add_argument("--work", default=None)
     ap.add_argument("--mixtures", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=60)
@@ -122,29 +130,16 @@ def main() -> None:
             sys.executable, str(REPO / "scripts/generate_fixed_eval.py"),
             "--in_dir", str(work / "val_src"),
             "--out_dir", str(work / "val"),
-            "--task", "separation",
+            "--task", args.task,
         ],
         check=True,
     )
     timings["fixed_val_s"] = time.perf_counter() - t0
 
-    conf = work / "conf.yaml"
-    conf.write_text(f"""
-exp:
-  dir: {work / 'Exps'}
-  name: convtasnet-chip
-
-datas:
-  _target_: sonicsim_tpu.dataset.MovingDataModule
-  train_dir: {work / 'train'}
-  val_dir: {work / 'val'}
-  test_dir: {work / 'val'}
-  sample_rate: 16000
-  duration: 2.0
-  num_samples: {max(48, args.samples_per_mixture * args.mixtures)}
-  num_spks: 2
-  batch_size: 8
-
+    if args.task == "separation":
+        num_spks = 2
+        exp_name = "convtasnet-chip"
+        model_loss = """
 model:
   _target_: sonicsim_tpu.models.ConvTasNet
   N: 256
@@ -160,7 +155,43 @@ loss:
     _target_: sonicsim_tpu.losses.PairwiseNegSDR
     sdr_type: sisdr
   pit_from: pw_mtx
+"""
+    else:  # enhancement: compact SuDORMRF-Enh, neg-SI-SDR loss
+        num_spks = 1
+        exp_name = "sudormrf-enh-chip"
+        model_loss = """
+model:
+  _target_: sonicsim_tpu.models.SuDORMRF
+  out_channels: 128
+  in_channels: 256
+  num_blocks: 4
+  upsampling_depth: 5
+  enc_kernel_size: 81
+  enc_num_basis: 256
+  num_sources: 1
 
+loss:
+  _target_: sonicsim_tpu.losses.DCCRNLoss
+"""
+
+    conf = work / "conf.yaml"
+    conf.write_text(f"""
+exp:
+  dir: {work / 'Exps'}
+  name: {exp_name}
+
+datas:
+  _target_: sonicsim_tpu.dataset.MovingDataModule
+  train_dir: {work / 'train'}
+  val_dir: {work / 'val'}
+  test_dir: {work / 'val'}
+  sample_rate: 16000
+  duration: 2.0
+  num_samples: {max(48, args.samples_per_mixture * args.mixtures)}
+  num_spks: {num_spks}
+  batch_size: 8
+{"  target_names: [clean]" if args.task == "enhancement" else ""}
+{model_loss}
 optimizer:
   lr: 0.001
 
@@ -178,7 +209,7 @@ early_stopping:
     )
     timings["train_s"] = time.perf_counter() - t0
 
-    exp = work / "Exps" / "convtasnet-chip"
+    exp = work / "Exps" / exp_name
     metrics = [
         json.loads(line)
         for line in (exp / "metrics.jsonl").read_text().splitlines()
@@ -213,8 +244,11 @@ exercised end to end on real hardware: fixture-speech corpus
 U({args.speed_lo}, {args.speed_hi})) ->
 `generate_split` ({args.mixtures}x30 s Mono mixtures across 2 synthetic
 rooms, flagship TPU pipeline) -> fixed val tree -> `scripts/train.py`
-(jitted DP train step, PIT neg-SI-SDR, plateau LR, top-k checkpoints) for
-up to {args.epochs} epochs on a small ConvTasNet.
+(jitted DP train step, {"PIT neg-SI-SDR" if args.task == "separation"
+ else "neg-SI-SDR (DCCRNLoss)"}, plateau LR, top-k checkpoints) for
+up to {args.epochs} epochs on a small
+{"ConvTasNet (2-spk separation)" if args.task == "separation"
+ else "SuDORMRF-Enh (1-spk enhancement: one moving track + the noise bed)"}.
 
 Val neg-SI-SDR trajectory (lower is better): {[round(v, 2) for v in val_losses]}
 Improvement epoch0 -> best: **{improvement:.2f} dB** — gate
@@ -281,18 +315,25 @@ def run_chained_eval(args, work, exp, ckpt_sha, timings, health) -> None:
         base_seed=23,
         max_mixtures=args.eval_mixtures,
     )
-    subprocess.run(
-        [
-            sys.executable, str(REPO / "scripts/generate_fixed_eval.py"),
-            "--in_dir", str(ewrk / "split"),
-            "--out_dir", str(ewrk / "fixed_test"),
-            "--task", "separation",
-        ],
-        check=True,
-    )
+    if args.task == "separation":
+        subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts/generate_fixed_eval.py"),
+                "--in_dir", str(ewrk / "split"),
+                "--out_dir", str(ewrk / "fixed_test"),
+                "--task", "separation",
+            ],
+            check=True,
+        )
+        test_dir = ewrk / "fixed_test"
+    else:
+        # Enhancement evaluates the reference way: audio_test.py remixes
+        # the generated split on the fly (enhancement/audio_test.py role)
+        # — no fixed tree.
+        test_dir = ewrk / "split"
     timings["heldout_gen_s"] = time.perf_counter() - t0
 
-    # Eval config: same exp dir (scripts/test.py loads its best_model.pkl
+    # Eval config: same exp dir (the eval script loads its best_model.pkl
     # — the trained checkpoint), held-out test tree.
     econf = work / "eval_conf.yaml"
     econf.write_text(f"""
@@ -301,20 +342,32 @@ exp:
   name: {exp.name}
 
 datas:
-  test_dir: {ewrk / 'fixed_test'}
+  test_dir: {test_dir}
   sample_rate: 16000
-  num_spks: 2
+  num_spks: {1 if args.task == "enhancement" else 2}
 """)
     t0 = time.perf_counter()
-    subprocess.run(
-        [
-            sys.executable, str(REPO / "scripts/test.py"),
-            "--conf_dir", str(econf),
-            "--dnsmos_dir", "/root/reference/separation/DNSMOS",
-            "--bucket", "16000",
-        ],
-        check=True,
-    )
+    if args.task == "separation":
+        subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts/test.py"),
+                "--conf_dir", str(econf),
+                "--dnsmos_dir", "/root/reference/separation/DNSMOS",
+                "--bucket", "16000",
+            ],
+            check=True,
+        )
+        csv_path = exp / "results" / "metrics.csv"
+    else:
+        subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts/audio_test.py"),
+                "--conf_dir", str(econf),
+                "--task", "enhancement",
+            ],
+            check=True,
+        )
+        csv_path = exp / "results" / "metrics_remix-noise.csv"
     timings["eval_s"] = time.perf_counter() - t0
 
     # Same file scripts/test.py just loaded — hash must match TRAIN's.
@@ -322,16 +375,15 @@ datas:
         (exp / "best_model.pkl").read_bytes()
     ).hexdigest() == ckpt_sha
 
-    results = exp / "results"
-    with (results / "metrics.csv").open() as f:
+    with csv_path.open() as f:
         rows = list(csv.DictReader(f))
     avg = next(r for r in rows if r["snt_id"] == "avg")
     sisdri, sdri = float(avg["si-snr_i"]), float(avg["sdr_i"])
 
     out = REPO / f"EVAL_{args.tag}"
     out.mkdir(exist_ok=True)
-    shutil.copy(results / "metrics.csv", out / "metrics.csv")
-    meta = results / "metrics.meta.json"
+    shutil.copy(csv_path, out / "metrics.csv")
+    meta = csv_path.parent / "metrics.meta.json"
     if meta.exists():
         shutil.copy(meta, out / "metrics.meta.json")
     (out / "README.md").write_text(
@@ -340,13 +392,17 @@ datas:
 Produced by the SAME `scripts/make_train_artifact.py --tag {args.tag}` run
 that wrote TRAIN_{args.tag}/: the checkpoint trained there
 (`best_model.pkl` sha256 `{ckpt_sha}`) was evaluated with
-`scripts/test.py` (reference flow separation/test.py:41-121) on
+{"`scripts/test.py` (reference flow separation/test.py:41-121)"
+ if args.task == "separation" else
+ "`scripts/audio_test.py --task enhancement` (reference flow "
+ "enhancement/audio_test.py: on-the-fly remix of one moving track + "
+ "the noise bed)"} on
 {args.eval_mixtures} HELD-OUT 60 s mixtures (fresh room seed; utterance crops at
 shifted offsets and fresh per-speaker speed factors drawn from the same
 U({args.speed_lo}, {args.speed_hi}) range — the crop/resample alignment
 differs from training, though both corpora slice the same two fixture
-voices, the only source speech in-env), with DNSMOS (reference .onnx
-weights), native PESQ nb/wb, STOI, SI-SDR/SDR columns.
+voices, the only source speech in-env), with
+{"DNSMOS (reference .onnx weights), " if args.task == "separation" else ""}native PESQ nb/wb, STOI, SI-SDR/SDR columns.
 
 Headline (avg row): **SI-SDRi {sisdri:+.2f} dB, SDRi {sdri:+.2f} dB** —
 the first trained-model quality evidence (BASELINE.md row 3); both must
