@@ -73,7 +73,22 @@ def main() -> None:
                     help="training crops drawn per mixture per epoch")
     ap.add_argument("--skip_eval", action="store_true")
     ap.add_argument("--keep_work", action="store_true")
+    ap.add_argument("--wait_healthy_min", type=float, default=0.0,
+                    help="preflight: wait up to N minutes for the tunnel "
+                    "to be reachable AND non-degraded before starting "
+                    "(a mid-generation tunnel collapse blocks the whole "
+                    "chain on a dead RPC)")
     args = ap.parse_args()
+
+    if args.wait_healthy_min > 0:
+        from bench import _device_reachable
+        from bench_all import _wait_for_healthy_link
+
+        deadline_s = args.wait_healthy_min * 60.0
+        t0 = time.monotonic()
+        if not _device_reachable(deadline_s=deadline_s):
+            raise SystemExit("device unreachable within --wait_healthy_min")
+        _wait_for_healthy_link(max(0.0, deadline_s - (time.monotonic() - t0)))
 
     from make_eval_artifact import build_corpus  # same fixture slicing
 

@@ -1,0 +1,208 @@
+"""Speed-of-light (roofline) analysis for the hot generation kernels.
+
+For each battery workload this lowers the EXACT jitted computation the
+bench drives, asks XLA for its compiled cost analysis (flops + bytes
+accessed), and derives the hardware floors:
+
+  compute floor   = flops / peak_flops
+  bandwidth floor = bytes accessed / peak HBM bandwidth
+  speed of light  = max(compute, bandwidth)   (what a perfect kernel costs)
+
+Against a measured wall-clock per call (taken from a BENCH_*.json battery
+file) that yields a %-of-SoL utilization per stage — the honest statement
+of how much headroom each kernel still has on the chip, independent of
+tunnel effects.
+
+Peaks default to TPU v5e (the bench chip): 197 TFLOP/s bf16 MXU,
+819 GB/s HBM. The DSP stages are float32 FFT/elementwise pipelines — they
+sit far left on the roofline (intensity << v5e's ~240 flops/byte knee),
+so their SoL is the bandwidth floor and the f32-vs-bf16 MXU rate split
+does not matter for them; for the bf16 ConvTasNet serving line the
+compute floor uses the bf16 peak.
+
+Usage:
+  python scripts/roofline.py                 # on the tunneled TPU
+  python scripts/roofline.py --bench BENCH_CLEAN_r04.json
+  python scripts/roofline.py --platform cpu  # CPU smoke (analysis only)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from sonicsim_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BPS = 819e9
+
+
+def _cost(fn, *args) -> dict:
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    # Newer jax returns a dict; some versions a 1-list of dicts.
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return {
+        "flops": float(ca.get("flops", 0.0)),
+        "bytes": float(ca.get("bytes accessed", 0.0)),
+    }
+
+
+def _floors(flops: float, bytes_: float, peak_flops: float) -> dict:
+    comp_ms = flops / peak_flops * 1e3
+    bw_ms = bytes_ / V5E_PEAK_HBM_BPS * 1e3
+    return {
+        "compute_floor_ms": round(comp_ms, 3),
+        "bandwidth_floor_ms": round(bw_ms, 3),
+        "sol_ms": round(max(comp_ms, bw_ms), 3),
+        "intensity_flops_per_byte": round(flops / max(bytes_, 1.0), 2),
+        "bound": "compute" if comp_ms > bw_ms else "bandwidth",
+    }
+
+
+def _measured_ms(bench_path: Path) -> dict[str, float]:
+    """metric name -> measured seconds-per-call from a battery file,
+    via each line's audio-seconds-per-second value and workload stamp."""
+    out: dict[str, float] = {}
+    if not bench_path.exists():
+        return out
+    for line in bench_path.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        m, v = rec.get("metric"), rec.get("value")
+        if not m or not v:
+            continue
+        audio_s = {
+            "moving render, batched 12 sources": 12 * 60,
+            "full mixture step (5 tracks)": 5 * 60,
+            "moving source (binaural)": 60,
+            "ConvTasNet serving (B=16, bf16)": 16 * 4,
+            "RIR bank render (3x40 pairs, binaural)": 3 * 60,
+        }.get(m)
+        if audio_s:
+            out[m] = audio_s / v * 1e3  # ms per call
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default=str(REPO / "BENCH_CLEAN_r04.json"))
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu for a smoke run; "
+                    "default: whatever the runtime exposes — the TPU)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from sonicsim_tpu.ops import (
+        convolve_fixed_receiver,
+        convolve_moving_segmented,
+        dynamic_interp_plan,
+        segment_plan,
+    )
+    from sonicsim_tpu.ops.fftconv import _on_tpu
+    from sonicsim_tpu.ops.loudness import lufs_norm
+
+    sr, t, p, c = 16000, 60 * 16000, 40, 2
+    rng = np.random.default_rng(0)
+    positions = np.cumsum(rng.uniform(0.2, 0.6, size=(p, 3)), axis=0)
+    idx, w = dynamic_interp_plan(positions, t, rng=rng)
+    off, lens, mx = segment_plan(idx)
+    w_j, off_j, len_j = jnp.asarray(w), jnp.asarray(off), jnp.asarray(lens)
+
+    platform = jax.devices()[0].platform
+    measured = _measured_ms(Path(args.bench))
+    rows = []
+
+    def add(name, fn, *call_args, peak=V5E_PEAK_BF16_FLOPS):
+        cost = _cost(fn, *call_args)
+        row = {"stage": name, **cost, **_floors(cost["flops"], cost["bytes"], peak)}
+        if name in measured:
+            row["measured_ms"] = round(measured[name], 2)
+            row["pct_of_sol"] = round(100 * row["sol_ms"] / measured[name], 1)
+        rows.append(row)
+
+    # --- moving render, batched 12 sources (the headline geometry) -------
+    a12 = jnp.asarray(rng.standard_normal((12, t)).astype(np.float32) * 0.1)
+    r12 = jnp.asarray(rng.standard_normal((12, p, c, sr)).astype(np.float32) * 0.02)
+    add(
+        "moving render, batched 12 sources",
+        jax.vmap(lambda a, r: convolve_moving_segmented(
+            a, r, w_j, off_j, len_j, mx, use_pallas=_on_tpu())),
+        a12, r12,
+    )
+
+    # --- full mixture step (3 moving + 2 static + LUFS) -------------------
+    a3 = jnp.asarray(rng.standard_normal((3, t)).astype(np.float32) * 0.1)
+    r3 = jnp.asarray(rng.standard_normal((3, p, c, sr)).astype(np.float32) * 0.02)
+    bg = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32) * 0.05)
+    rbg = jnp.asarray(rng.standard_normal((2, c, sr)).astype(np.float32) * 0.02)
+
+    def mixture_step(a3, r3, bg, rbg):
+        moving3 = jax.vmap(lambda a, r: convolve_moving_segmented(
+            a, r, w_j, off_j, len_j, mx, use_pallas=_on_tpu()))(a3, r3)
+        static2 = jax.vmap(convolve_fixed_receiver)(bg, rbg)
+        speech = [lufs_norm(moving3[i], sr, -17.0)[0] for i in range(3)]
+        noise = lufs_norm(static2[0], sr, -24.0)[0]
+        music = lufs_norm(static2[1], sr, -29.0)[0]
+        return speech[0] + speech[1] + speech[2] + noise + music
+
+    add("full mixture step (5 tracks)", mixture_step, a3, r3, bg, rbg)
+
+    # --- RIR bank render (3 speakers x 40 waypoints = 120 pairs) ----------
+    from sonicsim_tpu.sim.bank_render import render_bank_batched
+    from sonicsim_tpu.sim.channels import ChannelModel
+    from sonicsim_tpu.sim.image_source import ShoeboxRoom
+    from sonicsim_tpu.sim.oracle import SyntheticRirOracle
+
+    room = ShoeboxRoom((8.0, 3.0, 6.0), absorption=0.3)
+    oracle = SyntheticRirOracle(room, n_bands=32, max_order=4)
+    ways = [
+        np.random.default_rng(1000 + k).uniform([1, 1, 1], [7, 2.5, 5])
+        for k in range(120)  # 3 trajectories x 40 waypoints, flattened
+    ]
+    jit_fn, jit_args = render_bank_batched(
+        oracle, ways, [np.array([4.0, 1.5, 3.0])], ChannelModel("Binaural"),
+        lower_only=True,
+    )
+    add("RIR bank render (3x40 pairs, binaural)", jit_fn, *jit_args)
+
+    # --- ConvTasNet serving (B=16, bf16) -----------------------------------
+    from sonicsim_tpu.infer import bf16_forward
+    from sonicsim_tpu.models import ConvTasNet
+
+    model = ConvTasNet()
+    params = model.init_params(jax.random.PRNGKey(0), example_len=4 * sr)
+    fwd = bf16_forward(model)
+    mix16 = jnp.asarray(rng.standard_normal((16, 4 * sr)).astype(np.float32))
+    add("ConvTasNet serving (B=16, bf16)", lambda prm, x: fwd(prm, x),
+        params, mix16)
+
+    print(json.dumps({"platform": platform,
+                      "peaks": {"bf16_flops": V5E_PEAK_BF16_FLOPS,
+                                "hbm_Bps": V5E_PEAK_HBM_BPS}}))
+    for row in rows:
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -724,7 +724,8 @@ def _flatten_items(oracle, source_positions, receiver_positions, channel,
 
 def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
                        seeds, channel, ir_params, peak_normalize: bool,
-                       bank_ids: np.ndarray | None = None, mesh=None):
+                       bank_ids: np.ndarray | None = None, mesh=None,
+                       lower_only: bool = False):
     """Pad the item axis to a _CHUNK multiple and run the fused dispatch.
 
     With ``mesh``, the padded item axis is sharded over the mesh's first
@@ -785,6 +786,16 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         nfft=nfft,
     )
     masks_dev = _cached_masks(oracle.n_bands, nfft, oracle.sample_rate)
+    if lower_only:
+        # Roofline hook (scripts/roofline.py): hand back the exact jitted
+        # dispatch + operands without executing, for XLA cost analysis.
+        import functools
+
+        fn = functools.partial(
+            _render_items_device, n_banks=n_banks,
+            peak_normalize=peak_normalize, **statics,
+        )
+        return fn, (fpack, ipack, consts, masks_dev, amp_u, amp_v)
     if mesh is not None:
         fn = _render_items_mesh_fn(
             mesh, n_banks=n_banks, peak_normalize=peak_normalize, **statics
@@ -812,6 +823,7 @@ def render_bank_batched(
     peak_normalize: bool = True,
     out_device: bool = False,
     mesh=None,
+    lower_only: bool = False,
 ):
     """All-pairs bank (S, R, C, L) via the batched multiband renderer.
 
@@ -828,8 +840,10 @@ def render_bank_batched(
     )
     out = _render_flat_items(
         oracle, srcs_flat, recvs_flat, normals, chan_idx, seeds, channel,
-        ir_params, peak_normalize, mesh=mesh,
+        ir_params, peak_normalize, mesh=mesh, lower_only=lower_only,
     )
+    if lower_only:
+        return out  # (jitted fn, operands) — see _render_flat_items
     ir_len = ir_params[3]
     shape = (
         len(source_positions),
