@@ -50,7 +50,13 @@ from .image_source import (
 )
 
 _CHUNK = 64  # item-axis padding quantum: bounds distinct compiled shapes
-_BLOCK = 1024  # time-block quantum for the placement matmul
+# Time-block quantum for the placement matmul. The dense sinc/Hann tap
+# evaluation covers win = _BLOCK + 128 columns per image, so a smaller
+# block shrinks the placement's transcendental work (its measured hot
+# loop) toward the 81 taps that actually matter, while the extra one-hot
+# matmul columns (n_blocks grows as 1/_BLOCK) stay nearly free on the MXU.
+# 128 → win=256, only 2.6× the live taps. Env knob for tuning experiments.
+_BLOCK = max(128, int(__import__("os").environ.get("SONICSIM_BANK_BLOCK", "128")))
 _PLACE_BATCH = 8  # items per placement matmul (MXU batch)
 
 
@@ -351,13 +357,21 @@ def _assemble_core(
         accw = jnp.einsum(
             "nr,nw->rw", w_nb, vals, precision=jax.lax.Precision.HIGH
         ).reshape(r_amp, n_blocks, win)
-        # Overlap-add the block windows (static slices; window of block b
-        # starts at padded position p = T + 2*SINC_HALF = b*block).
+        # Overlap-add the block windows (window of block b starts at padded
+        # position p = T + 2*SINC_HALF = b*block). win = _BLOCK + 128 with
+        # hop _BLOCK means ≤2 windows overlap anywhere, so the whole
+        # stitch is TWO reshaped slice-adds — the head _BLOCK columns land
+        # contiguously, the 128 spill columns land one block later —
+        # instead of an n_blocks-long unrolled loop (which made XLA
+        # compile time scale with 1/_BLOCK).
+        spill = win - _BLOCK  # 128 ≤ _BLOCK by construction
+        head = accw[:, :, :_BLOCK].reshape(r_amp, n_blocks * _BLOCK)
+        tail = jnp.pad(
+            accw[:, :, _BLOCK:], ((0, 0), (0, 0), (0, _BLOCK - spill))
+        ).reshape(r_amp, n_blocks * _BLOCK)
         acc_pad = jnp.zeros((r_amp, n_blocks * _BLOCK + win), jnp.float32)
-        for b in range(n_blocks):
-            acc_pad = acc_pad.at[:, b * _BLOCK : b * _BLOCK + win].add(
-                accw[:, b]
-            )
+        acc_pad = acc_pad.at[:, : n_blocks * _BLOCK].add(head)
+        acc_pad = acc_pad.at[:, _BLOCK : _BLOCK + n_blocks * _BLOCK].add(tail)
         return acc_pad[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len]
 
     accs = jax.lax.map(
