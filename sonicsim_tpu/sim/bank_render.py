@@ -57,7 +57,9 @@ _CHUNK = 64  # item-axis padding quantum: bounds distinct compiled shapes
 # matmul columns (n_blocks grows as 1/_BLOCK) stay nearly free on the MXU.
 # 128 → win=256, only 2.6× the live taps. Env knob for tuning experiments.
 _BLOCK = max(128, int(__import__("os").environ.get("SONICSIM_BANK_BLOCK", "128")))
-_PLACE_BATCH = 8  # items per placement matmul (MXU batch)
+_PLACE_BATCH = int(
+    __import__("os").environ.get("SONICSIM_PLACE_BATCH", "8")
+)  # items per placement matmul (MXU batch)
 
 
 def _real_sh(dirs, order: int) -> jax.Array:
