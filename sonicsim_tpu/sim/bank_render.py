@@ -34,6 +34,7 @@ mesh-shardable axis for multi-chip generation fan-out.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -56,10 +57,10 @@ _CHUNK = 64  # item-axis padding quantum: bounds distinct compiled shapes
 # loop) toward the 81 taps that actually matter, while the extra one-hot
 # matmul columns (n_blocks grows as 1/_BLOCK) stay nearly free on the MXU.
 # 128 → win=256, only 2.6× the live taps. Env knob for tuning experiments.
-_BLOCK = max(128, int(__import__("os").environ.get("SONICSIM_BANK_BLOCK", "128")))
-_PLACE_BATCH = int(
-    __import__("os").environ.get("SONICSIM_PLACE_BATCH", "8")
-)  # items per placement matmul (MXU batch)
+_BLOCK = max(128, int(os.environ.get("SONICSIM_BANK_BLOCK", "128")))
+# Items per placement matmul (MXU batch). Clamped to >= 1: lax.map rejects
+# a non-positive batch_size at render time, long after import.
+_PLACE_BATCH = max(1, int(os.environ.get("SONICSIM_PLACE_BATCH", "8")))
 
 
 def _real_sh(dirs, order: int) -> jax.Array:
@@ -185,10 +186,41 @@ def _factor_amplitude_profile(
     n_bands = A.shape[1]
     U, s, Vt = np.linalg.svd(A, full_matrices=False)
     rank = max(1, int(np.sum(s > s[0] * tol)))
-    r = min(n_bands, -(-rank // 8) * 8)
+    # Exact rank 1 keeps its own bucket: a uniform room (every wall/band
+    # one beta — the common generated-scene case) then folds the whole
+    # profile into the per-item gains and the placement contraction runs
+    # on ONE train (r=8 padding used to cost 8x contraction FLOPs and 8x
+    # w_nb HBM traffic for zero information). Ranks >1 pad to the MXU
+    # sublane multiple as before.
+    r = 1 if rank == 1 else min(n_bands, -(-rank // 8) * 8)
     if r >= n_bands:  # no savings — keep the exact profile
         return A.astype(np.float32), np.eye(n_bands, dtype=np.float32)
     return (U[:, :r] * s[:r]).astype(np.float32), Vt[:r].astype(np.float32)
+
+
+def _factor_tail_envelopes(
+    rt60_bands: np.ndarray, ir_len: int, sample_rate: int,
+    tol: float = 1e-8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rank-Q factorization D ≈ U @ V of the per-band Eyring decay table
+    D[b, t] = exp(-6.908·t/rt60_b), on the host (per-room constants only).
+
+    The stochastic tail is ONE broadband noise stream per item (see
+    image_source.tail_noise) shaped by per-band envelopes
+    level_b·exp(-k_b·max(t−td, 0))·ramp(t). Because ramp(t) is zero for
+    t ≤ td, the shift by the per-item direct delay factors EXACTLY as
+    exp(k_b·td)·exp(-k_b·t), leaving D item-independent — so the batched
+    tail runs Q ≤ n_bands FFTs per item instead of n_bands (Q is EXACTLY
+    1 for a uniform room, where every band decays at one rate, and ~4-8
+    for banded materials: decaying exponentials over a bounded interval
+    are numerically low-rank)."""
+    t_axis = np.arange(ir_len, dtype=np.float64) / sample_rate
+    k_b = 6.908 / np.maximum(np.asarray(rt60_bands, np.float64), 1e-6)
+    D = np.exp(-k_b[:, None] * t_axis[None, :])  # (B, L)
+    U, s, Vt = np.linalg.svd(D, full_matrices=False)
+    rank = max(1, int(np.sum(s > s[0] * tol)))
+    q = 1 if rank == 1 else min(len(k_b), -(-rank // 4) * 4)
+    return (U[:, :q] * s[:q]).astype(np.float32), Vt[:q].astype(np.float32)
 
 
 def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
@@ -255,6 +287,8 @@ def _assemble_core(
     noise_keys,  # (P,) typed PRNG keys — tail noise generated ON DEVICE
     masks,  # (n_bands, nfft//2+1) float32 filterbank partition
     rt60_bands,  # (n_bands,) float32 Eyring RT60 per band
+    tail_u,  # (n_bands, q) left factor of the Eyring decay table
+    tail_v,  # (q, ir_len) right factor (host SVD — _factor_tail_envelopes)
     sample_rate: int,
     ir_len: int,
     nfft: int,
@@ -282,9 +316,15 @@ def _assemble_core(
     n_blocks = -(-pad // _BLOCK)
     n_bands = amp_nb.shape[1]
     r_amp = amp_u.shape[1]
+    # r == 1 (uniform room): the single factor column folds into the
+    # per-item gains OUTSIDE the placement map, the contraction drops to
+    # a plain one-hot block placement, and no (N, r·blocks) weight matrix
+    # is ever built (it was ~9.5 MB/item of pure HBM traffic).
+    g_place = g * amp_u[:, 0][None, :] if r_amp == 1 else g
 
     def place_one(args):
-        """Impulse-train accumulation for ONE item → (n_bands, ir_len)."""
+        """Impulse-train accumulation for ONE item → (r, ir_len) factor
+        trains (band structure restored in the frequency domain below)."""
         delays_si, g_i = args
         d = delays_si * sample_rate  # float samples
         base = jnp.floor(d)
@@ -348,17 +388,22 @@ def _assemble_core(
         # (amp_u is item-independent — same room for all items — so it
         # rides the closure, not the map).
         onehot = jax.nn.one_hot(blk, n_blocks, dtype=jnp.float32)  # (N, blocks)
-        w_nb = (amp_u[:, :, None] * onehot[:, None, :]).reshape(
-            amp_u.shape[0], r_amp * n_blocks
-        )
         # Precision.HIGH (3-pass bf16) halves the placement cost vs
         # HIGHEST (6-pass) at identical end-to-end accuracy: both land at
         # 1.9e-4 max rel-err vs an all-f32 CPU render of the same bank —
         # the error floor comes from the f32 FFT/tail paths, not the
         # contraction passes.
-        accw = jnp.einsum(
-            "nr,nw->rw", w_nb, vals, precision=jax.lax.Precision.HIGH
-        ).reshape(r_amp, n_blocks, win)
+        if r_amp == 1:  # amp folded into g above — plain block placement
+            accw = jnp.einsum(
+                "nb,nw->bw", onehot, vals, precision=jax.lax.Precision.HIGH
+            )[None]
+        else:
+            w_nb = (amp_u[:, :, None] * onehot[:, None, :]).reshape(
+                amp_u.shape[0], r_amp * n_blocks
+            )
+            accw = jnp.einsum(
+                "nr,nw->rw", w_nb, vals, precision=jax.lax.Precision.HIGH
+            ).reshape(r_amp, n_blocks, win)
         # Overlap-add the block windows (window of block b starts at padded
         # position p = T + 2*SINC_HALF = b*block). win = _BLOCK + 128 with
         # hop _BLOCK means ≤2 windows overlap anywhere, so the whole
@@ -377,7 +422,7 @@ def _assemble_core(
         return acc_pad[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len]
 
     accs = jax.lax.map(
-        place_one, (delays_s, g), batch_size=_PLACE_BATCH
+        place_one, (delays_s, g_place), batch_size=_PLACE_BATCH
     )  # (P, r, ir_len)
     spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, r, F)
     # Per-factor spectral mix: (amp_v @ masks)[q] is factor q's composite
@@ -397,42 +442,50 @@ def _assemble_core(
         & (delays_s < t_direct[:, None] + 0.08)
     )
     # level_sel[p, b] = sqrt(mean_{n in sel} (g_pn · amp_nb)²) — the
-    # serial renderer's sqrt(mean(amps[mix_sel]**2)) with amps = g·A.
+    # serial renderer's sqrt(mean(amps[mix_sel]**2)) with amps = g·A
+    # (g here is the raw gain — the r==1 placement fold lives in g_place).
     sel_sum = jnp.einsum(
         "pn,nb->pb", jnp.where(mix_sel, g * g, 0.0), amp_nb * amp_nb
     )
     k = jnp.sum(mix_sel, axis=1)  # (P,)
     level_sel = jnp.sqrt(sel_sum / jnp.maximum(k, 1)[:, None])  # (P, B)
     # Fallback when the mixing window is empty: 0.05·max_n |g·A| per band
-    # (serial: np.abs(amps).max(axis=0) * 0.05). Batched lax.map bounds
-    # the (items, N, bands) intermediate.
-    level_fb = 0.05 * jax.lax.map(
-        lambda a: jnp.max(
-            jnp.where(a[1][:, None], jnp.abs(a[0])[:, None] * amp_nb, 0.0),
-            axis=0,
+    # (serial: np.abs(amps).max(axis=0) * 0.05). One fused reduce — XLA
+    # streams the virtual (P, N, B) product without materializing it (the
+    # old lax.map ran P/8 sequential launches for the same answer).
+    level_fb = 0.05 * jnp.max(
+        jnp.where(
+            valid[:, :, None], jnp.abs(g)[:, :, None] * amp_nb[None], 0.0
         ),
-        (g, valid),
-        batch_size=_PLACE_BATCH,
+        axis=1,
     )  # (P, n_bands)
     level = jnp.where((k > 0)[:, None], level_sel, level_fb)
 
-    noise = jax.vmap(
-        lambda key: jax.random.normal(key, (n_bands, ir_len), jnp.float32)
-    )(noise_keys)  # (P, n_bands, ir_len)
+    # Broadband tail noise (ONE stream per item — image_source.tail_noise)
+    # shaped by rank-Q factored band envelopes: with D[b,t] = exp(-k_b t)
+    # ≈ tail_u @ tail_v and the exact shift identity
+    # exp(-k_b·max(t−td,0))·ramp = exp(k_b td)·exp(-k_b t)·ramp (ramp zeroes
+    # t ≤ td), the per-band spectra collapse to Q FFTs per item:
+    #   tail_spec = Σ_q rfft(noise·ramp·tail_v_q) · M_q,
+    #   M_pq(f) = Σ_b masks[b,f]·level_pb·exp(k_b td_p)·tail_u[b,q].
     t_axis = jnp.arange(ir_len, dtype=jnp.float32) / sample_rate
-    decay = jnp.exp(
-        -6.908
-        * jnp.maximum(t_axis[None, None, :] - t_direct[:, None, None], 0.0)
-        / rt60_bands[None, :, None]
-    )
+    k_b = 6.908 / jnp.maximum(rt60_bands, 1e-6)  # (B,)
+    lift = jnp.exp(k_b[None, :] * t_direct[:, None])  # (P, B)
+    noise = jax.vmap(
+        lambda key: jax.random.normal(key, (ir_len,), jnp.float32)
+    )(noise_keys)  # (P, ir_len)
     ramp = (
         jnp.clip(
             (t_axis[None, :] - t_direct[:, None]) / 0.02, 0.0, 1.0
         )
         ** 2
     )  # (P, ir_len)
-    shaped = noise * (level[:, :, None] * decay * ramp[:, None, :])
-    tail_spec = (jnp.fft.rfft(shaped, nfft, axis=-1) * masks[None]).sum(axis=1)
+    sig = noise * ramp  # (P, ir_len)
+    shaped_q = sig[:, None, :] * tail_v[None, :, :]  # (P, Q, ir_len)
+    S = jnp.fft.rfft(shaped_q, nfft, axis=-1)  # (P, Q, F)
+    cu = (level * lift)[:, :, None] * tail_u[None, :, :]  # (P, B, Q)
+    M = jnp.einsum("pbq,bf->pqf", cu, masks)  # (P, Q, F)
+    tail_spec = jnp.sum(S * M, axis=1)  # (P, F)
     # ONE shared irfft for early + tail (linearity: irfft(A)+irfft(B) ==
     # irfft(A+B) up to f32 rounding) — saves a full (P, nfft) inverse
     # transform per dispatch, ~10% of the fused render.
@@ -440,12 +493,13 @@ def _assemble_core(
 
 
 def _render_core(
-    fpack,  # (P, 9) f32: srcs(3) | recvs(3) | normals(3)
-    ipack,  # (P, 3) u32: chan_idx | seeds | bank_ids
+    packed,  # (P, 13) f32: srcs(3)|recvs(3)|normals(3)|chan|seed_lo|seed_hi|bank
     consts,  # (3 + 7*n_bands,) f32: dims(3) | beta_walls (n_bands·6) | rt60
     masks,  # (n_bands, nfft//2+1)
     amp_u,  # (N, r) host-SVD left factor of the amplitude profile
     amp_v,  # (r, n_bands) right factor
+    tail_u,  # (n_bands, q) host-SVD left factor of the Eyring decay table
+    tail_v,  # (q, ir_len) right factor
     *,
     n_bands: int,
     channel_type: str,
@@ -461,14 +515,22 @@ def _render_core(
     Traceable body shared by the single-device jit and the shard_map mesh
     path (where P is the per-shard item count). Everything, tail-noise key
     derivation included, lives inside one trace so the remote link sees a
-    single round trip. Per-item tables arrive as two packed arrays (and
-    the per-room scalars as one) because each host→device transfer on
-    the tunneled link costs ~5 ms of RTT regardless of size."""
+    single round trip. ALL per-item tables arrive as ONE packed f32 array
+    handed to the jitted call as a host numpy operand: each separate
+    host→device transfer on the tunneled link costs ~6 ms of latency
+    regardless of size, while a single dispatch-carried operand measures
+    ~2 ms total — the per-room constants and factor tables are cached
+    device arrays and cost nothing per call. Integer columns ride as
+    exact small floats (seeds split into two 16-bit halves) so no
+    bitcast-on-the-wire tricks are needed."""
     from .image_source import tail_noise_key
 
-    srcs, recvs, normals = fpack[:, 0:3], fpack[:, 3:6], fpack[:, 6:9]
-    chan_idx = ipack[:, 0].astype(jnp.int32)
-    seeds = ipack[:, 1]
+    srcs, recvs, normals = packed[:, 0:3], packed[:, 3:6], packed[:, 6:9]
+    chan_idx = packed[:, 9].astype(jnp.int32)
+    seeds = (
+        packed[:, 11].astype(jnp.uint32) * jnp.uint32(65536)
+        + packed[:, 10].astype(jnp.uint32)
+    )
     dims = consts[0:3]
     beta_walls = consts[3 : 3 + 6 * n_bands].reshape(n_bands, 6)
     rt60_bands = consts[3 + 6 * n_bands : 3 + 7 * n_bands]
@@ -512,6 +574,8 @@ def _render_core(
         noise_keys,
         masks,
         rt60_bands,
+        tail_u,
+        tail_v,
         sample_rate,
         ir_len,
         nfft,
@@ -534,12 +598,13 @@ def _render_core(
     ),
 )
 def _render_items_device(
-    fpack,
-    ipack,
+    packed,
     consts,
     masks,
     amp_u,
     amp_v,
+    tail_u,
+    tail_v,
     *,
     n_bands: int,
     channel_type: str,
@@ -560,14 +625,15 @@ def _render_items_device(
     mixture geometry. Padding rows duplicate item 0 (see
     _render_flat_items), so they can never raise a bank's max; the
     caller slices the valid prefix off the returned device array."""
-    bank_ids = ipack[:, 2].astype(jnp.int32)
+    bank_ids = packed[:, 12].astype(jnp.int32)
     out = _render_core(
-        fpack,
-        ipack,
+        packed,
         consts,
         masks,
         amp_u,
         amp_v,
+        tail_u,
+        tail_v,
         n_bands=n_bands,
         channel_type=channel_type,
         channel_order=channel_order,
@@ -605,11 +671,11 @@ def _render_items_mesh_fn(mesh, **statics):
     spec_items = PartitionSpec(axis)
     spec_rep = PartitionSpec()
 
-    def local(fpack, ipack, consts, masks, amp_u, amp_v):
-        out = _render_core(fpack, ipack, consts, masks, amp_u, amp_v,
-                           **statics)
+    def local(packed, consts, masks, amp_u, amp_v, tail_u, tail_v):
+        out = _render_core(packed, consts, masks, amp_u, amp_v,
+                           tail_u, tail_v, **statics)
         if peak_normalize:
-            bank_ids = ipack[:, 2].astype(jnp.int32)
+            bank_ids = packed[:, 12].astype(jnp.int32)
             item_peak = jnp.max(jnp.abs(out), axis=1)
             peak = jax.ops.segment_max(
                 item_peak, bank_ids, num_segments=n_banks
@@ -623,8 +689,8 @@ def _render_items_mesh_fn(mesh, **statics):
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(spec_items, spec_items, spec_rep, spec_rep,
-                      spec_rep, spec_rep),
+            in_specs=(spec_items, spec_rep, spec_rep, spec_rep,
+                      spec_rep, spec_rep, spec_rep),
             out_specs=spec_items,
         )
     )
@@ -664,8 +730,21 @@ def _bank_params(oracle):
     amp_u, amp_v = _cached_amp_factors(
         beta_walls.astype(np.float32).tobytes(), n_bands, oracle.max_order
     )
+    tail_u, tail_v = _cached_tail_factors(
+        np.asarray(rt60_bands, np.float32).tobytes(), ir_len,
+        oracle.sample_rate,
+    )
+    consts = _cached_consts(
+        np.concatenate(
+            [
+                np.asarray(oracle.room.dims, np.float32),
+                np.asarray(beta_walls, np.float32).reshape(-1),
+                np.asarray(rt60_bands, np.float32),
+            ]
+        ).tobytes()
+    )
     return (band_absorption, rt60_bands, ir_seconds, ir_len, nfft,
-            beta_walls, amp_u, amp_v)
+            beta_walls, amp_u, amp_v, tail_u, tail_v, consts)
 
 
 @lru_cache(maxsize=32)
@@ -675,6 +754,22 @@ def _cached_amp_factors(beta_bytes: bytes, n_bands: int, max_order: int):
     beta = np.frombuffer(beta_bytes, np.float32).reshape(n_bands, 6)
     u, v = _factor_amplitude_profile(beta.astype(np.float64), max_order)
     return jnp.asarray(u), jnp.asarray(v)
+
+
+@lru_cache(maxsize=32)
+def _cached_tail_factors(rt60_bytes: bytes, ir_len: int, sample_rate: int):
+    """Per-room tail-envelope factorization (device-resident, uploaded
+    once — ~Q·ir_len floats)."""
+    rt60 = np.frombuffer(rt60_bytes, np.float32)
+    u, v = _factor_tail_envelopes(rt60, ir_len, sample_rate)
+    return jnp.asarray(u), jnp.asarray(v)
+
+
+@lru_cache(maxsize=64)
+def _cached_consts(consts_bytes: bytes) -> jax.Array:
+    """Per-room scalar vector as a cached device array: re-uploading it
+    every call cost a full tunnel transfer latency (~6 ms)."""
+    return jnp.asarray(np.frombuffer(consts_bytes, np.float32))
 
 
 def _flatten_items(oracle, source_positions, receiver_positions, channel,
@@ -748,7 +843,7 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
     axis (shard_map — see _render_items_mesh_fn) instead of running on the
     default device."""
     (_, rt60_bands, ir_seconds, ir_len, nfft, beta_walls,
-     amp_u, amp_v) = ir_params
+     amp_u, amp_v, tail_u, tail_v, consts) = ir_params
     n_items = len(srcs_flat)
     quantum = _CHUNK
     if mesh is not None:
@@ -756,41 +851,31 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         quantum = math.lcm(_CHUNK, n_dev)
     padn = (-n_items) % quantum
 
-    def padded(a):
-        if padn:
-            a = np.concatenate([a, np.repeat(a[:1], padn, axis=0)])
-        return a
-
     if bank_ids is None:
         bank_ids = np.zeros(n_items, np.int32)
         n_banks = 1
     else:
         n_banks = int(bank_ids.max()) + 1
-    # Two packed per-item uploads + one scalar vector: ~3 transfers
-    # instead of 10 (each costs a full tunnel RTT).
-    fpack = jnp.asarray(padded(np.concatenate(
+    # ONE packed per-item operand, handed to the jitted call as host
+    # numpy (the transfer rides the dispatch): separate jnp.asarray
+    # uploads cost ~6 ms of tunnel latency EACH regardless of size.
+    # Integer columns travel as exact small floats — seeds split into
+    # 16-bit halves so every value stays below 2^24.
+    seeds_u = seeds.astype(np.uint32)
+    packed = np.concatenate(
         [
             np.asarray(srcs_flat, np.float32),
             np.asarray(recvs_flat, np.float32),
             np.asarray(normals, np.float32),
+            np.asarray(chan_idx, np.float32)[:, None],
+            (seeds_u & np.uint32(0xFFFF)).astype(np.float32)[:, None],
+            (seeds_u >> np.uint32(16)).astype(np.float32)[:, None],
+            np.asarray(bank_ids, np.float32)[:, None],
         ],
         axis=1,
-    )))
-    ipack = jnp.asarray(padded(np.stack(
-        [
-            np.asarray(chan_idx, np.uint32),
-            seeds.astype(np.uint32),
-            bank_ids.astype(np.uint32),
-        ],
-        axis=1,
-    )))
-    consts = jnp.asarray(np.concatenate(
-        [
-            np.asarray(oracle.room.dims, np.float32),
-            np.asarray(beta_walls, np.float32).reshape(-1),  # (n_bands·6,)
-            np.asarray(rt60_bands, np.float32),
-        ]
-    ))
+    )
+    if padn:
+        packed = np.concatenate([packed, np.repeat(packed[:1], padn, axis=0)])
     statics = dict(
         n_bands=oracle.n_bands,
         channel_type=channel.channel_type,
@@ -811,19 +896,21 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
             _render_items_device, n_banks=n_banks,
             peak_normalize=peak_normalize, **statics,
         )
-        return fn, (fpack, ipack, consts, masks_dev, amp_u, amp_v)
+        return fn, (packed, consts, masks_dev, amp_u, amp_v, tail_u, tail_v)
     if mesh is not None:
         fn = _render_items_mesh_fn(
             mesh, n_banks=n_banks, peak_normalize=peak_normalize, **statics
         )
-        return fn(fpack, ipack, consts, masks_dev, amp_u, amp_v)[:n_items]
+        return fn(packed, consts, masks_dev, amp_u, amp_v,
+                  tail_u, tail_v)[:n_items]
     return _render_items_device(
-        fpack,
-        ipack,
+        packed,
         consts,
         masks_dev,
         amp_u,
         amp_v,
+        tail_u,
+        tail_v,
         n_banks=n_banks,
         peak_normalize=peak_normalize,
         **statics,

@@ -247,14 +247,18 @@ def tail_noise_key(seed: int, channel_index) -> jax.Array:
     return jax.random.fold_in(jax.random.PRNGKey(seed), channel_index)
 
 
-def tail_noise(seed: int, channel_index: int, n_bands: int, ir_len: int):
-    """Unit-variance tail noise (n_bands, ir_len) for one (pair, channel).
+def tail_noise(seed: int, channel_index: int, ir_len: int):
+    """Unit-variance BROADBAND tail noise (ir_len,) for one (pair, channel).
 
     The single definition shared by the serial multiband renderer and the
-    batched bank renderer — identical streams by construction.
-    """
+    batched bank renderer — identical streams by construction. One stream
+    feeds every band: the per-band signals are carved out of it by the
+    disjoint filterbank masks afterwards, which leaves them mutually
+    uncorrelated exactly as independent per-band draws would be, at 1/B
+    the RNG cost (B=32 bands × ir_len normals used to dominate the
+    batched tail stage at ~6 ms per 240-item dispatch on chip)."""
     return jax.random.normal(
-        tail_noise_key(seed, channel_index), (n_bands, ir_len), jnp.float32
+        tail_noise_key(seed, channel_index), (ir_len,), jnp.float32
     )
 
 
@@ -358,7 +362,7 @@ def render_shoebox_rir_multiband(
         # host Gaussian generation AND the host->device noise upload (the
         # remote-tunnel H2D path measures ~10 MB/s).
         t_direct = float(delays.min()) if len(delays) else 0.0
-        noise = np.asarray(tail_noise(seed, c_idx, n_bands, ir_len))
+        noise = np.asarray(tail_noise(seed, c_idx, ir_len))[None, :]
         decay = np.exp(
             -6.908 * np.maximum(t_axis[None, :] - t_direct, 0.0) / rt60_bands[:, None]
         )

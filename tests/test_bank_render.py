@@ -204,10 +204,11 @@ def test_varying_item_counts_share_one_executable(rng):
 
 
 def test_amplitude_profile_factorization():
-    """amp ≈ U @ V with tiny rank: exactly rank 1 (padded to 8) for a
-    uniform room; ≤ n_bands for banded per-wall materials; reconstruction
-    error ≤ 1e-6 relative either way (the placement contraction, the
-    accumulator, and the early rfft all scale with r)."""
+    """amp ≈ U @ V with tiny rank: EXACTLY rank 1 for a uniform room (the
+    factor column folds into the per-item gains — no padding waste);
+    ≤ n_bands for banded per-wall materials; reconstruction error ≤ 1e-6
+    relative either way (the placement contraction, the accumulator, and
+    the early rfft all scale with r)."""
     from sonicsim_tpu.sim.bank_render import (
         _amplitude_profile_np,
         _factor_amplitude_profile,
@@ -216,7 +217,7 @@ def test_amplitude_profile_factorization():
     # uniform: every band shares one beta -> identical columns -> rank 1
     beta_u = np.full((32, 6), np.sqrt(1.0 - 0.3))
     u, v = _factor_amplitude_profile(beta_u, max_order=4)
-    assert u.shape[1] == v.shape[0] == 8  # padded to the MXU sublane
+    assert u.shape[1] == v.shape[0] == 1  # exact rank, own bucket
     a = _amplitude_profile_np(beta_u, 4)
     np.testing.assert_allclose(
         np.asarray(u) @ np.asarray(v), a, rtol=2e-6, atol=2e-6 * a.max()
@@ -237,4 +238,28 @@ def test_amplitude_profile_factorization():
     assert r % 8 == 0 and r <= 32
     a2 = _amplitude_profile_np(beta_b, 4)
     err = np.abs(np.asarray(u2) @ np.asarray(v2) - a2).max() / a2.max()
+    assert err < 1e-6, err
+
+
+def test_tail_envelope_factorization():
+    """D[b,t] = exp(-k_b t) ≈ U @ V: rank 1 EXACT for a uniform room
+    (every band one RT60) and low-rank for banded decays — the tail then
+    runs Q FFTs per item instead of n_bands (bank_render._assemble_core)."""
+    from sonicsim_tpu.sim.bank_render import _factor_tail_envelopes
+
+    sr, ir_len = 16000, 6355
+    # uniform: one decay rate
+    u, v = _factor_tail_envelopes(np.full(32, 0.36, np.float32), ir_len, sr)
+    assert u.shape == (32, 1) and v.shape == (1, ir_len)
+    t = np.arange(ir_len) / sr
+    d = np.exp(-6.908 * t / 0.36)
+    np.testing.assert_allclose((u @ v)[0], d, rtol=1e-5, atol=1e-7)
+
+    # banded: RT60 spanning 3x across bands stays numerically low-rank
+    rt60 = np.geomspace(0.15, 0.5, 32).astype(np.float32)
+    u2, v2 = _factor_tail_envelopes(rt60, ir_len, sr)
+    q = u2.shape[1]
+    assert 1 < q <= 16, q
+    d2 = np.exp(-6.908 / rt60[:, None] * t[None, :])
+    err = np.abs(u2 @ v2 - d2).max()
     assert err < 1e-6, err
