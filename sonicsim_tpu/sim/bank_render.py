@@ -223,6 +223,103 @@ def _factor_tail_envelopes(
     return (U[:, :q] * s[:q]).astype(np.float32), Vt[:q].astype(np.float32)
 
 
+_DIFF_RANK = 6  # diffraction-basis rank: ≤5e-4 abs curve error (see below)
+_DIFF_GRID = 128  # log-detour interpolation grid size
+_DIFF_DMIN, _DIFF_DMAX = 1e-4, 200.0  # detour range covered, metres
+
+
+@lru_cache(maxsize=4)
+def _diffraction_basis(n_bands: int, sample_rate: int):
+    """Fixed rank-Q basis of the Maekawa edge-diffraction curve family.
+
+    D(Δ, f) = (3 + 40·Δ·f/c)^(−1/2) over detours Δ (image_source.
+    diffraction_band_gain) is numerically low-rank: SVD over a log-Δ grid
+    gives ≤5e-4 absolute curve error at rank 6, i.e. ~4e-6 of the direct
+    arrival once the 1/(4π·path) geometric factor applies — far inside
+    the bank-vs-serial parity floor (1.9e-4). Returns device arrays
+    (coeffs (grid, Q), basis (Q, n_bands)); the device core linearly
+    interpolates coeffs at log Δ per edge. Room-independent: cached per
+    (n_bands, sample_rate) only."""
+    from .image_source import band_centers, diffraction_band_gain
+
+    freqs = band_centers(n_bands, sample_rate)
+    dgrid = np.geomspace(_DIFF_DMIN, _DIFF_DMAX, _DIFF_GRID)
+    D = diffraction_band_gain(dgrid[:, None], freqs[None, :])  # (grid, B)
+    _, _, Vt = np.linalg.svd(D, full_matrices=False)
+    basis = Vt[:_DIFF_RANK]  # (Q, B), orthonormal rows
+    coeffs = D @ basis.T  # (grid, Q)
+    # Host numpy on purpose: this is called INSIDE _render_core's trace,
+    # where jnp values would be tracers — caching those leaks them.
+    return coeffs.astype(np.float32), basis.astype(np.float32)
+
+
+def _device_edge_geometry(dims, srcs, recvs):
+    """12-edge diffraction geometry for every item, entirely in jnp.
+
+    (P, 3) srcs/recvs → (paths (P, 12) total path lengths, detours
+    (P, 12), unit directions receiver→point (ux, uy, uz) each (P, 12)).
+    Twin of image_source.edge_diffraction_paths: the minimizing point on
+    edge {free axis f, other axes pinned at 0/L} has the unfolded-
+    reflection closed form t* = (s_f·√B + r_f·√A)/(√A+√B) clamped to
+    [0, L_f], with A/B the squared perpendicular distances."""
+    paths, pts = [], []
+    for f in range(3):
+        a, b = [ax for ax in range(3) if ax != f]
+        for wa_sel in (0, 1):
+            for wb_sel in (0, 1):
+                wa = dims[a] * wa_sel
+                wb = dims[b] * wb_sel
+                A = (srcs[:, a] - wa) ** 2 + (srcs[:, b] - wb) ** 2
+                Bq = (recvs[:, a] - wa) ** 2 + (recvs[:, b] - wb) ** 2
+                sa, sb = jnp.sqrt(A), jnp.sqrt(Bq)
+                t = (srcs[:, f] * sb + recvs[:, f] * sa) / jnp.maximum(
+                    sa + sb, 1e-9
+                )
+                t = jnp.clip(t, 0.0, dims[f])
+                paths.append(
+                    jnp.sqrt(A + (t - srcs[:, f]) ** 2)
+                    + jnp.sqrt(Bq + (t - recvs[:, f]) ** 2)
+                )
+                pt = [None, None, None]
+                pt[f] = t
+                pt[a] = jnp.broadcast_to(wa, t.shape)
+                pt[b] = jnp.broadcast_to(wb, t.shape)
+                pts.append(jnp.stack(pt, axis=1))  # (P, 3)
+    paths = jnp.stack(paths, axis=1)  # (P, 12)
+    points = jnp.stack(pts, axis=1)  # (P, 12, 3)
+    direct = jnp.linalg.norm(srcs - recvs, axis=1, keepdims=True)  # (P, 1)
+    detours = jnp.maximum(paths - direct, 0.0)
+    diff = points - recvs[:, None, :]  # (P, 12, 3)
+    dist = jnp.maximum(jnp.linalg.norm(diff, axis=2), 1e-9)
+    ux, uy, uz = (diff[..., i] / dist for i in range(3))
+    return paths, detours, (ux, uy, uz)
+
+
+def _directional_gain(channel_type, channel_order, ux, uy, uz, normals,
+                      chan_idx):
+    """Per-arrival channel gain — shared by the image lattice and the
+    edge-diffraction arrivals. ``ux/uy/uz`` are (P, N) unit direction
+    components receiver→source-image (twin of channels.directional_gain);
+    ``normals`` (P, 3) carries the ear normal (Binaural) or the head
+    rotation as [cos, sin, 0] (Ambisonics — SH offsets are zero, so the
+    slot is free)."""
+    if channel_type in ("Mono", "CustomArrayIR"):
+        return jnp.ones_like(ux)
+    if channel_type == "Binaural":
+        return 0.6 + 0.4 * (
+            ux * normals[:, 0:1] + uy * normals[:, 1:2] + uz * normals[:, 2:3]
+        )
+    if channel_type == "Ambisonics":
+        c_, s_ = normals[:, 0:1], normals[:, 1:2]
+        lx = c_ * ux - s_ * uz
+        lz = s_ * ux + c_ * uz
+        Y = _real_sh((lx, uy, lz), channel_order)  # (P, N, C)
+        return jnp.take_along_axis(
+            Y, chan_idx[:, None, None].astype(jnp.int32), axis=2
+        )[..., 0]
+    raise ValueError(f"unknown channel type {channel_type!r}")
+
+
 def _device_geometry(dims, srcs, recvs, max_order: int, max_delay: float):
     """Image-source lattice for every item, entirely in jnp.
 
@@ -281,17 +378,21 @@ def _assemble_core(
     delays_s,  # (P, N) float32 seconds
     g,  # (P, N) float32 directional_gain / (4 pi d), 0 where invalid
     valid,  # (P, N) bool
-    amp_nb,  # (N, n_bands) per-image per-band reflection product (shared)
+    amp_nb,  # (N, n_bands) per-image per-band SPECULAR reflection product
+    delta_nb,  # (N, n_bands) per-image ENERGY gap total−specular (scattering)
     amp_u,  # (N, r) left factor of amp_nb ≈ amp_u @ amp_v (host SVD)
     amp_v,  # (r, n_bands) right factor
     noise_keys,  # (P,) typed PRNG keys — tail noise generated ON DEVICE
     masks,  # (n_bands, nfft//2+1) float32 filterbank partition
-    rt60_bands,  # (n_bands,) float32 Eyring RT60 per band
+    rt60_bands,  # (n_bands,) float32 damped-Eyring RT60 per band
     tail_u,  # (n_bands, q) left factor of the Eyring decay table
     tail_v,  # (q, ir_len) right factor (host SVD — _factor_tail_envelopes)
     sample_rate: int,
     ir_len: int,
     nfft: int,
+    edge_delays_s=None,  # (P, 12) edge-diffraction arrival times, or None
+    edge_w=None,  # (P, 12, Q) per-edge loadings in the diffraction basis
+    diff_v=None,  # (Q, n_bands) diffraction band basis
 ):
     """(P items) → (P, ir_len) float32 RIRs. See module docstring.
 
@@ -322,10 +423,14 @@ def _assemble_core(
     # is ever built (it was ~9.5 MB/item of pure HBM traffic).
     g_place = g * amp_u[:, 0][None, :] if r_amp == 1 else g
 
+    has_edges = edge_delays_s is not None
+
     def place_one(args):
-        """Impulse-train accumulation for ONE item → (r, ir_len) factor
-        trains (band structure restored in the frequency domain below)."""
-        delays_si, g_i = args
+        """Impulse-train accumulation for ONE item → (r [+Q], ir_len)
+        factor trains (band structure restored in the frequency domain
+        below). With diffraction, the item's 12 edge arrivals are placed
+        into Q extra trains carrying the diffraction-basis loadings."""
+        delays_si, g_i = args[0], args[1]
         d = delays_si * sample_rate  # float samples
         base = jnp.floor(d)
         frac = d - base
@@ -419,16 +524,66 @@ def _assemble_core(
         acc_pad = jnp.zeros((r_amp, n_blocks * _BLOCK + win), jnp.float32)
         acc_pad = acc_pad.at[:, : n_blocks * _BLOCK].add(head)
         acc_pad = acc_pad.at[:, _BLOCK : _BLOCK + n_blocks * _BLOCK].add(tail)
-        return acc_pad[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len]
+        out_i = acc_pad[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len]
+        if not has_edges:
+            return out_i
+        # Edge-diffraction taps: the SAME blocked one-hot matmul +
+        # two-slice overlap-add as the lattice above, on 12 rows — a
+        # scatter here ran ~3 orders of magnitude slower on TPU (the
+        # exact pathology the dense placement exists to avoid). The
+        # windowed-sinc values use the serial renderer's plain formula
+        # (_assemble_ir_1ch): 12×win elements are too few for the
+        # angle-addition trick to matter.
+        ed_i, ew_i = args[2], args[3]  # (12,), (12, Q)
+        d_e = ed_i * sample_rate
+        base_e = jnp.floor(d_e)
+        frac_e = d_e - base_e
+        row_e = base_e.astype(jnp.int32) + SINC_HALF
+        blk_e = row_e // _BLOCK
+        ioff_e = base_e.astype(jnp.int32) + 2 * SINC_HALF - blk_e * _BLOCK
+        jm_e = (
+            jnp.arange(win, dtype=jnp.float32)[None, :]
+            - ioff_e.astype(jnp.float32)[:, None]
+        )  # exact integer tap grid, as in the lattice path
+        t_e = jm_e - frac_e[:, None]  # (12, win)
+        win_fn = 0.5 + 0.5 * jnp.cos(jnp.pi * t_e / (SINC_HALF + 1))
+        kern = jnp.where(
+            jnp.abs(jm_e) <= SINC_HALF, jnp.sinc(t_e) * win_fn, 0.0
+        )  # (12, win)
+        onehot_e = jax.nn.one_hot(blk_e, n_blocks, dtype=jnp.float32)
+        q_d = ew_i.shape[1]
+        w_eb = (ew_i[:, :, None] * onehot_e[:, None, :]).reshape(
+            12, q_d * n_blocks
+        )
+        eccw = jnp.einsum(
+            "nr,nw->rw", w_eb, kern, precision=jax.lax.Precision.HIGH
+        ).reshape(q_d, n_blocks, win)
+        ehead = eccw[:, :, :_BLOCK].reshape(q_d, n_blocks * _BLOCK)
+        etail = jnp.pad(
+            eccw[:, :, _BLOCK:], ((0, 0), (0, 0), (0, _BLOCK - spill))
+        ).reshape(q_d, n_blocks * _BLOCK)
+        eacc = jnp.zeros((q_d, n_blocks * _BLOCK + win), jnp.float32)
+        eacc = eacc.at[:, : n_blocks * _BLOCK].add(ehead)
+        eacc = eacc.at[:, _BLOCK : _BLOCK + n_blocks * _BLOCK].add(etail)
+        return jnp.concatenate(
+            [out_i, eacc[:, 2 * SINC_HALF : 2 * SINC_HALF + ir_len]], axis=0
+        )
 
+    map_args = (
+        (delays_s, g_place, edge_delays_s, edge_w)
+        if has_edges
+        else (delays_s, g_place)
+    )
     accs = jax.lax.map(
-        place_one, (delays_s, g_place), batch_size=_PLACE_BATCH
-    )  # (P, r, ir_len)
-    spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, r, F)
+        place_one, map_args, batch_size=_PLACE_BATCH
+    )  # (P, r [+Q], ir_len)
+    spec = jnp.fft.rfft(accs, nfft, axis=-1)  # (P, r [+Q], F)
     # Per-factor spectral mix: (amp_v @ masks)[q] is factor q's composite
     # band response — band weighting and the filterbank partition in one
-    # (r, F) table.
-    vmask = jnp.einsum("qb,bf->qf", amp_v, masks)
+    # (r [+Q], F) table; the diffraction-basis rows restore the edge
+    # trains' band structure through the same einsum.
+    v_all = jnp.concatenate([amp_v, diff_v], axis=0) if has_edges else amp_v
+    vmask = jnp.einsum("qb,bf->qf", v_all, masks)
     early_spec = jnp.einsum("pqf,qf->pf", spec, vmask)  # (P, F)
 
     # Late tail: per-band Eyring decay, level matched to the mixing-zone
@@ -460,6 +615,18 @@ def _assemble_core(
         axis=1,
     )  # (P, n_bands)
     level = jnp.where((k > 0)[:, None], level_sel, level_fb)
+    # Scattering's diffuse re-injection (parity with the serial renderer):
+    # the energy the specular train lost per band, E_div[p,b] =
+    # Σ_n g²·(∏β_total² − ∏β_spec²)^hits, returns through the tail —
+    # unit-variance noise × A·exp(−k(t−td))·ramp carries A²·sr/(2k), so
+    # the combined level is sqrt(level² + 2·k_b·E_div/sr).
+    div_sum = jnp.einsum(
+        "pn,nb->pb", jnp.where(valid, g * g, 0.0), delta_nb
+    )
+    k_b0 = 6.908 / jnp.maximum(rt60_bands, 1e-6)  # (B,)
+    level = jnp.sqrt(
+        level * level + 2.0 * k_b0[None, :] * div_sum / sample_rate
+    )
 
     # Broadband tail noise (ONE stream per item — image_source.tail_noise)
     # shaped by rank-Q factored band envelopes: with D[b,t] = exp(-k_b t)
@@ -494,7 +661,7 @@ def _assemble_core(
 
 def _render_core(
     packed,  # (P, 13) f32: srcs(3)|recvs(3)|normals(3)|chan|seed_lo|seed_hi|bank
-    consts,  # (3 + 7*n_bands,) f32: dims(3) | beta_walls (n_bands·6) | rt60
+    consts,  # (3 + 13·n_bands,) f32: dims(3)|beta_spec(6B)|rt60(B)|beta_tot(6B)
     masks,  # (n_bands, nfft//2+1)
     amp_u,  # (N, r) host-SVD left factor of the amplitude profile
     amp_v,  # (r, n_bands) right factor
@@ -509,6 +676,7 @@ def _render_core(
     sample_rate: int,
     ir_len: int,
     nfft: int,
+    diffraction: bool = True,
 ):
     """Fused geometry → gains → assembly: (P, ir_len) un-normalized RIRs.
 
@@ -534,41 +702,67 @@ def _render_core(
     dims = consts[0:3]
     beta_walls = consts[3 : 3 + 6 * n_bands].reshape(n_bands, 6)
     rt60_bands = consts[3 + 6 * n_bands : 3 + 7 * n_bands]
+    beta_total = consts[3 + 7 * n_bands : 3 + 13 * n_bands].reshape(
+        n_bands, 6
+    )
 
     delays_s, _hits, (ux, uy, uz), valid = _device_geometry(
         dims, srcs, recvs, max_order, max_delay
     )
     amp_nb = _amplitude_profile(beta_walls, max_order)  # (N, n_bands)
-    if channel_type in ("Mono", "CustomArrayIR"):
-        gain = jnp.ones_like(delays_s)
-    elif channel_type == "Binaural":
-        gain = 0.6 + 0.4 * (
-            ux * normals[:, 0:1] + uy * normals[:, 1:2] + uz * normals[:, 2:3]
-        )
-    elif channel_type == "Ambisonics":
-        # Head-locked SH basis: rotate world dirs into the receiver frame
-        # first (twin of channels.directional_gain; the per-item rotation
-        # rides in the otherwise-unused normals slot as [cos, sin, 0]).
-        c_, s_ = normals[:, 0:1], normals[:, 1:2]
-        lx = c_ * ux - s_ * uz
-        lz = s_ * ux + c_ * uz
-        Y = _real_sh((lx, uy, lz), channel_order)  # (P, N, C)
-        gain = jnp.take_along_axis(
-            Y, chan_idx[:, None, None].astype(jnp.int32), axis=2
-        )[..., 0]
-    else:
-        raise ValueError(f"unknown channel type {channel_type!r}")
+    # Scattering's per-image ENERGY gap: total-reflected minus specular
+    # (prod β²^hits — squaring the amplitude profile squares every factor).
+    amp_tot = _amplitude_profile(beta_total, max_order)
+    delta_nb = amp_tot * amp_tot - amp_nb * amp_nb  # (N, n_bands)
+    gain = _directional_gain(
+        channel_type, channel_order, ux, uy, uz, normals, chan_idx
+    )
     g = jnp.where(
         valid,
         gain / (4.0 * jnp.pi * delays_s * SPEED_OF_SOUND + 1e-30),
         0.0,
     ).astype(jnp.float32)
+
+    edge_delays_s = edge_w = diff_v = None
+    if diffraction:
+        # 12-edge Maekawa/UTD arrivals (the reference tracer's
+        # enableDiffraction, SonicSim_rir.py:179): per-edge band curves
+        # live in a fixed rank-Q basis; the per-item loading is the
+        # log-detour-interpolated coefficient times the geometric gain.
+        diff_c, diff_v = _diffraction_basis(n_bands, sample_rate)
+        paths, detours, (eux, euy, euz) = _device_edge_geometry(
+            dims, srcs, recvs
+        )
+        e_gain = _directional_gain(
+            channel_type, channel_order, eux, euy, euz, normals, chan_idx
+        )
+        e_valid = paths / SPEED_OF_SOUND <= max_delay
+        e_g = jnp.where(
+            e_valid, e_gain / (4.0 * jnp.pi * paths + 1e-30), 0.0
+        )  # (P, 12)
+        lo, hi = float(np.log(_DIFF_DMIN)), float(np.log(_DIFF_DMAX))
+        pos = (
+            (jnp.log(jnp.maximum(detours, _DIFF_DMIN)) - lo)
+            / (hi - lo)
+            * (_DIFF_GRID - 1)
+        )
+        pos = jnp.clip(pos, 0.0, _DIFF_GRID - 1)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = (pos - i0.astype(jnp.float32))[..., None]  # (P, 12, 1)
+        c0 = jnp.take(diff_c, i0, axis=0)  # (P, 12, Q)
+        c1 = jnp.take(
+            diff_c, jnp.minimum(i0 + 1, _DIFF_GRID - 1), axis=0
+        )
+        edge_w = (c0 * (1.0 - frac) + c1 * frac) * e_g[..., None]
+        edge_delays_s = paths / SPEED_OF_SOUND
+
     noise_keys = jax.vmap(tail_noise_key)(seeds, chan_idx)
     return _assemble_core(
         delays_s,
         g,
         valid,
         amp_nb,
+        delta_nb,
         amp_u,
         amp_v,
         noise_keys,
@@ -579,6 +773,9 @@ def _render_core(
         sample_rate,
         ir_len,
         nfft,
+        edge_delays_s=edge_delays_s,
+        edge_w=edge_w,
+        diff_v=diff_v,
     )
 
 
@@ -595,6 +792,7 @@ def _render_core(
         "nfft",
         "n_banks",
         "peak_normalize",
+        "diffraction",
     ),
 )
 def _render_items_device(
@@ -616,6 +814,7 @@ def _render_items_device(
     nfft: int,
     n_banks: int,
     peak_normalize: bool,
+    diffraction: bool = True,
 ):
     """Single-device dispatch: core render → per-bank peak norm.
 
@@ -642,6 +841,7 @@ def _render_items_device(
         sample_rate=sample_rate,
         ir_len=ir_len,
         nfft=nfft,
+        diffraction=diffraction,
     )
     if peak_normalize:
         item_peak = jnp.max(jnp.abs(out), axis=1)  # (padded,)
@@ -704,29 +904,26 @@ def _cached_masks(n_bands: int, nfft: int, sample_rate: int) -> jax.Array:
 
 def _bank_params(oracle):
     """Shared scalar setup: (band_absorption, rt60_bands, ir_seconds,
-    ir_len, nfft, beta_walls (n_bands, 6)).
+    ir_len, nfft, beta_walls (n_bands, 6), factors..., consts).
 
-    ``band_absorption`` is the area-weighted room mean per band (the
-    Eyring tail's absorption — ShoeboxRoom.band_absorption); the per-wall
-    reflection coefficients feed the image amplitudes, so material
-    diversity survives into the early reflections while the stochastic
-    tail decays at the room-mean rate (parity with the serial
-    render_shoebox_rir_multiband)."""
+    All material physics comes from ShoeboxRoom.wall_physics — the SAME
+    tables the serial renderer consumes (render_shoebox_rir_multiband):
+    ``beta_walls`` is the SPECULAR per-bounce amplitude
+    sqrt((1−α−τ)(1−s)) and ``rt60_bands`` the damped-Eyring decay, so
+    transmission, scattering, and damping stay bit-consistent across the
+    serial and batched paths. The consts vector additionally carries the
+    TOTAL-reflected β table — the device core rebuilds the specular vs
+    total energy gap per image to feed scattering's diffuse tail boost."""
     room: ShoeboxRoom = oracle.room
     n_bands = oracle.n_bands
-    band_absorption = np.asarray(room.band_absorption(n_bands), np.float64)
-    rt60_bands = 0.161 * room.volume / np.maximum(
-        -room.surface * np.log(np.maximum(1.0 - band_absorption, 1e-4)), 1e-6
-    )
+    phys = room.wall_physics(n_bands)
+    rt60_bands = phys.rt60_bands
     ir_seconds = oracle.ir_seconds
     if ir_seconds is None:
         ir_seconds = min(max(float(rt60_bands.max()) * 1.1, 0.25), 2.0)
     ir_len = int(ir_seconds * oracle.sample_rate)
     nfft = int(2 ** np.ceil(np.log2(ir_len + 2 * SINC_HALF + 2)))
-    wall_absorption = np.asarray(
-        room.wall_band_absorption(n_bands), np.float64
-    )  # (n_bands, 6)
-    beta_walls = np.sqrt(np.maximum(1.0 - wall_absorption, 1e-4))
+    beta_walls = phys.beta_spec  # (n_bands, 6)
     amp_u, amp_v = _cached_amp_factors(
         beta_walls.astype(np.float32).tobytes(), n_bands, oracle.max_order
     )
@@ -740,10 +937,11 @@ def _bank_params(oracle):
                 np.asarray(oracle.room.dims, np.float32),
                 np.asarray(beta_walls, np.float32).reshape(-1),
                 np.asarray(rt60_bands, np.float32),
+                np.asarray(phys.beta_total, np.float32).reshape(-1),
             ]
         ).tobytes()
     )
-    return (band_absorption, rt60_bands, ir_seconds, ir_len, nfft,
+    return (phys.alpha_eff_mean, rt60_bands, ir_seconds, ir_len, nfft,
             beta_walls, amp_u, amp_v, tail_u, tail_v, consts)
 
 
@@ -885,6 +1083,7 @@ def _render_flat_items(oracle, srcs_flat, recvs_flat, normals, chan_idx,
         sample_rate=oracle.sample_rate,
         ir_len=ir_len,
         nfft=nfft,
+        diffraction=bool(getattr(oracle.room, "diffraction", True)),
     )
     masks_dev = _cached_masks(oracle.n_bands, nfft, oracle.sample_rate)
     if lower_only:

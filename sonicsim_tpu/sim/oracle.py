@@ -88,25 +88,21 @@ class SyntheticRirOracle:
         if self.n_bands > 0:
             from .image_source import render_shoebox_rir_multiband
 
-            # Per-wall curves when the room carries them (material
-            # diversity — SonicSim_rir.py:189-193 counterpart); the
-            # uniform room reduces to the shared-curve path exactly.
-            absorption = (
-                self.room.wall_band_absorption(self.n_bands)
-                if self.room.wall_absorption_bands is not None
-                else self.room.band_absorption(self.n_bands)
-            )
+            # The renderer pulls ALL FOUR material families (absorption /
+            # scattering / transmission / damping, per-wall when the room
+            # carries them — SonicSim_rir.py:189-193 counterpart) plus the
+            # diffraction flag from the room via ShoeboxRoom.wall_physics.
             return render_shoebox_rir_multiband(
                 self.room,
                 source_position,
                 receiver_position,
                 channel,
-                absorption,
                 sample_rate=self.sample_rate,
                 receiver_rotation=receiver_rotation,
                 max_order=self.max_order,
                 ir_seconds=self.ir_seconds,
                 seed=seed,
+                n_bands=self.n_bands,
             )
         return render_shoebox_rir(
             self.room,

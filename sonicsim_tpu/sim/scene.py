@@ -84,26 +84,35 @@ class Scene:
         the shoebox counterpart of the reference's per-surface assignment
         (mp3d_material_config.json, SonicSim_rir.py:189-193,307). Requires
         ``n_bands > 0`` (per-wall curves are frequency-dependent)."""
-        alpha = (
-            absorption.mean_absorption()
-            if isinstance(absorption, Material)
-            else float(absorption)
-        )
-        wall_bands = None
+        room_kwargs: dict = {}
+        if isinstance(absorption, Material):
+            # A Material carries all four curve families — keep them all
+            # (broadband means; per-wall diversity via wall_materials).
+            room_kwargs["absorption"] = absorption.mean_absorption()
+            room_kwargs["scattering"] = absorption.mean_scattering()
+            room_kwargs["transmission"] = float(
+                np.mean(absorption.transmission)
+            )
+            room_kwargs["damping"] = float(np.mean(absorption.damping))
+        else:
+            room_kwargs["absorption"] = float(absorption)
         if wall_materials is not None:
             if n_bands <= 0:
                 raise ValueError(
                     "wall_materials needs the multiband renderer; set "
                     "n_bands > 0 (the reference uses 32)"
                 )
-            from .materials import wall_absorption_from_labels
+            from .materials import wall_curves_from_labels
 
-            wall_bands = wall_absorption_from_labels(wall_materials, materials)
+            room_kwargs.update(
+                wall_curves_from_labels(
+                    wall_materials, materials,
+                    n_bands=n_bands, sample_rate=sample_rate,
+                )
+            )
         nav = NavGrid.rectangle(dims[0], dims[2], resolution=resolution)
         oracle = SyntheticRirOracle(
-            room=ShoeboxRoom(
-                dims, absorption=alpha, wall_absorption_bands=wall_bands
-            ),
+            room=ShoeboxRoom(dims, **room_kwargs),
             sample_rate=sample_rate,
             max_order=max_order,
             seed=seed,
