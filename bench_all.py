@@ -491,6 +491,12 @@ def main(wait_healthy_min: float = 0.0) -> None:
         {"segment_samples": step_samples, "steps": n_steps,
          "real_time_factor": round(rtf3, 2), "pipeline_depth": 3,
          "rtf_unpipelined": round(rtf0, 2),
+         # chip_step_ms: per-segment step time with per-step host round
+         # trips amortized out (K dispatches, one trailing readback) —
+         # the tightest chip-side latency bound the tunnel allows. The
+         # residual one-way dispatch floor still rides it, so a locally
+         # attached chip is faster than this number.
+         "chip_step_ms": round(chip_step_ms, 2),
          "chip_step_ms_amortized": round(chip_step_ms, 2),
          "segment_ms": round(step_samples / sr * 1e3, 1)},
     ))
@@ -593,20 +599,55 @@ def main(wait_healthy_min: float = 0.0) -> None:
             duration=60.0, base_seed=1, max_mixtures=1,
             utterance_cache=ucache,
         )
-        t0 = time.perf_counter()
-        produced = generate_split(
-            factory, ["room0", "room1"], dirs[3:12], noise_m, music_m,
-            root / "out", duration=60.0, base_seed=5, max_mixtures=6,
-            utterance_cache=ucache,
+        # Median of >=3 repeats with a PER-REPEAT link restamp: the
+        # artifact download rides the shared tunnel, whose bandwidth
+        # drifts mid-battery (r4 recorded 63.3 and 35.8 audio-s/s for
+        # this exact config in different windows). One sample per round
+        # conflates the chip with that day's tunnel; the median over
+        # restamped repeats separates them, and a repeat whose own stamp
+        # collapsed mid-run earns one replacement run.
+        e2e_runs, extra_budget = [], 2
+        rep = 0
+        while rep < 3 + (2 - extra_budget):
+            rep += 1
+            pre = _link_health(verbose=False)
+            out_k = root / f"out_rep{rep}"
+            t0 = time.perf_counter()
+            produced = generate_split(
+                factory, ["room0", "room1"], dirs[3:12], noise_m, music_m,
+                out_k, duration=60.0, base_seed=5, max_mixtures=6,
+                utterance_cache=ucache, pipeline_depth=3,
+            )
+            dt_gen = time.perf_counter() - t0
+            post = _link_health(verbose=False)
+            e2e_runs.append({
+                "audio_s_per_s": round(60.0 * len(produced) / dt_gen, 2),
+                "s_per_mixture": round(dt_gen / len(produced), 2),
+                "link_pre": {k: pre[k] for k in
+                             ("rtt_ms", "download_MBps", "degraded")},
+                "link_post": {k: post[k] for k in
+                              ("rtt_ms", "download_MBps", "degraded")},
+            })
+            if pre["degraded"] or post["degraded"]:
+                e2e_runs[-1]["degraded_window"] = True
+                if extra_budget > 0:
+                    extra_budget -= 1
+        vals = sorted(r["audio_s_per_s"] for r in e2e_runs
+                      if not r.get("degraded_window"))
+        if not vals:  # every repeat hit a degraded window: report anyway
+            vals = sorted(r["audio_s_per_s"] for r in e2e_runs)
+        median = vals[len(vals) // 2] if len(vals) % 2 else (
+            0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
         )
-        dt_gen = time.perf_counter() - t0
         results.append((
             "generation end-to-end (60 s mixtures)",
-            60.0 * len(produced) / dt_gen,
+            median,
             {"n_src": 3, "duration_s": 60, "channels": 2, "scenes": 2,
-             "s_per_mixture": round(dt_gen / len(produced), 2),
+             "aggregate": f"median of {len(vals)} healthy-stamped repeats",
+             "spread_min_max": [vals[0], vals[-1]],
+             "repeats": e2e_runs,
              "artifact_MB_per_mixture": round(
-                 artifact_mb(root / "out", len(produced)), 1),
+                 artifact_mb(root / "out_rep1", len(produced)), 1),
              "utterance_cache_hit_rate": round(
                  ucache.hits / max(ucache.hits + ucache.misses, 1), 2)},
         ))
