@@ -64,10 +64,15 @@ def render_moving_source(
     out = convolve_moving_blocked(
         jnp.asarray(audio),
         jnp.asarray(rir_bank),
-        jnp.asarray(w),
+        None,
         jnp.asarray(block_off),
         jnp.asarray(block_seg),
         block,
+        # Fused crossfade epilogue (no per-sample weight array); w is a
+        # plain linspace ramp here (dynamic_interp_plan), exactly what
+        # the segment table reconstructs.
+        seg_offsets=jnp.asarray(offsets),
+        seg_lengths=jnp.asarray(lengths),
     )
     return np.asarray(out)
 

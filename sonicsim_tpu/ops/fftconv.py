@@ -193,6 +193,36 @@ def _ownership_combine(conv, off_true, off_al, interp_weight, span: int,
     return (1.0 - w) * start + w * end
 
 
+def _fused_lerp_select(combined, off_true, off_al, t: int, l: int):
+    """Ownership select over PRE-COMBINED windows → (C, T).
+
+    ``combined`` is (N, C, NF) full irfft outputs with the crossfade
+    already applied (see the ramp epilogue in the callers); output sample
+    t reads window own(t) at in-window position (l-1) + t - off_al[own].
+    Half the gather traffic of _ownership_combine (one stream, no weight
+    array) and no separately materialized (N, 2, C, span) conv slice."""
+    n, c, nf = combined.shape
+    tt = jnp.arange(t, dtype=jnp.int32)
+    own = jnp.clip(jnp.searchsorted(off_true, tt, side="right") - 1, 0, n - 1)
+    within = jnp.clip(tt - off_al[own] + (l - 1), 0, nf - 1)
+    flat_idx = own * nf + within  # (T,)
+    return jnp.swapaxes(combined, 0, 1).reshape(c, n * nf)[:, flat_idx]
+
+
+def _window_ramp(off_true, off_al, lengths, nf: int, l: int):
+    """Per-window crossfade ramp W (N, NF): the interp weight is EXACTLY
+    linear inside a segment (dynamic_interp_plan: linspace(0, 1, len,
+    endpoint=False)), so w at in-window position u is
+    (u - (l-1) - lead) / len with lead = off_true - off_al — an
+    elementwise expression XLA fuses into the irfft's final matmul
+    epilogue, which is what lets the whole gather+lerp combine collapse
+    into the select above."""
+    u = jnp.arange(nf, dtype=jnp.float32)[None, :]
+    lead = (off_true - off_al).astype(jnp.float32)[:, None]
+    inv_len = 1.0 / jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None]
+    return (u - (l - 1) - lead) * inv_len
+
+
 def convolve_moving_segmented(
     source_audio: jax.Array,
     rirs: jax.Array,
@@ -202,6 +232,7 @@ def convolve_moving_segmented(
     max_seg: int,
     use_pallas: bool = False,
     use_mxu_fft: bool | None = None,
+    fused_epilogue: bool = True,
 ) -> jax.Array:
     """Moving-source reverb, segmented strategy.
 
@@ -249,6 +280,24 @@ def convolve_moving_segmented(
     rfft, irfft = _fft_ctx(win, use_mxu_fft)
     sf = rfft(windows)  # (n_seg, ...)
     kf = rfft(rirs.astype(jnp.float32))  # (P, C, ...)
+
+    if fused_epilogue and not use_pallas:
+        # Crossfade folded into the irfft epilogue: with d = end − start
+        # kernels, out = conv_start + w·conv_d and w is LINEAR inside a
+        # segment (_window_ramp) — so the combine is elementwise on the
+        # two irfft outputs and fuses into their final matmul, instead of
+        # materializing an (N, 2, C, span) conv tensor and gathering
+        # start/end pairs per output sample. Halves the combine-side HBM
+        # traffic of the hot loop (the reference's per-sample lerp over
+        # fully materialized position renders, SonicSim_moving.py:63-96).
+        ds = kf[1:] - kf[:-1]  # (n_seg, C, ...)
+        conv_s = irfft(sf[:, None] * kf[:-1])  # (n_seg, C, NF)
+        conv_d = irfft(sf[:, None] * ds)
+        nf = conv_s.shape[-1]
+        ramp = _window_ramp(offsets, offsets_al, lengths, nf, l)
+        combined = conv_s + ramp[:, None, :] * conv_d
+        return _fused_lerp_select(combined, offsets, offsets_al, t, l)
+
     # Adjacent kernel pairs as contiguous slices (NOT a gather: the
     # segmented path is the bench-critical one).
     pair = jnp.stack([kf[:-1], kf[1:]], axis=1)  # (n_seg, 2, C, ...)
@@ -339,11 +388,14 @@ def moving_block_plan(
 def convolve_moving_blocked(
     source_audio: jax.Array,
     rirs: jax.Array,
-    interp_weight: jax.Array,
+    interp_weight: jax.Array | None,
     block_off: jax.Array,
     block_seg: jax.Array,
     block: int,
     use_mxu_fft: bool | None = None,
+    seg_offsets: jax.Array | None = None,
+    seg_lengths: jax.Array | None = None,
+    w_scale: jax.Array | float | None = None,
 ) -> jax.Array:
     """Moving-source reverb over a fixed-size block plan.
 
@@ -356,9 +408,18 @@ def convolve_moving_blocked(
     Args:
       source_audio: (T,)
       rirs: (P, C, L)
-      interp_weight: (T,)
+      interp_weight: (T,) — legacy combine only; pass the segment tables
+        below instead (fused epilogue) and this may be None.
       block_off/block_seg: (NB,) int32 from ``moving_block_plan``.
       block: static block span in samples.
+      seg_offsets/seg_lengths: (P-1,) segment table — enables the FUSED
+        crossfade epilogue: the weight is linear within a segment
+        ((t − seg_off)/seg_len, dynamic_interp_plan), so the combine is
+        an elementwise ramp on two irfft outputs that XLA fuses into
+        their final matmuls; no (NB, 2, C, span) conv materialization,
+        no per-sample (T,) weight array at all, half the gather traffic.
+      w_scale: scalar ramp gain (the degenerate-trajectory mask rows of
+        parallel/pipeline._weights_from_segments).
 
     Returns (C, T).
     """
@@ -382,6 +443,26 @@ def convolve_moving_blocked(
     rfft, irfft = _fft_ctx(win, use_mxu_fft)
     sf = rfft(windows)  # (NB, ...)
     kf = rfft(rirs.astype(jnp.float32))  # (P, C, ...)
+
+    if seg_offsets is not None:
+        ks = jnp.take(kf, block_seg, axis=0)  # (NB, C, ...)
+        kd = jnp.take(kf, block_seg + 1, axis=0) - ks
+        conv_s = irfft(sf[:, None] * ks)  # (NB, C, NF)
+        conv_d = irfft(sf[:, None] * kd)
+        nf = conv_s.shape[-1]
+        so = jnp.take(seg_offsets, block_seg)
+        inv_len = 1.0 / jnp.maximum(
+            jnp.take(seg_lengths, block_seg), 1
+        ).astype(jnp.float32)
+        u = jnp.arange(nf, dtype=jnp.float32)[None, :]
+        ramp = (
+            (off_al - (l - 1) - so).astype(jnp.float32)[:, None] + u
+        ) * inv_len[:, None]
+        if w_scale is not None:
+            ramp = ramp * w_scale
+        combined = conv_s + ramp[:, None, :] * conv_d
+        return _fused_lerp_select(combined, block_off, off_al, t, l)
+
     pair = jnp.stack(
         [jnp.take(kf, block_seg, axis=0), jnp.take(kf, block_seg + 1, axis=0)],
         axis=1,

@@ -172,6 +172,56 @@ def _render_all(
     return moving, static
 
 
+@partial(
+    jax.jit,
+    static_argnames=("block", "sample_rate", "use_mxu_fft"),
+)
+def _render_all_fused(
+    speech,  # (S, T) float32, or int16 PCM (converted here)
+    banks,  # (S, P, C, L)
+    seg_off,  # (S, P-1) int32 segment starts
+    seg_len,  # (S, P-1) int32 segment lengths
+    wmask,  # (S,) crossfade gain (0 for degenerate static trajectories)
+    block_off,  # (S, NB)
+    block_seg,  # (S, NB)
+    static_audio,  # (K, T) float32 or int16 PCM
+    static_rirs,  # (K, C, L)
+    speech_lufs,  # (S,)
+    static_lufs,  # (K,)
+    *,
+    block: int,
+    sample_rate: int,
+    use_mxu_fft: bool | None = None,
+):
+    """_render_all with the FUSED crossfade epilogue: no per-sample
+    (S, T) weight array exists anywhere (host or device) — the blocked
+    conv derives each block's linear ramp from the segment table and
+    folds it into the irfft epilogue (convolve_moving_blocked
+    seg_offsets path), halving the combine-side HBM traffic of the
+    pipeline's hottest stage."""
+    import jax.numpy as jnp
+
+    if speech.dtype == jnp.int16:
+        speech = speech.astype(jnp.float32) * (1.0 / 32768.0)
+    if static_audio.dtype == jnp.int16:
+        static_audio = static_audio.astype(jnp.float32) * (1.0 / 32768.0)
+    moving = jax.vmap(
+        lambda a, r, o, s, so, sl, m: convolve_moving_blocked(
+            a, r, None, o, s, block, use_mxu_fft=use_mxu_fft,
+            seg_offsets=so, seg_lengths=sl, w_scale=m,
+        )
+    )(speech, banks, block_off, block_seg, seg_off, seg_len, wmask)
+    moving = jax.vmap(
+        lambda x, tgt: lufs_norm(x, sample_rate, tgt)[0]
+    )(moving, speech_lufs)
+
+    static = jax.vmap(convolve_fixed_receiver)(static_audio, static_rirs)
+    static = jax.vmap(
+        lambda x, tgt: lufs_norm(x, sample_rate, tgt)[0]
+    )(static, static_lufs)
+    return moving, static
+
+
 def render_mixture_sources(
     speech: np.ndarray,
     banks: np.ndarray,
@@ -209,22 +259,31 @@ def render_mixture_sources(
     # shapes, shared formula with dataset/assemble.py (max_seg arrives
     # 8192-quantized from pad_moving_plans; the helper's ceil is a no-op).
     block, nb = block_plan_sizes(max_seg, t, int(offsets.shape[1]))
-    if weights is None:
-        # Rebuild the crossfade ramps on device from the segment table
-        # instead of uploading (S, T) floats — see _weights_from_segments.
+    fused = weights is None
+    if fused:
+        # FUSED crossfade epilogue: no (S, T) weight array anywhere —
+        # the blocked conv folds each block's linear ramp (from the
+        # segment table) into its irfft epilogue. ``weights`` given
+        # explicitly keeps the legacy gather+lerp combine (the parity
+        # tests drive both and compare).
         mask = (
             np.ones(s, np.float32)
             if weight_mask is None
             else np.asarray(weight_mask, np.float32)
         )
-        weights = _weights_from_segments(offsets, lengths, mask, t=t)
     plans = [
         moving_block_plan(offsets[i], lengths[i], t, block, nb)
         for i in range(s)
     ]
     block_off = np.stack([p[0] for p in plans])
     block_seg = np.stack([p[1] for p in plans])
-    moving_args = (speech, banks, weights, block_off, block_seg, speech_lufs)
+    if fused:
+        moving_args = (speech, banks, offsets.astype(np.int32),
+                       lengths.astype(np.int32), mask, block_off, block_seg,
+                       speech_lufs)
+    else:
+        moving_args = (speech, banks, weights, block_off, block_seg,
+                       speech_lufs)
     static_args = (static_audio, static_rirs, static_lufs)
     if mesh is not None:
         # GSPMD shardings need axis-0 divisible by the mesh; pad with zero
@@ -250,13 +309,24 @@ def render_mixture_sources(
         static_args = tuple(
             jax.device_put(a, shard) for a in pad_to(static_args, k)
         )
-    moving, static = _render_all(
-        *moving_args[:5],
-        *static_args[:2],
-        moving_args[5],
-        static_args[2],
-        block=block,
-        sample_rate=sample_rate,
-        use_mxu_fft=use_mxu_fft,
-    )
+    if fused:
+        moving, static = _render_all_fused(
+            *moving_args[:7],
+            *static_args[:2],
+            moving_args[7],
+            static_args[2],
+            block=block,
+            sample_rate=sample_rate,
+            use_mxu_fft=use_mxu_fft,
+        )
+    else:
+        moving, static = _render_all(
+            *moving_args[:5],
+            *static_args[:2],
+            moving_args[5],
+            static_args[2],
+            block=block,
+            sample_rate=sample_rate,
+            use_mxu_fft=use_mxu_fft,
+        )
     return moving[:s], static[:k]
