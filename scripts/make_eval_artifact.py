@@ -51,11 +51,89 @@ FIXTURE_DIR = Path("/root/reference/separation/tests/noise")
 SR = 16000
 
 
+def _stft(x: np.ndarray, nfft: int, hop: int) -> np.ndarray:
+    n = 1 + max(0, (len(x) - nfft)) // hop
+    win = np.hanning(nfft).astype(np.float64)
+    frames = np.stack([x[i * hop : i * hop + nfft] * win for i in range(n)])
+    return np.fft.rfft(frames, axis=1)  # (frames, bins)
+
+
+def _istft(spec: np.ndarray, nfft: int, hop: int, length: int) -> np.ndarray:
+    win = np.hanning(nfft).astype(np.float64)
+    out = np.zeros(spec.shape[0] * hop + nfft)
+    norm = np.zeros_like(out)
+    frames = np.fft.irfft(spec, n=nfft, axis=1)
+    for i in range(spec.shape[0]):
+        out[i * hop : i * hop + nfft] += frames[i] * win
+        norm[i * hop : i * hop + nfft] += win * win
+    out /= np.maximum(norm, 1e-8)
+    return out[:length]
+
+
+def pitch_shift_keep_tempo(x: np.ndarray, factor: float, sr: int = SR) -> np.ndarray:
+    """Pitch/formant shift by ``factor`` WITHOUT changing duration: phase
+    vocoder time-stretch by 1/factor, then resample by factor. Distinct
+    from the corpus's speed warp (which scales tempo AND pitch together)
+    — combining both spans a 2-D (tempo × pitch) pseudo-speaker manifold
+    instead of the 1-D resample line."""
+    nfft, hop = 1024, 256
+    spec = _stft(x.astype(np.float64), nfft, hop)
+    n_in = spec.shape[0]
+    n_out = max(2, int(round(n_in * factor)))
+    # Phase-vocoder stretch: magnitude linearly interpolated between
+    # frames, phase advanced by accumulated per-bin instantaneous freq.
+    pos = np.linspace(0.0, n_in - 1.0001, n_out)
+    i0 = np.floor(pos).astype(int)
+    frac = (pos - i0)[:, None]
+    mag = (1 - frac) * np.abs(spec[i0]) + frac * np.abs(spec[np.minimum(i0 + 1, n_in - 1)])
+    omega = 2 * np.pi * hop * np.arange(spec.shape[1]) / nfft
+    dphi = np.angle(spec[np.minimum(i0 + 1, n_in - 1)]) - np.angle(spec[i0]) - omega
+    dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
+    inst = omega + dphi  # per-output-frame phase advance
+    phase = np.cumsum(np.vstack([np.angle(spec[0])[None], inst[:-1]]), axis=0)
+    stretched = _istft(mag * np.exp(1j * phase), nfft, hop, int(len(x) * factor))
+    # Resample back to the original length: pitch moves by ``factor``.
+    return np.interp(
+        np.linspace(0.0, len(stretched) - 1.0, len(x)),
+        np.arange(len(stretched)),
+        stretched,
+    ).astype(np.float32)
+
+
+def noise_vocode(x: np.ndarray, n_bands: int = 12, seed: int = 0,
+                 sr: int = SR) -> np.ndarray:
+    """Noise-vocoded speech: per-band envelopes of ``x`` modulating
+    band-limited noise carriers — intelligible envelope cues with a
+    completely different glottal source, i.e. a maximally distinct
+    pseudo-speaker timbre (widens the 2-voice corpus manifold)."""
+    rng = np.random.default_rng(seed)
+    edges = np.geomspace(80.0, sr / 2 * 0.95, n_bands + 1)
+    X = np.fft.rfft(x.astype(np.float64))
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    smooth = int(0.01 * sr)  # 10 ms envelope smoothing
+    kernel = np.hanning(2 * smooth + 1)
+    kernel /= kernel.sum()
+    out = np.zeros(len(x))
+    noise = rng.standard_normal(len(x))
+    N = np.fft.rfft(noise)
+    for b in range(n_bands):
+        band = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        xb = np.fft.irfft(np.where(band, X, 0), n=len(x))
+        env = np.convolve(np.abs(xb), kernel, mode="same")
+        nb = np.fft.irfft(np.where(band, N, 0), n=len(x))
+        nb /= max(np.sqrt(np.mean(nb**2)), 1e-9)
+        out += env * nb
+    peak = np.abs(out).max()
+    ref = np.abs(x).max()
+    return (out * (ref / max(peak, 1e-9))).astype(np.float32)
+
+
 def build_corpus(
     root: Path,
     n_speakers: int = 6,
     seed: int = 0,
     speed_range: tuple[float, float] = (0.85, 1.2),
+    augment: float = 0.0,
 ) -> tuple[list[str], Path, Path]:
     """Per-speaker utterance dirs sliced from the two fixture voices, plus
     synthetic noise/music beds. Real speech keeps DNSMOS/PESQ meaningful.
@@ -100,6 +178,15 @@ def build_corpus(
         order = ranked[spk % 2]
         speed = float(rng.uniform(*speed_range))
         off = int(rng.integers(0, len(order)))
+        # Per-SPEAKER augmentation (a speaker identity, constant across
+        # its utterances): with probability ``augment``, either a pitch-
+        # only phase-vocoder shift (tempo preserved — orthogonal to the
+        # speed warp, spanning a 2-D tempo×pitch manifold) or a noise-
+        # vocoded timbre (different glottal source entirely).
+        aug_kind = None
+        if rng.uniform() < augment:
+            aug_kind = "pitch" if rng.uniform() < 0.6 else "vocode"
+        pitch_f = float(rng.choice([-1, 1]) * rng.uniform(0.12, 0.25) + 1.0)
         for u in range(6):
             # top-energy crops at speaker-distinct offsets; small gain
             # jitter keeps utterances distinct. Slice speed*8 s, then
@@ -111,6 +198,10 @@ def build_corpus(
                 np.arange(len(src)),
                 src,
             ).astype(np.float32)
+            if aug_kind == "pitch":
+                crop = pitch_shift_keep_tempo(crop, pitch_f)
+            elif aug_kind == "vocode":
+                crop = noise_vocode(crop, seed=1000 * spk + u)
             crop *= float(rng.uniform(0.6, 1.0))
             write_wav(d / f"utt{u}.wav", crop, SR)
         dirs.append(str(d))

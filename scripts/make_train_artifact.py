@@ -47,6 +47,18 @@ import jax
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="local")
+    ap.add_argument("--model", choices=("convtasnet", "dprnn"),
+                    default="convtasnet",
+                    help="separation architecture for the chain — the "
+                    "second family (DPRNN) proves the quality loop is "
+                    "model-agnostic (reference zoo: dprnn.py)")
+    ap.add_argument("--augment", type=float, default=0.0,
+                    help="fraction of pseudo-speakers given an extra "
+                    "identity transform (pitch-only phase-vocoder shift "
+                    "or noise-vocoding) to widen the 2-voice manifold")
+    ap.add_argument("--min_eval_sisdri", type=float, default=0.0,
+                    help="chained-eval gate: mean SI-SDRi must exceed "
+                    "this AND its 95%% bootstrap CI must exclude 0")
     ap.add_argument("--task", choices=("separation", "enhancement"),
                     default="separation",
                     help="separation: 2-spk ConvTasNet + PIT neg-SI-SDR "
@@ -109,6 +121,7 @@ def main() -> None:
     dirs, noise_dir, music_dir = build_corpus(
         work, n_speakers=3 * ((args.mixtures + 1) // 2),
         speed_range=(args.speed_lo, args.speed_hi),
+        augment=args.augment,
     )
     timings["corpus_s"] = time.perf_counter() - t0
 
@@ -153,8 +166,30 @@ def main() -> None:
 
     if args.task == "separation":
         num_spks = 2
-        exp_name = "convtasnet-chip"
-        model_loss = """
+        exp_name = f"{args.model}-chip"
+        pit_loss = """
+loss:
+  _target_: sonicsim_tpu.losses.PITLossWrapper
+  loss_func:
+    _target_: sonicsim_tpu.losses.PairwiseNegSDR
+    sdr_type: sisdr
+  pit_from: pw_mtx
+"""
+        if args.model == "dprnn":
+            # Compact DPRNNTasNet (configs/separation/dprnn.yaml family,
+            # reference dprnn.py) sized for the single-chip chain.
+            model_loss = """
+model:
+  _target_: sonicsim_tpu.models.DPRNNTasNet
+  in_channels: 128
+  out_channels: 64
+  hidden_channels: 128
+  kernel_size: 4
+  num_layers: 2
+  K: 100
+""" + pit_loss
+        else:
+            model_loss = """
 model:
   _target_: sonicsim_tpu.models.ConvTasNet
   N: 256
@@ -163,14 +198,7 @@ model:
   H: 256
   X: 6
   R: 2
-
-loss:
-  _target_: sonicsim_tpu.losses.PITLossWrapper
-  loss_func:
-    _target_: sonicsim_tpu.losses.PairwiseNegSDR
-    sdr_type: sisdr
-  pit_from: pw_mtx
-"""
+""" + pit_loss
     else:  # enhancement: compact SuDORMRF-Enh, neg-SI-SDR loss
         num_spks = 1
         exp_name = "sudormrf-enh-chip"
@@ -238,7 +266,7 @@ early_stopping:
     ckpt_sha = hashlib.sha256(ckpt.read_bytes()).hexdigest()
 
     out = REPO / f"TRAIN_{args.tag}"
-    out.mkdir(exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
     shutil.copy(exp / "metrics.jsonl", out / "metrics.jsonl")
     shutil.copy(exp / "best_k_models.json", out / "best_k_models.json")
     from bench_all import _link_health
@@ -314,6 +342,7 @@ def run_chained_eval(args, work, exp, ckpt_sha, timings, health) -> None:
     dirs, noise_dir, music_dir = build_corpus(
         ewrk, n_speakers=3 * args.eval_mixtures, seed=1,
         speed_range=(args.speed_lo, args.speed_hi),
+        augment=args.augment,
     )
     t0 = time.perf_counter()
     generate_split(
@@ -395,8 +424,23 @@ datas:
     avg = next(r for r in rows if r["snt_id"] == "avg")
     sisdri, sdri = float(avg["si-snr_i"]), float(avg["sdr_i"])
 
+    # Per-sample bootstrap: one headline mean is not robustness — the
+    # 95% CI over held-out mixtures must exclude 0 for the gate to pass.
+    import numpy as np
+
+    per = np.array([
+        float(r["si-snr_i"]) for r in rows
+        if r["snt_id"] not in ("avg", "std") and r.get("si-snr_i")
+    ])
+    bs_rng = np.random.default_rng(0)
+    boots = np.array([
+        per[bs_rng.integers(0, len(per), len(per))].mean()
+        for _ in range(10_000)
+    ])
+    ci_lo, ci_hi = float(np.percentile(boots, 2.5)), float(np.percentile(boots, 97.5))
+
     out = REPO / f"EVAL_{args.tag}"
-    out.mkdir(exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
     shutil.copy(csv_path, out / "metrics.csv")
     meta = csv_path.parent / "metrics.meta.json"
     if meta.exists():
@@ -419,19 +463,26 @@ differs from training, though both corpora slice the same two fixture
 voices, the only source speech in-env), with
 {"DNSMOS (reference .onnx weights), " if args.task == "separation" else ""}native PESQ nb/wb, STOI, SI-SDR/SDR columns.
 
-Headline (avg row): **SI-SDRi {sisdri:+.2f} dB, SDRi {sdri:+.2f} dB** —
-the first trained-model quality evidence (BASELINE.md row 3); both must
-be positive for the artifact to commit.
+Headline (avg row): **SI-SDRi {sisdri:+.2f} dB, SDRi {sdri:+.2f} dB**
+over {len(per)} held-out mixtures; 95% bootstrap CI of the mean SI-SDRi
+**[{ci_lo:+.2f}, {ci_hi:+.2f}] dB** (10k resamples) — the gate requires
+the CI to exclude 0 and the mean to beat {args.min_eval_sisdri:+.1f} dB
+(BASELINE.md row 3 quality evidence).
 
 Wall clock: {json.dumps({k: round(v, 1) for k, v in timings.items()})}
 Link health: {json.dumps(health)}
 """
     )
-    print(f"chained eval: SI-SDRi {sisdri:+.2f} dB, SDRi {sdri:+.2f} dB")
-    if not (sisdri > 0 and sdri > 0):
+    print(
+        f"chained eval: SI-SDRi {sisdri:+.2f} dB "
+        f"(95% CI [{ci_lo:+.2f}, {ci_hi:+.2f}]), SDRi {sdri:+.2f} dB"
+    )
+    if not (sisdri > args.min_eval_sisdri and sdri > 0 and ci_lo > 0):
         raise SystemExit(
-            f"chained eval FAILED: SI-SDRi {sisdri:.2f}, SDRi {sdri:.2f} "
-            "must both be positive (artifact written for forensics)"
+            f"chained eval FAILED: SI-SDRi {sisdri:.2f} "
+            f"(gate > {args.min_eval_sisdri}), CI low {ci_lo:.2f} "
+            "(gate > 0), SDRi {:.2f} (artifact written for forensics)"
+            .format(sdri)
         )
 
 
