@@ -200,7 +200,7 @@ def main() -> None:
     render = jax.jit(
         jax.vmap(
             lambda a, r: convolve_moving_segmented(
-                a, r, w_j, off_j, len_j, max_seg, use_pallas=True
+                a, r, w_j, off_j, len_j, max_seg, use_pallas=False
             )
         )
     )

@@ -244,7 +244,7 @@ def main(wait_healthy_min: float = 0.0) -> None:
     r1 = jnp.asarray(rng.standard_normal((p, c, sr)).astype(np.float32) * 0.02)
     moving = jax.jit(
         lambda a, r: convolve_moving_segmented(
-            a, r, w_j, off_j, len_j, mx, use_pallas=True
+            a, r, w_j, off_j, len_j, mx, use_pallas=False
         )
     )
     dt = _timeit(moving, a1, r1)
@@ -258,7 +258,7 @@ def main(wait_healthy_min: float = 0.0) -> None:
         )
         f = jax.jit(
             lambda a, r: convolve_moving_segmented(
-                a, r, w_j, off_j, len_j, mx, use_pallas=True
+                a, r, w_j, off_j, len_j, mx, use_pallas=False
             )
         )
         dt = _timeit(f, a1, r_mc)
@@ -273,7 +273,7 @@ def main(wait_healthy_min: float = 0.0) -> None:
     batched = jax.jit(
         jax.vmap(
             lambda a, r: convolve_moving_segmented(
-                a, r, w_j, off_j, len_j, mx, use_pallas=True
+                a, r, w_j, off_j, len_j, mx, use_pallas=False
             )
         )
     )
@@ -291,7 +291,7 @@ def main(wait_healthy_min: float = 0.0) -> None:
     def mixture_step(a3, r3, bg, rbg):
         moving3 = jax.vmap(
             lambda a, r: convolve_moving_segmented(
-                a, r, w_j, off_j, len_j, mx, use_pallas=True
+                a, r, w_j, off_j, len_j, mx, use_pallas=False
             )
         )(a3, r3)
         static2 = jax.vmap(convolve_fixed_receiver)(bg, rbg)

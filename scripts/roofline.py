@@ -175,7 +175,7 @@ def main() -> None:
     add(
         "moving render, batched 12 sources",
         jax.vmap(lambda a, r: convolve_moving_segmented(
-            a, r, w_j, off_j, len_j, mx, use_pallas=_on_tpu())),
+            a, r, w_j, off_j, len_j, mx, use_pallas=False)),
         a12, r12,
     )
 
@@ -187,7 +187,7 @@ def main() -> None:
 
     def mixture_step(a3, r3, bg, rbg):
         moving3 = jax.vmap(lambda a, r: convolve_moving_segmented(
-            a, r, w_j, off_j, len_j, mx, use_pallas=_on_tpu()))(a3, r3)
+            a, r, w_j, off_j, len_j, mx, use_pallas=False))(a3, r3)
         static2 = jax.vmap(convolve_fixed_receiver)(bg, rbg)
         speech = [lufs_norm(moving3[i], sr, -17.0)[0] for i in range(3)]
         noise = lufs_norm(static2[0], sr, -24.0)[0]
