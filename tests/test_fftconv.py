@@ -122,6 +122,30 @@ def test_convolve_moving_blocked_matches_dense(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
 
 
+def test_convolve_moving_blocked_fused_epilogue_matches_dense(rng):
+    """Fused crossfade epilogue (segment tables, no per-sample weight
+    array) must reproduce the dense reference like the legacy combine."""
+    audio, rirs, idx, w = _make_case(rng, t=5000, p=8, c=3, l=256)
+    offsets, lengths, _ = segment_plan(idx)
+    block = 512
+    nb = -(-5000 // block) + len(offsets)
+    block_off, block_seg = moving_block_plan(offsets, lengths, 5000, block, nb)
+    out = np.asarray(
+        convolve_moving_blocked(
+            jnp.asarray(audio),
+            jnp.asarray(rirs),
+            None,
+            jnp.asarray(block_off),
+            jnp.asarray(block_seg),
+            block,
+            seg_offsets=jnp.asarray(offsets),
+            seg_lengths=jnp.asarray(lengths),
+        )
+    )
+    ref = _reference_moving(audio, rirs, idx, w)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
 def test_convolve_moving_blocked_one_giant_segment(rng):
     # A near-static trajectory: one segment owns almost the whole signal
     # (the case that made per-segment windows degenerate to full length).
