@@ -35,7 +35,8 @@ mic = [np.array([4.0, 1.5, 3.0])]
 rng = np.random.default_rng(1)
 ways = [rng.uniform([1, 1, 1], [7, 2.5, 5]) for _ in range(120)]
 ir_params = br._bank_params(oracle)
-(_, rt60_bands, ir_seconds, ir_len, nfft, beta_walls, amp_u, amp_v) = ir_params
+(_, rt60_bands, ir_seconds, ir_len, nfft, beta_walls, amp_u, amp_v,
+ tail_u, tail_v, consts) = ir_params
 print("ir_len", ir_len, "nfft", nfft, "amp_u", amp_u.shape, "amp_v", amp_v.shape)
 
 srcs, recvs, normals, chan_idx, seeds = br._flatten_items(
