@@ -235,6 +235,22 @@ def test_bank_matches_serial_full_physics(channel_type):
     np.testing.assert_allclose(bank, expected, rtol=1e-3, atol=5e-5 * scale)
 
 
+def test_transmission_absorption_equivalence_end_to_end():
+    """(α=0.2, τ=0.2) and (α=0.4, τ=0) give IDENTICAL β tables and decay
+    — so the rendered RIRs must match exactly (same tail seeds). Pins the
+    attenuate-don't-zero semantics at the waveform level."""
+    ch = ChannelModel("Mono")
+    a = SyntheticRirOracle(
+        ShoeboxRoom(DIMS, absorption=0.2, transmission=0.2, scattering=0.1),
+        sample_rate=SR, max_order=2, seed=5, n_bands=8, ir_seconds=0.3,
+    ).render(SRC, RECV, ch)
+    b = SyntheticRirOracle(
+        ShoeboxRoom(DIMS, absorption=0.4, scattering=0.1),
+        sample_rate=SR, max_order=2, seed=5, n_bands=8, ir_seconds=0.3,
+    ).render(SRC, RECV, ch)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
+
+
 # ------------------------------------------------------- material parsing --
 
 
