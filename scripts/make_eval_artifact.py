@@ -177,27 +177,40 @@ def build_corpus(
         voice = voices[spk % 2]
         order = ranked[spk % 2]
         speed = float(rng.uniform(*speed_range))
-        off = int(rng.integers(0, len(order)))
+        # Offsets stay in the TOP THIRD of the energy ranking: the
+        # fixtures have long silent stretches, and an offset deep into
+        # the ranked list hands a speaker near-silent "utterances" —
+        # observed as flat val-loss training runs (silent PIT targets).
+        off = int(rng.integers(0, max(1, len(order) // 3)))
         # Per-SPEAKER augmentation (a speaker identity, constant across
         # its utterances): with probability ``augment``, either a pitch-
         # only phase-vocoder shift (tempo preserved — orthogonal to the
         # speed warp, spanning a 2-D tempo×pitch manifold) or a noise-
-        # vocoded timbre (different glottal source entirely).
+        # vocoded timbre (different glottal source entirely; kept the
+        # rarer of the two — vocoded-vs-vocoded PIT pairs are close to
+        # unseparable and drag training).
         aug_kind = None
         if rng.uniform() < augment:
-            aug_kind = "pitch" if rng.uniform() < 0.6 else "vocode"
+            aug_kind = "pitch" if rng.uniform() < 0.8 else "vocode"
         pitch_f = float(rng.choice([-1, 1]) * rng.uniform(0.12, 0.25) + 1.0)
         for u in range(6):
             # top-energy crops at speaker-distinct offsets; small gain
             # jitter keeps utterances distinct. Slice speed*8 s, then
             # resample to 8 s — a fixed per-speaker pitch shift.
-            start = int(order[(spk // 2 + 3 * u + off) % len(order)])
-            src = voice[start : start + int(utt * speed)].astype(np.float64)
-            crop = np.interp(
-                np.linspace(0.0, len(src) - 1.0, utt),
-                np.arange(len(src)),
-                src,
-            ).astype(np.float32)
+            for attempt in range(8):  # skip rare still-quiet windows
+                start = int(
+                    order[(spk // 2 + 3 * u + off + 7 * attempt) % len(order)]
+                )
+                src = voice[start : start + int(utt * speed)].astype(
+                    np.float64
+                )
+                crop = np.interp(
+                    np.linspace(0.0, len(src) - 1.0, utt),
+                    np.arange(len(src)),
+                    src,
+                ).astype(np.float32)
+                if float(np.sqrt(np.mean(crop**2))) > 1e-3:
+                    break
             if aug_kind == "pitch":
                 crop = pitch_shift_keep_tempo(crop, pitch_f)
             elif aug_kind == "vocode":
