@@ -193,34 +193,36 @@ def _ownership_combine(conv, off_true, off_al, interp_weight, span: int,
     return (1.0 - w) * start + w * end
 
 
-def _fused_lerp_select(combined, off_true, off_al, t: int, l: int):
-    """Ownership select over PRE-COMBINED windows → (C, T).
+def _fused_lerp_select(combined, off_true, off_al, t: int):
+    """Ownership select over PRE-COMBINED, span-sliced windows → (C, T).
 
-    ``combined`` is (N, C, NF) full irfft outputs with the crossfade
-    already applied (see the ramp epilogue in the callers); output sample
-    t reads window own(t) at in-window position (l-1) + t - off_al[own].
-    Half the gather traffic of _ownership_combine (one stream, no weight
-    array) and no separately materialized (N, 2, C, span) conv slice."""
-    n, c, nf = combined.shape
+    ``combined`` is (N, C, span) with the crossfade already applied and
+    sample q of window p at global time off_al[p] + q (the callers slice
+    the irfft output at l-1); output sample t reads window own(t) at
+    position t - off_al[own]. Half the gather traffic of
+    _ownership_combine (one stream, no weight array). On TPU the
+    segmented path prefers the Pallas select (pallas_kernels.
+    select_segments) — this XLA gather measured ~3x slower end-to-end."""
+    n, c, span = combined.shape
     tt = jnp.arange(t, dtype=jnp.int32)
     own = jnp.clip(jnp.searchsorted(off_true, tt, side="right") - 1, 0, n - 1)
-    within = jnp.clip(tt - off_al[own] + (l - 1), 0, nf - 1)
-    flat_idx = own * nf + within  # (T,)
-    return jnp.swapaxes(combined, 0, 1).reshape(c, n * nf)[:, flat_idx]
+    within = jnp.clip(tt - off_al[own], 0, span - 1)
+    flat_idx = own * span + within  # (T,)
+    return jnp.swapaxes(combined, 0, 1).reshape(c, n * span)[:, flat_idx]
 
 
-def _window_ramp(off_true, off_al, lengths, nf: int, l: int):
-    """Per-window crossfade ramp W (N, NF): the interp weight is EXACTLY
+def _window_ramp(off_true, off_al, lengths, span: int):
+    """Per-window crossfade ramp W (N, span) over SLICED window coords
+    (sample q ↔ global t = off_al + q): the interp weight is EXACTLY
     linear inside a segment (dynamic_interp_plan: linspace(0, 1, len,
-    endpoint=False)), so w at in-window position u is
-    (u - (l-1) - lead) / len with lead = off_true - off_al — an
-    elementwise expression XLA fuses into the irfft's final matmul
-    epilogue, which is what lets the whole gather+lerp combine collapse
-    into the select above."""
-    u = jnp.arange(nf, dtype=jnp.float32)[None, :]
+    endpoint=False)), so w(q) = (q - lead)/len with lead = off_true -
+    off_al — an elementwise expression XLA fuses into the irfft epilogue,
+    which is what lets the whole gather+lerp combine collapse into a
+    select."""
+    u = jnp.arange(span, dtype=jnp.float32)[None, :]
     lead = (off_true - off_al).astype(jnp.float32)[:, None]
     inv_len = 1.0 / jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None]
-    return (u - (l - 1) - lead) * inv_len
+    return (u - lead) * inv_len
 
 
 def convolve_moving_segmented(
@@ -293,10 +295,22 @@ def convolve_moving_segmented(
         ds = kf[1:] - kf[:-1]  # (n_seg, C, ...)
         conv_s = irfft(sf[:, None] * kf[:-1])  # (n_seg, C, NF)
         conv_d = irfft(sf[:, None] * ds)
-        nf = conv_s.shape[-1]
-        ramp = _window_ramp(offsets, offsets_al, lengths, nf, l)
-        combined = conv_s + ramp[:, None, :] * conv_d
-        return _fused_lerp_select(combined, offsets, offsets_al, t, l)
+        ramp = _window_ramp(offsets, offsets_al, lengths, max_seg)
+        sl = slice(l - 1, l - 1 + max_seg)
+        combined = conv_s[..., sl] + ramp[:, None, :] * conv_d[..., sl]
+        # Final ownership select: Pallas block-select on TPU (contiguous
+        # VMEM slices; valid when every segment spans >= its BLOCK), XLA
+        # gather elsewhere.
+        if _on_tpu() and not isinstance(lengths, jax.core.Tracer):
+            from .pallas_kernels import BLOCK, select_segments
+
+            lv = np.asarray(lengths)
+            if lv.size == 0 or int(lv.min()) >= BLOCK:
+                return select_segments(
+                    combined, offsets.astype(jnp.int32),
+                    offsets_al.astype(jnp.int32), t,
+                )
+        return _fused_lerp_select(combined, offsets, offsets_al, t)
 
     # Adjacent kernel pairs as contiguous slices (NOT a gather: the
     # segmented path is the bench-critical one).
@@ -449,19 +463,21 @@ def convolve_moving_blocked(
         kd = jnp.take(kf, block_seg + 1, axis=0) - ks
         conv_s = irfft(sf[:, None] * ks)  # (NB, C, NF)
         conv_d = irfft(sf[:, None] * kd)
-        nf = conv_s.shape[-1]
         so = jnp.take(seg_offsets, block_seg)
         inv_len = 1.0 / jnp.maximum(
             jnp.take(seg_lengths, block_seg), 1
         ).astype(jnp.float32)
-        u = jnp.arange(nf, dtype=jnp.float32)[None, :]
+        # Ramp over SLICED window coords (sample q ↔ t = off_al + q):
+        # w = (off_al + q − seg_off)/seg_len.
+        u = jnp.arange(span, dtype=jnp.float32)[None, :]
         ramp = (
-            (off_al - (l - 1) - so).astype(jnp.float32)[:, None] + u
+            (off_al - so).astype(jnp.float32)[:, None] + u
         ) * inv_len[:, None]
         if w_scale is not None:
             ramp = ramp * w_scale
-        combined = conv_s + ramp[:, None, :] * conv_d
-        return _fused_lerp_select(combined, block_off, off_al, t, l)
+        sl = slice(l - 1, l - 1 + span)
+        combined = conv_s[..., sl] + ramp[:, None, :] * conv_d[..., sl]
+        return _fused_lerp_select(combined, block_off, off_al, t)
 
     pair = jnp.stack(
         [jnp.take(kf, block_seg, axis=0), jnp.take(kf, block_seg + 1, axis=0)],

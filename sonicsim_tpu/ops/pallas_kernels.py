@@ -117,3 +117,86 @@ def crossfade_combine(
         interpret=interpret,
     )(off_sent, aligned_offsets.astype(jnp.int32), bseg, conv_p, conv_p, w_pad)
     return out[:, :t]
+
+
+def _select_kernel(off_ref, offal_ref, bseg_ref, conv0_ref, conv1_ref,
+                   out_ref):
+    b = pl.program_id(0)
+    base = b * BLOCK
+    s0 = bseg_ref[b]
+    n_seg = off_ref.shape[0] - 1  # last entry is a sentinel (> T)
+    s1 = jnp.minimum(s0 + 1, n_seg - 1)
+    next_start = off_ref[s0 + 1]
+
+    d0 = pl.multiple_of(base - offal_ref[s0] + BLOCK, 128)
+    d1 = pl.multiple_of(base - offal_ref[s1] + BLOCK, 128)
+    val0 = conv0_ref[0, :, pl.ds(d0, BLOCK)]  # (C, BLOCK)
+    val1 = conv1_ref[0, :, pl.ds(d1, BLOCK)]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1) + base
+    out_ref[:, :] = jnp.where(idx < next_start, val0, val1)
+
+
+@partial(jax.jit, static_argnames=("t", "interpret"))
+def select_segments(
+    combined: jax.Array,  # (n_seg, C, span) PRE-COMBINED window renders
+    offsets: jax.Array,  # (n_seg,) int32 true ascending segment starts
+    aligned_offsets: jax.Array,  # (n_seg,) int32 128-aligned window origins
+    t: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """→ (C, T): out[:, s] = combined[seg(s), :, s - aligned_off[seg]].
+
+    The ownership SELECT for the fused-epilogue moving conv: the
+    crossfade already happened upstream (elementwise ramp folded into the
+    irfft — fftconv.convolve_moving_segmented), so this is
+    crossfade_combine minus the lerp: per output block, two contiguous
+    lane-aligned VMEM slices and a select. The plain-XLA formulation is a
+    per-sample gather, which measured ~3x slower end-to-end on the
+    12-source bench workload.
+    """
+    n_seg, c, span = combined.shape
+    nb = -(-t // BLOCK)
+    t_pad = nb * BLOCK
+
+    conv_p = jnp.pad(
+        combined.astype(jnp.float32), ((0, 0), (0, 0), (BLOCK, 2 * BLOCK))
+    )
+    block_starts = jnp.arange(nb, dtype=jnp.int32) * BLOCK
+    bseg = jnp.clip(
+        jnp.searchsorted(offsets, block_starts, side="right") - 1, 0, n_seg - 1
+    ).astype(jnp.int32)
+    off_sent = jnp.concatenate(
+        [offsets.astype(jnp.int32), jnp.asarray([t_pad + 1], jnp.int32)]
+    )
+
+    time_pad = conv_p.shape[-1]
+    out = pl.pallas_call(
+        _select_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, c, time_pad),
+                    lambda b, off, offal, bs: (bs[b], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, c, time_pad),
+                    lambda b, off, offal, bs: (
+                        jnp.minimum(bs[b] + 1, offal.shape[0] - 1),
+                        0,
+                        0,
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (c, BLOCK), lambda b, off, offal, bs: (0, b),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, t_pad), jnp.float32),
+        interpret=interpret,
+    )(off_sent, aligned_offsets.astype(jnp.int32), bseg, conv_p, conv_p)
+    return out[:, :t]
