@@ -293,11 +293,33 @@ def convolve_moving_segmented(
         # traffic of the hot loop (the reference's per-sample lerp over
         # fully materialized position renders, SonicSim_moving.py:63-96).
         ds = kf[1:] - kf[:-1]  # (n_seg, C, ...)
-        conv_s = irfft(sf[:, None] * kf[:-1])  # (n_seg, C, NF)
-        conv_d = irfft(sf[:, None] * ds)
-        ramp = _window_ramp(offsets, offsets_al, lengths, max_seg)
         sl = slice(l - 1, l - 1 + max_seg)
-        combined = conv_s[..., sl] + ramp[:, None, :] * conv_d[..., sl]
+        mxu = use_mxu_fft if use_mxu_fft is not None else _on_tpu()
+        if mxu:
+            # Single-matmul epilogue: the linear ramp rides INSIDE the
+            # final irfft contraction (mxu_fft.irfft_grid_lerp), so the
+            # only materialized time-domain tensor is the combined
+            # render — xr_start / xr_d never exist separately.
+            from .mxu_fft import irfft_grid_lerp, pick_split
+
+            n1, n2 = pick_split(win)
+            lead = (offsets - offsets_al).astype(jnp.float32)
+            inv_len = 1.0 / jnp.maximum(
+                lengths.astype(jnp.float32), 1.0
+            )
+            alpha = (-(l - 1) - lead) * inv_len  # w(u) = α + β·u
+            beta = inv_len
+            combined = irfft_grid_lerp(
+                sf[:, None] * kf[:-1], sf[:, None] * ds,
+                alpha[:, None], beta[:, None], n1, n2,
+            )[..., sl]
+        else:
+            conv_s = irfft(sf[:, None] * kf[:-1])  # (n_seg, C, NF)
+            conv_d = irfft(sf[:, None] * ds)
+            ramp = _window_ramp(offsets, offsets_al, lengths, max_seg)
+            combined = (
+                conv_s[..., sl] + ramp[:, None, :] * conv_d[..., sl]
+            )
         # Final ownership select: Pallas block-select on TPU (contiguous
         # VMEM slices; valid when every segment spans >= its BLOCK), XLA
         # gather elsewhere.
@@ -461,22 +483,38 @@ def convolve_moving_blocked(
     if seg_offsets is not None:
         ks = jnp.take(kf, block_seg, axis=0)  # (NB, C, ...)
         kd = jnp.take(kf, block_seg + 1, axis=0) - ks
-        conv_s = irfft(sf[:, None] * ks)  # (NB, C, NF)
-        conv_d = irfft(sf[:, None] * kd)
         so = jnp.take(seg_offsets, block_seg)
         inv_len = 1.0 / jnp.maximum(
             jnp.take(seg_lengths, block_seg), 1
         ).astype(jnp.float32)
-        # Ramp over SLICED window coords (sample q ↔ t = off_al + q):
-        # w = (off_al + q − seg_off)/seg_len.
-        u = jnp.arange(span, dtype=jnp.float32)[None, :]
-        ramp = (
-            (off_al - so).astype(jnp.float32)[:, None] + u
-        ) * inv_len[:, None]
         if w_scale is not None:
-            ramp = ramp * w_scale
+            inv_len = inv_len * w_scale
         sl = slice(l - 1, l - 1 + span)
-        combined = conv_s[..., sl] + ramp[:, None, :] * conv_d[..., sl]
+        mxu = use_mxu_fft if use_mxu_fft is not None else _on_tpu()
+        if mxu:
+            from .mxu_fft import irfft_grid_lerp, pick_split
+
+            n1, n2 = pick_split(win)
+            # w(u) = (off_al + u − (l−1) − seg_off)/seg_len over FULL
+            # irfft coords u (see the segmented path).
+            alpha = (
+                (off_al - so).astype(jnp.float32) - (l - 1)
+            ) * inv_len
+            combined = irfft_grid_lerp(
+                sf[:, None] * ks, sf[:, None] * kd,
+                alpha[:, None], inv_len[:, None], n1, n2,
+            )[..., sl]
+        else:
+            conv_s = irfft(sf[:, None] * ks)  # (NB, C, NF)
+            conv_d = irfft(sf[:, None] * kd)
+            # Ramp over SLICED window coords (sample q ↔ t = off_al + q).
+            u = jnp.arange(span, dtype=jnp.float32)[None, :]
+            ramp = (
+                (off_al - so).astype(jnp.float32)[:, None] + u
+            ) * inv_len[:, None]
+            combined = (
+                conv_s[..., sl] + ramp[:, None, :] * conv_d[..., sl]
+            )
         return _fused_lerp_select(combined, block_off, off_al, t)
 
     pair = jnp.stack(

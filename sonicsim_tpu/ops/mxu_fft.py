@@ -129,6 +129,59 @@ def irfft_grid(y: jax.Array, n1: int, n2: int) -> jax.Array:
     return x * (1.0 / n)
 
 
+def irfft_grid_lerp(
+    ys: jax.Array,
+    yd: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    n1: int,
+    n2: int,
+) -> jax.Array:
+    """Fused ``irfft(ys) + (alpha + beta·t)·irfft(yd)`` → real (..., n).
+
+    The moving-conv crossfade epilogue as ONE final-stage matmul: in the
+    grid layout, output time decomposes as t = j·n1 + i (row i, column
+    j), so a linear ramp splits into a ROW term (alpha + beta·i), applied
+    to the d-operand before the last contraction, and a COLUMN term
+    (beta·n1·j), folded into a second constant DFT table g2·(n1·j). Both
+    groups concatenate along the contraction axis into a single
+    (..., n1, 4·n2) @ (4·n2, n2) matmul whose only output is the
+    COMBINED render — the separate xr_s / xr_d tensors of the two-irfft
+    formulation never exist. ``alpha``/``beta`` broadcast over the batch
+    dims of ``ys`` (shape ys.shape[:-2] or prefix thereof).
+    """
+    *_, (g1r, g1i), (itr, iti), (g2r, g2i), w = _consts(n1, n2)
+    n = n1 * n2
+
+    def inner(y):
+        yr = jnp.real(y) * w
+        yi = jnp.imag(y) * w
+        dr = jnp.einsum(
+            "...hk,hn->...nk", yr, jnp.asarray(g1r), precision=_PRECISION
+        ) - jnp.einsum("...hk,hn->...nk", yi, jnp.asarray(g1i), precision=_PRECISION)
+        di = jnp.einsum(
+            "...hk,hn->...nk", yr, jnp.asarray(g1i), precision=_PRECISION
+        ) + jnp.einsum("...hk,hn->...nk", yi, jnp.asarray(g1r), precision=_PRECISION)
+        return dr * itr - di * iti, dr * iti + di * itr  # cr, ci
+
+    cr_s, ci_s = inner(ys)
+    cr_d, ci_d = inner(yd)
+    a = jnp.asarray(alpha, jnp.float32)[..., None, None]
+    b = jnp.asarray(beta, jnp.float32)[..., None, None]
+    i_ramp = a + b * jnp.arange(n1, dtype=jnp.float32)[:, None]
+    P = jnp.concatenate(
+        [cr_s + i_ramp * cr_d, ci_s + i_ramp * ci_d, b * cr_d, b * ci_d],
+        axis=-1,
+    )  # (..., n1, 4·n2)
+    jcol = float(n1) * np.arange(n2, dtype=np.float32)[None, :]
+    G = np.concatenate(
+        [g2r, -g2i, g2r * jcol, -g2i * jcol], axis=0
+    )  # (4·n2, n2) constant
+    xr = jnp.matmul(P, jnp.asarray(G), precision=_PRECISION)  # (..., n1, n2)
+    x = jnp.swapaxes(xr, -1, -2).reshape(*xr.shape[:-2], n)
+    return x * (1.0 / n)
+
+
 def pick_split(min_len: int, n2: int = 256) -> tuple[int, int]:
     """Smallest (n1, n2) with even n1 and n1*n2 >= min_len.
 
