@@ -44,6 +44,13 @@ import numpy as np
 
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_HBM_BPS = 819e9
+# VPU transcendental throughput estimate for v5e: one 8x128 vector
+# lane-set retiring roughly one polynomial-expanded transcendental per
+# ~4 cycles at 940 MHz => ~0.25e12/s. Order-of-magnitude on purpose —
+# it exists so VPU-bound stages (sin/cos-heavy tap placement) get a
+# non-absurd floor instead of a pure flops+bytes model that calls 30x
+# transcendental work "97% headroom".
+V5E_PEAK_TRANSC_PS = 0.25e12
 
 
 def _cost(fn, *args) -> dict:
@@ -57,18 +64,24 @@ def _cost(fn, *args) -> dict:
     return {
         "flops": float(ca.get("flops", 0.0)),
         "bytes": float(ca.get("bytes accessed", 0.0)),
+        "transcendentals": float(ca.get("transcendentals", 0.0)),
     }
 
 
-def _floors(flops: float, bytes_: float, peak_flops: float) -> dict:
+def _floors(flops: float, bytes_: float, peak_flops: float,
+            transc: float = 0.0) -> dict:
     comp_ms = flops / peak_flops * 1e3
     bw_ms = bytes_ / V5E_PEAK_HBM_BPS * 1e3
+    tr_ms = transc / V5E_PEAK_TRANSC_PS * 1e3
+    floors = {"compute": comp_ms, "bandwidth": bw_ms, "transcendental": tr_ms}
+    bound = max(floors, key=floors.get)
     return {
         "compute_floor_ms": round(comp_ms, 3),
         "bandwidth_floor_ms": round(bw_ms, 3),
-        "sol_ms": round(max(comp_ms, bw_ms), 3),
+        "transcendental_floor_ms": round(tr_ms, 3),
+        "sol_ms": round(floors[bound], 3),
         "intensity_flops_per_byte": round(flops / max(bytes_, 1.0), 2),
-        "bound": "compute" if comp_ms > bw_ms else "bandwidth",
+        "bound": bound,
     }
 
 
@@ -155,7 +168,9 @@ def main() -> None:
         if stage_filter and not any(s in name for s in stage_filter):
             return
         cost = _cost(fn, *call_args)
-        row = {"stage": name, **cost, **_floors(cost["flops"], cost["bytes"], peak)}
+        row = {"stage": name, **cost,
+               **_floors(cost["flops"], cost["bytes"], peak,
+                         cost.get("transcendentals", 0.0))}
         if args.measure:
             # Host numpy operands would re-upload per timed call and
             # charge tunnel time to the kernel — commit them once.
