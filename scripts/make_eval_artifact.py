@@ -134,6 +134,7 @@ def build_corpus(
     seed: int = 0,
     speed_range: tuple[float, float] = (0.85, 1.2),
     augment: float = 0.0,
+    augment_kinds: tuple[str, ...] = ("pitch", "vocode"),
 ) -> tuple[list[str], Path, Path]:
     """Per-speaker utterance dirs sliced from the two fixture voices, plus
     synthetic noise/music beds. Real speech keeps DNSMOS/PESQ meaningful.
@@ -192,6 +193,8 @@ def build_corpus(
         aug_kind = None
         if rng.uniform() < augment:
             aug_kind = "pitch" if rng.uniform() < 0.8 else "vocode"
+            if aug_kind not in augment_kinds:
+                aug_kind = augment_kinds[0] if augment_kinds else None
         pitch_f = float(rng.choice([-1, 1]) * rng.uniform(0.12, 0.25) + 1.0)
         for u in range(6):
             # top-energy crops at speaker-distinct offsets; small gain

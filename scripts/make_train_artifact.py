@@ -69,6 +69,11 @@ def main() -> None:
                     "draws one moving track + the noise bed per item")
     ap.add_argument("--work", default=None)
     ap.add_argument("--mixtures", type=int, default=32)
+    ap.add_argument("--rooms", type=int, default=2,
+                    help="number of DISTINCT training rooms (varied dims/"
+                    "absorption per room): the held-out eval runs in an "
+                    "unseen room, so room diversity is the main lever "
+                    "against the train->held-out acoustics gap")
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--patience", type=int, default=20,
                     help="early-stop patience (epochs without val best)")
@@ -115,25 +120,42 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    # 3 speakers per mixture; the pool resets per scene, so each of the
-    # two train rooms consumes the whole corpus -> half the mixtures per
-    # room needs 3*ceil(mixtures/2) speaker dirs.
+    # 3 speakers per mixture; the pool resets per scene, so each train
+    # room consumes the whole corpus -> ceil(mixtures/rooms) mixtures per
+    # room needs 3*that many speaker dirs.
+    per_room = -(-args.mixtures // max(args.rooms, 1))
     dirs, noise_dir, music_dir = build_corpus(
-        work, n_speakers=3 * ((args.mixtures + 1) // 2),
+        work, n_speakers=3 * per_room,
         speed_range=(args.speed_lo, args.speed_hi),
         augment=args.augment,
     )
     timings["corpus_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    scene_factory = lambda name: Scene.synthetic(  # noqa: E731
-        room=name, dims=(9.0, 3.0, 7.0), channel_type="Mono", seed=3,
-        max_order=4,
-        n_bands=32,  # production acoustics: fused on-device bank render
-    )
+
+    def scene_factory(name):
+        # Varied geometry/absorption per room (deterministic by room
+        # index): the held-out room is UNSEEN, so acoustic diversity in
+        # training is what generalization rests on.
+        import numpy as _np
+
+        i = int(name.replace("room", "") or 0)
+        r = _np.random.default_rng(1234 + i)
+        return Scene.synthetic(
+            room=name,
+            dims=(
+                float(r.uniform(6.5, 10.0)),
+                float(r.uniform(2.6, 3.4)),
+                float(r.uniform(5.0, 8.0)),
+            ),
+            absorption=float(r.uniform(0.2, 0.45)),
+            channel_type="Mono", seed=3 + i, max_order=4,
+            n_bands=32,  # production acoustics: fused on-device bank render
+        )
+
     produced = generate_split(
         scene_factory,
-        ["room0", "room1"],
+        [f"room{i}" for i in range(max(args.rooms, 1))],
         dirs,
         scan_audio_lengths(noise_dir),
         scan_audio_lengths(music_dir),
@@ -185,7 +207,7 @@ model:
   out_channels: 64
   hidden_channels: 128
   kernel_size: 4
-  num_layers: 2
+  num_layers: 3
   K: 100
 """ + pit_loss
         else:
@@ -339,10 +361,14 @@ def run_chained_eval(args, work, exp, ckpt_sha, timings, health) -> None:
     # Held-out corpus: fresh rng stream (different utterance crops/gains)
     # and a fresh room seed — none of these mixtures were seen in training.
     ewrk = work / "heldout"
+    # Held-out corpus: pitch-only augmentation — noise-vocoded targets
+    # are near-degenerate SEPARATION goals (a voice-vs-noise-carrier PIT
+    # pair), fine for widening the train manifold but not a fair quality
+    # probe. Eval diversity comes from unseen speed+pitch factors.
     dirs, noise_dir, music_dir = build_corpus(
         ewrk, n_speakers=3 * args.eval_mixtures, seed=1,
         speed_range=(args.speed_lo, args.speed_hi),
-        augment=args.augment,
+        augment=args.augment, augment_kinds=("pitch",),
     )
     t0 = time.perf_counter()
     generate_split(
