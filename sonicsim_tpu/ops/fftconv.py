@@ -26,24 +26,23 @@ import numpy as np
 
 
 def next_fast_len(n: int) -> int:
-    """Smallest 2^a·3^b·5^c ≥ n. scipy's next_fast_len also allows 7/11
-    radices, which the TPU FFT handles pathologically (~30x slower at e.g.
-    65219 = 7²·11³); restricting to {2,3,5} keeps within ~6% of n."""
+    """Smallest 2^a·m ≥ n with odd part m ∈ {1, 3, 5, 9, 15}.
+
+    The TPU FFT is radix-sensitive in the extreme: sizes with a LARGE odd
+    part are lowered as a literal DFT matmul — nfft = 486000 = 2^4·3^5·5^3
+    (odd part 30375) made the compiler plan a 944 GB f32[486000, 486000]
+    DFT matrix and OOM the whole generation executable, even though the
+    size is perfectly 5-smooth. Power-of-two-dominant sizes (odd part
+    ≤ 15) stay on the fast path; the worst-case padding over n is the
+    15·2^a → 16·2^a gap, ~6.7%."""
     if n <= 1:
         return 1
-    best = 1 << (n - 1).bit_length()
-    p5 = 1
-    while p5 < best:
-        p35 = p5
-        while p35 < best:
-            # pow2 round-up of n/p35
-            quot = -(-n // p35)
-            p2 = 1 << max(quot - 1, 0).bit_length()
-            cand = p2 * p35
-            if n <= cand < best:
-                best = cand
-            p35 *= 3
-        p5 *= 5
+    best = None
+    for m in (1, 3, 5, 9, 15):
+        p2 = 1 << max(-(-n // m) - 1, 0).bit_length()
+        cand = p2 * m
+        if cand >= n and (best is None or cand < best):
+            best = cand
     return best
 
 
