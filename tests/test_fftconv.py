@@ -256,3 +256,21 @@ def test_pallas_guard_short_segments(rng):
         max_seg, use_pallas=False,
     )
     np.testing.assert_allclose(np.asarray(safe), np.asarray(ref), atol=1e-6)
+
+
+def test_next_fast_len_odd_part_capped():
+    """TPU FFT sizes must keep a tiny odd factor: a size like 486000
+    (5-smooth but odd part 30375) gets lowered as a literal DFT matmul —
+    a 944 GB constant at that length (observed compile OOM). The contract:
+    smallest 2^a·m >= n with m in {1, 3, 5, 9, 15}, <= ~7% padding."""
+    from sonicsim_tpu.ops.fftconv import next_fast_len
+
+    for n in (1, 2, 7, 100, 16001, 65219, 486000, 490207, 10_000_001):
+        f = next_fast_len(n)
+        assert f >= n
+        odd = f
+        while odd % 2 == 0:
+            odd //= 2
+        assert odd in (1, 3, 5, 9, 15), (n, f, odd)
+        if n >= 1000:
+            assert f / n <= 1.07, (n, f)
